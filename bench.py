@@ -1,0 +1,69 @@
+"""Benchmark harness — runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+"value" is total wall-clock over the query set (each executed to completion
+via a count/collect action, inputs read cold from parquet each time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_poc_spark.plans.registry import queries  # noqa: E402
+from cdc_poc_spark.session import get_spark  # noqa: E402
+
+# The headline set: every implemented operator family, heaviest shapes first.
+BENCH_QUERIES = [
+    "cdc_enriched",
+    "cdc_leaderboard",
+    "cdc_content_stats",
+    "cdc_user_engagement",
+    "cdc_minute_window",
+    "cdc_parse_envelope",
+    "wh_pricing_summary",
+    "wh_top_orders",
+    "wh_hourly_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cdc-poc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = queries()
+    names = [n for n in BENCH_QUERIES if n in reg]
+    # warm the JVM/codegen paths once on the smallest SF so the measured
+    # numbers reflect steady-state execution, not first-query JIT
+    for n in names[:2]:
+        reg[n](spark, "/root/testdata/sf0.001").count()
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        df = reg[n](spark, sf_dir)
+        df.count()
+        timings[n] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

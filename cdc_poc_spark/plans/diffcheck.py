@@ -1,0 +1,96 @@
+"""Local mirror of the driver's DuckDB-differential harness: run a registry
+query on Spark and its oracle on DuckDB over the same parquet dir, compare
+row count + column names + order-insensitive values. Used by tests and for
+pre-commit verification; the driver runs its own copy at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from ..sources.testdata import TABLES
+from .oracles import oracle_sql
+from .registry import queries
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    spark_rows: int = 0
+    oracle_rows: int = 0
+    detail: str = ""
+    mismatches: list = field(default_factory=list)
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(zip(cols, cols))], out
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def compare_one(spark: SparkSession, con, name: str, sf_dir: str) -> DiffResult:
+    qfn = queries()[name]
+    sql = oracle_sql().get(name)
+    sdf = qfn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        return DiffResult(name, ok=len(s_rows) >= 0, spark_rows=len(s_rows), detail="rows-only (no oracle)")
+    res = con.execute(sql)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    r = DiffResult(name, ok=True, spark_rows=len(s_rows), oracle_rows=len(o_rows))
+    if sorted(s_cols) != sorted(o_cols):
+        r.ok = False
+        r.detail = f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+        return r
+    if len(s_rows) != len(o_rows):
+        r.ok = False
+        r.detail = f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}"
+        return r
+    _, sn = _norm_rows(s_cols, s_rows)
+    _, on = _norm_rows(o_cols, o_rows)
+    if sn != on:
+        r.ok = False
+        diffs = [(a, b) for a, b in zip(sn, on) if a != b][:5]
+        r.mismatches = diffs
+        r.detail = f"value mismatch in {sum(1 for a, b in zip(sn, on) if a != b)} rows"
+    return r
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[DiffResult]:
+    con = duckdb_connection(sf_dir)
+    out = []
+    for name in names or list(queries().keys()):
+        try:
+            out.append(compare_one(spark, con, name, sf_dir))
+        except Exception as e:  # noqa: BLE001 — harness must report, not die
+            out.append(DiffResult(name, ok=False, detail=f"{type(e).__name__}: {e}"))
+    return out

@@ -1,0 +1,220 @@
+"""The query registry — the driver contract (__spark_entry__.py) and the
+engine's public query surface in one place.
+
+Every entry implements an operator row from SURVEY.md §2 over the driver's
+testdata tables, with a matching DuckDB oracle in :mod:`oracles`. Names are
+grouped:
+
+- ``cdc_*`` — reference-pipeline parity (parse, enrich, standing aggregates)
+- ``wh_*``  — the warehouse read path (SURVEY §3.3.3: arbitrary SQL over the
+  partitioned fact table)
+- ``dedup_*`` / ``sim_*`` / ``text_*`` — LLM-data-pipeline extensions
+  (SURVEY §7.3 M6)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import format_wire_ntz, ntz_trunc
+from ..operators import aggregates
+from ..operators.enrich import enrichment_misses
+from ..schemas import ENGAGEMENT_EVENT_SCHEMA
+from ..sources import debezium
+from ..sources.testdata import load_table
+from . import cdc_mapping as m
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Deterministic fault-injection moduli for the wire-format queries: every
+# event with id % DELETE_MOD == 0 becomes a CDC delete; id % CORRUPT_MOD == 0
+# becomes malformed JSON (FIXTURES.md §4 cases 3-4). The oracle reproduces
+# the same arithmetic.
+DELETE_MOD = 20
+CORRUPT_MOD = 97
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return m.enriched(load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "part"))
+
+
+def q_cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+O3/O4/O5: full 15-column enriched output."""
+    return _enriched(spark, sf_dir)
+
+
+def q_cdc_enriched_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: the aggregation gate applied to the enriched stream."""
+    return aggregates.valid_events(_enriched(spark, sf_dir))
+
+
+def q_cdc_high_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: isHighEngagement (pct >= 50) — defined-but-unused in the reference."""
+    df = _enriched(spark, sf_dir)
+    return df.filter(F.col("engagement_pct") >= 50)
+
+
+def q_cdc_enrichment_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 miss branch (broadcast left-anti). The full dim covers every key, so
+    the dim is restricted to id < 90 to make the branch observable."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    dim = m.content_dim(load_table(spark, sf_dir, "part")).filter(F.col("id") < 90)
+    return enrichment_misses(ev, dim)
+
+
+def q_cdc_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A5+K1/K2: top-100 content by latest engagement score."""
+    return aggregates.leaderboard(_enriched(spark, sf_dir), k=100)
+
+
+def q_cdc_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-content running count + last-value stats."""
+    return aggregates.content_stats(_enriched(spark, sf_dir))
+
+
+def q_cdc_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per (user, content) latest engagement."""
+    return aggregates.user_engagement(_enriched(spark, sf_dir))
+
+
+def q_cdc_minute_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-minute tumbling buckets on event time."""
+    return aggregates.engagement_window(_enriched(spark, sf_dir))
+
+
+def _wire(spark: SparkSession, sf_dir: str, corrupt: bool) -> DataFrame:
+    """Serialize the mapped events into Debezium-enveloped JSON strings,
+    injecting deletes (after=null) and, optionally, malformed records."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    after = F.struct(
+        F.col("id"),
+        F.col("content_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        format_wire_ntz("event_ts").alias("event_ts"),
+        F.col("duration_ms"),
+        F.col("device"),
+        F.col("raw_payload"),
+    )
+    is_delete = F.col("id") % DELETE_MOD == 0
+    payload = F.struct(
+        F.when(~is_delete, after).alias("after"),
+        F.when(is_delete, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+    )
+    value = F.to_json(F.struct(payload.alias("payload")))
+    if corrupt:
+        value = F.when(
+            F.col("id") % CORRUPT_MOD == 0, F.lit('{"payload": not-json}')
+        ).otherwise(value)
+    return ev.select(value.alias("value"))
+
+
+def q_cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+T8 round-trip: events -> Debezium envelope JSON -> parsed typed rows;
+    deletes (payload.after null) dropped. Oracle: the direct projection minus
+    the deleted ids."""
+    wire = _wire(spark, sf_dir, corrupt=False)
+    schema = m.engagement_events(load_table(spark, sf_dir, "events")).schema
+    return debezium.good_rows(debezium.parse_envelope(wire, schema))
+
+
+def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: malformed-record split — corrupt vs parseable counts."""
+    wire = _wire(spark, sf_dir, corrupt=True)
+    schema = ENGAGEMENT_EVENT_SCHEMA
+    parsed = debezium.parse_envelope(wire, schema)
+    return (
+        parsed.groupBy(F.col(debezium.CORRUPT).alias("is_corrupt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------------- warehouse path
+
+
+def q_wh_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the 'arbitrary SQL over
+    the warehouse fact table' read path. Money math in exact decimals,
+    surfaced as double (order-insensitive, oracle-stable)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    disc_price = price * (F.lit(1) - disc)
+    # narrow the intermediate so the 3-way decimal product stays inside
+    # precision 38 on BOTH engines (DuckDB errors past 38; Spark would
+    # silently reduce) — values are exact either way
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + tax)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_wh_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 orders by revenue for one market segment —
+    fact⋈fact⋈dim with a broadcast dim and decimal-exact revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
+    ).join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "inner")
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_wh_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-partitioned warehouse rollup — the W2 partition-pruning shape
+    (hour partitioning on event_ts, BigQuerySink.java:123-125)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            ntz_trunc("hour", F.col("ts")).alias("event_hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "cdc_enriched": q_cdc_enriched,
+        "cdc_enriched_valid": q_cdc_enriched_valid,
+        "cdc_high_engagement": q_cdc_high_engagement,
+        "cdc_enrichment_misses": q_cdc_enrichment_misses,
+        "cdc_leaderboard": q_cdc_leaderboard,
+        "cdc_content_stats": q_cdc_content_stats,
+        "cdc_user_engagement": q_cdc_user_engagement,
+        "cdc_minute_window": q_cdc_minute_window,
+        "cdc_parse_envelope": q_cdc_parse_envelope,
+        "cdc_dead_letter": q_cdc_dead_letter,
+        "wh_pricing_summary": q_wh_pricing_summary,
+        "wh_top_orders": q_wh_top_orders,
+        "wh_hourly_events": q_wh_hourly_events,
+    }
