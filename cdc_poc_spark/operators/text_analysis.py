@@ -1,0 +1,117 @@
+"""Text analysis operators over the ``documents`` table — the
+training-data-pipeline extensions (SURVEY §7.3 M6): token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd): tokenization is
+``split`` + ``filter``, scoring is arithmetic — no Python UDFs. Each has an
+exact DuckDB oracle twin in plans/oracles.py.
+
+Scale: every operator here is embarrassingly parallel (per-row, no shuffle);
+at 100 TB they pipeline directly over the parquet scan with full column
+pruning (only ``text`` + keys read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import rolling_fingerprint
+
+# tiny per-language marker-word profiles for the n-gram/stopword language-ID
+# heuristic. (The driver's synthetic corpus draws from one shared vocabulary,
+# so prediction quality is meaningless here — the operator and its oracle are
+# what is being exercised.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "las", "es"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (portable: split on single space +
+    filter, identical in DuckDB)."""
+    return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/char statistics + quality gate.
+
+    quality_ok mirrors the usual pre-training filters: enough tokens,
+    plausible mean token length, sane stopword ratio.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_token_len = sum_len.cast("double") / n_tokens
+    stop_ratio = _count_in(toks, STOPWORDS).cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        # BPE-ish token estimate (~4 chars/token heuristic)
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+        (
+            (n_tokens >= 10)
+            & (avg_token_len >= 2.0)
+            & (avg_token_len <= 10.0)
+            & (stop_ratio <= 0.7)
+        ).alias("quality_ok"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language-ID: score each language profile, argmax with a
+    deterministic preference order (profile declaration order)."""
+    toks = tokens(F.col("text"))
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in reversed(langs):
+        this = F.lit(lang)
+        if pred is None:
+            pred = this
+            continue
+        cond = None
+        for other in langs:
+            if langs.index(other) > langs.index(lang):
+                c = scores[lang] >= scores[other]
+            elif langs.index(other) < langs.index(lang):
+                c = scores[lang] > scores[other]
+            else:
+                continue
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, this).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("lang_predicted"),
+    )
+    return out.withColumn("is_match", F.col("lang_predicted") == F.col("lang_actual"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp style) — the cheap
+    content identity used before heavier near-dup machinery."""
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars_actual"),
+    )

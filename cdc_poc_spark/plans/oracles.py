@@ -9,8 +9,73 @@ so the comparison is a genuine differential test, not the same code twice
 
 from __future__ import annotations
 
+from ..functions.hashing import (
+    md5_long_sql,
+    minhash_constants,
+    rolling_fingerprint_sql,
+)
+from ..operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_HASHES,
+    SHINGLE_K,
+    SIMHASH_BITS,
+)
+from ..operators.similarity import ANN_PLANES, hyperplane_weights
+from ..operators.text_analysis import LANG_MARKERS, STOPWORDS
 from .cdc_mapping import VALID_FILTER_SQL, with_enriched
-from .registry import CORRUPT_MOD, DELETE_MOD
+from .registry import (
+    CORRUPT_MOD,
+    COSINE_TAU,
+    DELETE_MOD,
+    JACCARD_THRESHOLD,
+    SIM_QUERY_VEC_ID,
+    SIM_TOPK,
+)
+
+# ---------------------------------------------------------- shared fragments
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, text, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)"
+)
+
+# distinct k-token shingles; empty list when < k tokens (mirrors operators.dedup.shingles)
+_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(SHINGLE_K))
+SHINGLES_CTE = (
+    f"sh AS (SELECT doc_id, CASE WHEN len(toks) >= {SHINGLE_K} THEN "
+    f"list_distinct(list_transform(range(1, len(toks) - {SHINGLE_K - 2}), "
+    f"i -> {_GRAM})) ELSE [] END AS shingles FROM toks)"
+)
+EXPLODED_CTE = "ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"
+
+_JACCARD_PAIRS = f"""
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b, n_common,
+           n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)"""
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Sequential left-fold double dot product — bit-identical to the Spark
+    zip_with+aggregate formulation in operators.similarity.dot."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
 
 _LATEST_STATS = f"""
 SELECT content_id,
@@ -154,5 +219,188 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2"""
+
+    # ------------------------------------------------ LLM-pipeline extensions
+
+    _stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    _sum_len = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b)"
+    )
+    sqls["text_stats"] = f"""
+        WITH {TOKS_CTE}
+        SELECT doc_id, lang, n_chars_actual, n_tokens, n_uniq_tokens,
+               avg_token_len, stopword_ratio, est_bpe_tokens,
+               (n_tokens >= 10 AND avg_token_len >= 2.0 AND avg_token_len <= 10.0
+                AND stopword_ratio <= 0.7) AS quality_ok
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+                   {_sum_len}::DOUBLE / len(toks) AS avg_token_len,
+                   CAST(len(list_filter(toks, t -> t IN ({_stop}))) AS BIGINT)::DOUBLE
+                       / len(toks) AS stopword_ratio,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+            FROM toks
+        )"""
+
+    langs = list(LANG_MARKERS)
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({wl}))) AS BIGINT) AS score_{lang}"
+        )
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = []
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"score_{lang} > score_{other}")
+            elif j > i:
+                conds.append(f"score_{lang} >= score_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    _pred = f"CASE {' '.join(branches)} ELSE '{langs[-1]}' END"
+    sqls["text_langid"] = f"""
+        WITH {TOKS_CTE},
+        scored AS (
+            SELECT doc_id, lang AS lang_actual, {", ".join(score_exprs)}
+            FROM toks
+        )
+        SELECT doc_id, lang_actual,
+               {", ".join(f"score_{lang}" for lang in langs)},
+               {_pred} AS lang_predicted,
+               ({_pred} = lang_actual) AS is_match
+        FROM scored"""
+
+    sqls["text_fingerprints"] = f"""
+        SELECT doc_id,
+               {rolling_fingerprint_sql("text")} AS fingerprint,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents"""
+
+    sqls["dedup_exact"] = f"""
+        SELECT {md5_long_sql("text")} AS text_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1"""
+
+    sqls["dedup_ngram_jaccard"] = f"""
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()}
+        SELECT doc_a, doc_b, n_common, jaccard
+        FROM jac
+        WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    consts = minhash_constants(MINHASH_HASHES)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(h, CAST({consts[i]} AS BIGINT)))) AS sig_{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {keys}) AS bucket_key FROM sigs".format(
+            b=b,
+            keys=", ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    sqls["dedup_minhash_lsh"] = f"""
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()},
+        hashed AS (SELECT doc_id,
+                          list_transform(shingles, s -> {md5_long_sql('s')}) AS hs
+                   FROM sh),
+        sigs AS (SELECT doc_id, {sig_exprs} FROM hashed),
+        buckets AS ({band_selects}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a
+            JOIN buckets b
+              ON a.band = b.band AND a.bucket_key = b.bucket_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, v.n_common, v.jaccard
+        FROM cands c
+        JOIN jac v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+        WHERE v.jaccard >= {JACCARD_THRESHOLD}"""
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) <> 0)) > len(hs) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    sqls["dedup_simhash"] = f"""
+        WITH {TOKS_CTE},
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(list_distinct(toks), t -> {md5_long_sql('t')}) AS hs
+            FROM toks
+        )
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+        FROM hashes"""
+
+    sqls["sim_topk_cosine"] = f"""
+        WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = {SIM_QUERY_VEC_ID})
+        SELECT vec_id, label, cosine_sim
+        FROM (
+            SELECT vec_id, label,
+                   {cosine_sql("embedding", "q_vec")} AS cosine_sim
+            FROM embeddings, q
+            WHERE vec_id <> {SIM_QUERY_VEC_ID}
+        )
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT {SIM_TOPK}"""
+
+    weights = hyperplane_weights()
+    bucket_terms = []
+    for p, row in enumerate(weights):
+        arr = "([" + ", ".join(f"{float(x)!r}" for x in row) + "]::DOUBLE[])"
+        bucket_terms.append(
+            f"(CASE WHEN {dot_sql('embedding', arr)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    _bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
+    sqls["sim_ann_lsh"] = f"""
+        WITH bucketed AS (
+            SELECT vec_id, label, embedding, {_bucket} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT embedding AS q_vec, bucket AS q_bucket FROM bucketed
+              WHERE vec_id = {SIM_QUERY_VEC_ID})
+        SELECT vec_id, label, cosine_sim
+        FROM (
+            SELECT vec_id, label,
+                   {cosine_sql("embedding", "q_vec")} AS cosine_sim
+            FROM bucketed, q
+            WHERE bucket = q_bucket AND vec_id <> {SIM_QUERY_VEC_ID}
+        )
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT {SIM_TOPK}"""
+
+    sqls["sim_embedding_dups"] = f"""
+        SELECT vec_a, vec_b, cosine_sim
+        FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {cosine_sql("a.embedding", "b.embedding")} AS cosine_sim
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        WHERE cosine_sim >= {COSINE_TAU}"""
+
+    sqls["sim_embedding_dups_lsh"] = f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_bucket} AS bucket
+            FROM embeddings
+        )
+        SELECT vec_a, vec_b, cosine_sim
+        FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {cosine_sql("a.embedding", "b.embedding")} AS cosine_sim
+            FROM bucketed a
+            JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        WHERE cosine_sim >= {COSINE_TAU}"""
 
     return sqls

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import format_wire_ntz, ntz_trunc
-from ..operators import aggregates
+from ..operators import aggregates, dedup, similarity, text_analysis
 from ..operators.enrich import enrichment_misses
 from ..schemas import ENGAGEMENT_EVENT_SCHEMA
 from ..sources import debezium
@@ -202,6 +202,84 @@ def q_wh_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- LLM-pipeline extensions
+
+# thresholds chosen from the corpus' actual similarity distributions
+# (25 shingle-Jaccard pairs >= 0.2 at sf0.01; max embedding cosine 0.51)
+JACCARD_THRESHOLD = 0.2
+COSINE_TAU = 0.4
+SIM_QUERY_VEC_ID = 0
+SIM_TOPK = 10
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics + quality gate per document."""
+    return text_analysis.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with per-language scores."""
+    return text_analysis.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp style) document fingerprints."""
+    return text_analysis.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with keeper id + copy count."""
+    return dedup.exact_dups(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-token-shingle Jaccard >= threshold."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded signature candidates, exact-Jaccard
+    verified."""
+    return dedup.minhash_lsh_dups(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash fingerprints (bitwise majority of token hashes)."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a stored query vector."""
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH bucketing (sub-linear scale path)."""
+    return similarity.ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
+def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
+    return similarity.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), COSINE_TAU
+    )
+
+
+def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked near-dup pairs — the sub-quadratic scale path."""
+    return similarity.embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), COSINE_TAU
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -217,4 +295,15 @@ def queries() -> dict[str, QueryFn]:
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
         "wh_hourly_events": q_wh_hourly_events,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprints": q_text_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_embedding_dups": q_sim_embedding_dups,
+        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
     }
