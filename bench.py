@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_embedding_dups_lsh",
+    "mm_decode_features",
+    "mm_media_stats",
 ]
 
 

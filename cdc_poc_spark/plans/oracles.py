@@ -389,6 +389,40 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
+    # multimodal: the synthesized media bytes are the UTF-8 text, so the
+    # oracle derives every feature from strlen(text) (bytes) directly —
+    # this checks the whole mapInPandas plumbing end-to-end
+    _mt = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    sqls["mm_decode_features"] = f"""
+        SELECT media_id, media_type, n_bytes,
+               CAST(16 + n_bytes % 1024 AS INTEGER) AS width,
+               CAST(16 + (n_bytes * 7) % 768 AS INTEGER) AS height,
+               CAST(CASE WHEN media_type = 'image' THEN 1
+                         ELSE 1 + n_bytes % 240 END AS INTEGER) AS n_frames,
+               checksum
+        FROM (
+            SELECT doc_id AS media_id, {_mt} AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        )"""
+
+    sqls["mm_media_stats"] = f"""
+        SELECT media_type,
+               count(*) AS n_media,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               max(width) AS max_width,
+               max(n_frames) AS max_frames
+        FROM (
+            SELECT {_mt} AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(16 + strlen(text) % 1024 AS INTEGER) AS width,
+                   CAST(CASE WHEN {_mt} = 'image' THEN 1
+                             ELSE 1 + strlen(text) % 240 END AS INTEGER) AS n_frames
+            FROM documents
+        )
+        GROUP BY media_type"""
+
     sqls["sim_embedding_dups_lsh"] = f"""
         WITH bucketed AS (
             SELECT vec_id, embedding, {_bucket} AS bucket

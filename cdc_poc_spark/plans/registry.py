@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import format_wire_ntz, ntz_trunc
-from ..operators import aggregates, dedup, similarity, text_analysis
+from ..operators import aggregates, dedup, multimodal, similarity, text_analysis
 from ..operators.enrich import enrichment_misses
 from ..schemas import ENGAGEMENT_EVENT_SCHEMA
 from ..sources import debezium
@@ -280,6 +280,19 @@ def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> Arrow-batched mapInPandas
+    decode (stub codec) -> typed feature rows."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_features(media)
+
+
+def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type rollup over decoded features."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.media_stats(multimodal.decode_features(media))
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -306,4 +319,6 @@ def queries() -> dict[str, QueryFn]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_embedding_dups": q_sim_embedding_dups,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
+        "mm_decode_features": q_mm_decode_features,
+        "mm_media_stats": q_mm_media_stats,
     }

@@ -1,0 +1,83 @@
+"""W1/W2 sinks (SURVEY §2.8), Spark-first.
+
+W2 — warehouse fact table: the reference lands enriched events in BigQuery
+with HOUR time-partitioning on event_ts and clustering (content_type,
+event_type) (reference sinks/BigQuerySink.java:104-139). Spark analog:
+parquet partitioned by an hour-derived column, rows sorted within files on
+the clustering keys so min/max row-group stats give the same data-skipping
+clustering buys in BigQuery.
+
+W1 — serving views: the reference's four Redis structures are materialized
+views over the stream (RedisSink.java:40-50). Here they are the A1-A4
+aggregate DataFrames registered as temp views / written as small parquet
+marts, refreshed per micro-batch by the streaming pipeline. Recomputed
+counts under replay are exactly-once (engine state), fixing the reference's
+non-idempotent HINCRBY (SURVEY §2.7 T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import ntz_trunc
+from ..operators import aggregates
+
+HOUR_PARTITION_COL = "event_hour"
+CLUSTER_COLS = ("content_type", "event_type")
+
+
+def with_hour_partition(df: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    """Hour partition key as a sortable yyyyMMddHH string (tz-free)."""
+    c = F.col(ts_col)
+    return df.withColumn(
+        HOUR_PARTITION_COL,
+        F.format_string(
+            "%04d%02d%02d%02d", F.year(c), F.month(c), F.dayofmonth(c), F.hour(c)
+        ),
+    )
+
+
+def write_warehouse(enriched: DataFrame, path: str, mode: str = "append") -> None:
+    """Append enriched events to the hour-partitioned, cluster-sorted fact
+    table. repartition on the partition column keeps one writer per
+    partition (no small-file explosion at scale); sortWithinPartitions on
+    the clustering keys makes parquet row-group stats selective for the
+    (content_type, event_type) predicates — the W2 clustering analog."""
+    out = with_hour_partition(enriched)
+    (
+        out.repartition(F.col(HOUR_PARTITION_COL))
+        .sortWithinPartitions(*CLUSTER_COLS)
+        .write.partitionBy(HOUR_PARTITION_COL)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+SERVING_VIEWS = (
+    "leaderboard",
+    "content_stats",
+    "user_engagement",
+    "engagement_window",
+)
+
+
+def serving_views(enriched: DataFrame) -> dict[str, DataFrame]:
+    """The four W1 materialized views over an enriched DataFrame."""
+    return {
+        "leaderboard": aggregates.leaderboard(enriched),
+        "content_stats": aggregates.content_stats(enriched),
+        "user_engagement": aggregates.user_engagement(enriched),
+        "engagement_window": aggregates.engagement_window(enriched),
+    }
+
+
+def refresh_serving_views(
+    spark: SparkSession, warehouse_path: str, prefix: str = "serving_"
+) -> None:
+    """Recompute the serving views from the accumulated fact table and
+    publish them as temp views (the engine's ZRANGE/HGETALL read surface,
+    SURVEY §3.3.1-2)."""
+    fact = spark.read.parquet(warehouse_path)
+    for name, df in serving_views(fact).items():
+        df.createOrReplaceTempView(f"{prefix}{name}")

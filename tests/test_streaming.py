@@ -1,0 +1,111 @@
+"""M5: streaming twin — the same operators through Structured Streaming
+must produce results identical to the batch path (SURVEY §5 strategy 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.operators import aggregates
+from cdc_poc_spark.operators.enrich import enrich
+from cdc_poc_spark.plans import cdc_mapping, registry
+from cdc_poc_spark.sources.testdata import load_table
+from cdc_poc_spark.streaming import pipeline, sinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    # wire-format records (incl. injected deletes) as a file stream
+    wire_dir = tmp_path / "wire"
+    registry._wire(spark, SF, corrupt=False).coalesce(1).write.text(str(wire_dir))
+
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events"))
+    dim = cdc_mapping.content_dim(load_table(spark, SF, "part"))
+    cfg = pipeline.PipelineConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        warehouse_path=str(tmp_path / "warehouse"),
+    )
+    src = pipeline.file_wire_source(spark, str(wire_dir), ev.schema)
+    q = pipeline.run_cdc_pipeline(spark, src, dim, ev.schema, cfg)
+    q.awaitTermination()
+
+    # batch expectation: same events minus the injected deletes
+    batch_enriched = enrich(
+        ev.filter(F.col("id") % registry.DELETE_MOD != 0), dim
+    )
+    # W2 warehouse fact table content matches the batch enrichment
+    fact = spark.read.parquet(cfg.warehouse_path).drop(sinks.HOUR_PARTITION_COL)
+    assert _rows(fact.select(*batch_enriched.columns)) == _rows(batch_enriched)
+
+    # W1 serving views match the batch standing aggregations
+    for name, expect_fn in [
+        ("serving_leaderboard", aggregates.leaderboard),
+        ("serving_content_stats", aggregates.content_stats),
+        ("serving_user_engagement", aggregates.user_engagement),
+        ("serving_engagement_window", aggregates.engagement_window),
+    ]:
+        got = spark.sql(f"SELECT * FROM {name}")
+        assert _rows(got) == _rows(expect_fn(batch_enriched)), name
+
+
+def test_streaming_incremental_resume(spark, tmp_path):
+    """Second half of the stream arrives later; checkpoint resume must
+    append only the new records (exactly-once over the union)."""
+    wire = registry._wire(spark, SF, corrupt=False).withColumn(
+        "part", F.monotonically_increasing_id() % 2
+    )
+    wire_dir = tmp_path / "wire"
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events"))
+    dim = cdc_mapping.content_dim(load_table(spark, SF, "part"))
+    cfg = pipeline.PipelineConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        warehouse_path=str(tmp_path / "warehouse"),
+    )
+    wire.filter("part = 0").select("value").coalesce(1).write.mode("append").text(str(wire_dir))
+    src = pipeline.file_wire_source(spark, str(wire_dir), ev.schema)
+    pipeline.run_cdc_pipeline(spark, src, dim, ev.schema, cfg).awaitTermination()
+    n1 = spark.read.parquet(cfg.warehouse_path).count()
+
+    wire.filter("part = 1").select("value").coalesce(1).write.mode("append").text(str(wire_dir))
+    src2 = pipeline.file_wire_source(spark, str(wire_dir), ev.schema)
+    pipeline.run_cdc_pipeline(spark, src2, dim, ev.schema, cfg).awaitTermination()
+    total = spark.read.parquet(cfg.warehouse_path).count()
+
+    expected = ev.filter(F.col("id") % registry.DELETE_MOD != 0).count()
+    assert n1 < total
+    assert total == expected
+
+
+def test_native_stateful_window_stream(spark, tmp_path):
+    """A4 as a native watermarked streaming aggregation produces the same
+    buckets as the batch operator."""
+    wire_dir = tmp_path / "wire"
+    registry._wire(spark, SF, corrupt=False).coalesce(1).write.text(str(wire_dir))
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events"))
+    dim = cdc_mapping.content_dim(load_table(spark, SF, "part"))
+    src = pipeline.file_wire_source(spark, str(wire_dir), ev.schema)
+    agg = pipeline.streaming_minute_counts(src, dim, ev.schema)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("minute_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT window.start AS ws, content_id, n_events, max_pct FROM minute_counts"
+    )
+    batch = aggregates.engagement_window(
+        enrich(ev.filter(F.col("id") % registry.DELETE_MOD != 0), dim)
+    ).select(
+        F.col("window_start").cast("timestamp").alias("ws"),
+        "content_id",
+        "n_events",
+        "max_pct",
+    )
+    assert _rows(got) == _rows(batch)
