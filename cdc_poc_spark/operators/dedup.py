@@ -184,13 +184,66 @@ def minhash_lsh_dups(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates verified with exact
-    shingle Jaccard >= threshold."""
-    cands = minhash_lsh_candidates(docs, num_hashes, bands, k)
-    verified = ngram_jaccard_pairs(docs, threshold, k).alias("v")
-    return cands.alias("c").join(
-        verified,
-        (F.col("c.doc_a") == F.col("v.doc_a")) & (F.col("c.doc_b") == F.col("v.doc_b")),
-    ).select("c.doc_a", "c.doc_b", "v.n_common", "v.jaccard")
+    shingle Jaccard >= threshold.
+
+    The verify step touches ONLY candidate pairs (join candidates back to
+    the per-doc shingle array, `array_intersect` for |A ∩ B|) — this is the
+    whole point of LSH: cost is O(candidates), never the O(pairs sharing a
+    shingle) of the full self-join. The shingle/hash arrays are computed
+    once and persisted; signatures, banding keys, and verification all read
+    that one pass."""
+    rows = num_hashes // bands
+    consts = minhash_constants(num_hashes)
+    base = (
+        _spread(docs)
+        .select("doc_id", shingles(F.col("text"), k).alias("sh"))
+        .withColumn("hs", F.transform(F.col("sh"), md5_long))
+        .persist()
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: h.bitwiseXOR(F.lit(consts[i])))
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    # empty shingle sets can never reach a positive Jaccard threshold; drop
+    # them before banding (otherwise they'd all share the null-sig bucket)
+    sigs = base.filter(F.size("sh") > 0).select("doc_id", *sig_cols)
+    buckets = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        buckets.append(
+            sigs.select("doc_id", F.lit(b).alias("band"), key.alias("bucket_key"))
+        )
+    all_buckets = buckets[0]
+    for extra in buckets[1:]:
+        all_buckets = all_buckets.unionAll(extra)
+    a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union_size = F.size("sh_a") + F.size("sh_b") - n_common
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            (n_common.cast("double") / union_size).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
