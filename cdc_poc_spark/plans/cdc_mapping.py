@@ -76,6 +76,39 @@ def enriched(events: DataFrame, part: DataFrame) -> DataFrame:
     return _enrich(engagement_events(events), content_dim(part))
 
 
+N_DIM_VERSIONS = 4
+
+
+def dim_versions(part: DataFrame) -> DataFrame:
+    """Synthetic SCD-style dimension history for the as-of join: per content
+    id, N_DIM_VERSIONS versions published weekly across the events' January
+    2024 span (day 1/8/15/22, hour = id % 24), title and length changing per
+    version. Deterministic and tz-free (make_timestamp_ntz), with a textual
+    SQL twin in VERSIONS_CTE."""
+    dim = content_dim(part).select("id", "title", "length_seconds")
+    v = F.col("v")
+    return dim.select(
+        F.col("id").alias("content_id"),
+        "title",
+        "length_seconds",
+        F.explode(F.array(*[F.lit(i) for i in range(N_DIM_VERSIONS)])).alias("v"),
+    ).select(
+        "content_id",
+        F.concat_ws("", F.col("title"), F.lit(" v"), v.cast("string")).alias(
+            "version_title"
+        ),
+        (F.col("length_seconds") + v).cast("int").alias("version_length_seconds"),
+        F.make_timestamp_ntz(
+            F.lit(2024),
+            F.lit(1),
+            F.lit(1) + F.lit(7) * v,
+            (F.col("content_id") % 24).cast("int"),
+            F.lit(0),
+            F.lit(0),
+        ).alias("version_ts"),
+    )
+
+
 # ---------------------------------------------------------------- oracle side
 
 # Keep these CTEs textually in sync with the builders above.
@@ -131,6 +164,26 @@ enriched AS (
     FROM engagement_events e
     JOIN content c ON e.content_id = c.id
 )"""
+
+
+VERSIONS_CTE = """
+versions AS (
+    SELECT
+        id AS content_id,
+        title || ' v' || v AS version_title,
+        CAST(length_seconds + v AS INTEGER) AS version_length_seconds,
+        make_timestamp(2024, 1, 1 + 7 * v,
+                       CAST(id % 24 AS INTEGER), 0, CAST(0 AS DOUBLE)) AS version_ts
+    FROM content
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) AS vs
+)"""
+
+
+def with_versions(body: str) -> str:
+    """Compose an oracle query over events + the versioned dimension."""
+    return (
+        f"WITH {EVENTS_CTE.strip()}, {CONTENT_CTE.strip()}, {VERSIONS_CTE.strip()}\n{body}"
+    )
 
 
 def with_enriched(body: str) -> str:

@@ -22,7 +22,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import ANN_PLANES, hyperplane_weights
 from ..operators.text_analysis import LANG_MARKERS, STOPWORDS
-from .cdc_mapping import VALID_FILTER_SQL, with_enriched
+from .cdc_mapping import VALID_FILTER_SQL, with_enriched, with_versions
 from .registry import (
     CORRUPT_MOD,
     COSINE_TAU,
@@ -178,6 +178,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["cdc_parse_envelope"] = with_enriched(
         f"SELECT * FROM engagement_events WHERE id % {DELETE_MOD} <> 0"
     )
+
+    sqls["cdc_parse_unwrapped"] = sqls["cdc_parse_envelope"]
+
+    _ASOF_SQL = with_versions(
+        """
+        SELECT e.id, e.content_id, e.event_ts,
+               v.version_ts, v.version_title, v.version_length_seconds
+        FROM engagement_events e
+        ASOF JOIN versions v
+          ON e.content_id = v.content_id AND e.event_ts >= v.version_ts"""
+    )
+    sqls["cdc_asof_enrich"] = _ASOF_SQL
+    # the stateful streaming twin must produce byte-identical results — the
+    # strongest check a custom stateful operator can get
+    sqls["stream_asof_stateful"] = _ASOF_SQL
 
     sqls["cdc_dead_letter"] = f"""
         SELECT (event_id % {CORRUPT_MOD} = 0) AS is_corrupt, count(*) AS n

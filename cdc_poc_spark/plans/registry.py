@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import format_wire_ntz, ntz_trunc
-from ..operators import aggregates, dedup, multimodal, similarity, text_analysis
+from ..operators import aggregates, asof, dedup, multimodal, similarity, text_analysis
 from ..operators.enrich import enrichment_misses
 from ..schemas import ENGAGEMENT_EVENT_SCHEMA
 from ..sources import debezium
@@ -119,6 +119,59 @@ def q_cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = _wire(spark, sf_dir, corrupt=False)
     schema = m.engagement_events(load_table(spark, sf_dir, "events")).schema
     return debezium.good_rows(debezium.parse_envelope(wire, schema))
+
+
+def q_cdc_parse_unwrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 over the flattened ExtractNewRecordState shape (SURVEY §3.1 ⚠ —
+    the wire format the connector config actually produces): row fields at
+    the top level + __op; deletes carry __op='d' and are dropped. Oracle:
+    identical to the enveloped round-trip."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    is_delete = F.col("id") % DELETE_MOD == 0
+    flat = F.struct(
+        F.col("id"),
+        F.col("content_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        format_wire_ntz("event_ts").alias("event_ts"),
+        F.col("duration_ms"),
+        F.col("device"),
+        F.col("raw_payload"),
+        F.when(is_delete, F.lit("d")).otherwise(F.lit("c")).alias("__op"),
+        F.lit(0).cast("long").alias("__source_ts_ms"),
+    )
+    wire = ev.select(F.to_json(flat).alias("value"))
+    schema = m.engagement_events(load_table(spark, sf_dir, "events")).schema
+    return debezium.good_rows(debezium.parse_unwrapped(wire, schema))
+
+
+def q_cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time as-of join (temporal J1): each event matched to the latest
+    dimension version with version_ts <= event_ts; pre-first-version events
+    dropped. Merge-formulation (union + window), oracle: DuckDB ASOF JOIN."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events")).select(
+        "id", "content_id", "event_ts"
+    )
+    ver = m.dim_versions(load_table(spark, sf_dir, "part"))
+    return asof.asof_join(
+        ev, ver, on="content_id", left_ts="event_ts", right_ts="version_ts"
+    )
+
+
+def q_stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of enrichment as a CUSTOM STATEFUL STREAMING operator
+    (applyInPandasWithState keyed version-history state — the reference's
+    MapState join, J1/T3), driven availableNow and hash-checked against the
+    same ASOF oracle as the batch twin."""
+    import tempfile
+
+    ev = m.engagement_events(load_table(spark, sf_dir, "events")).select(
+        "id", "content_id", "event_ts"
+    )
+    ver = m.dim_versions(load_table(spark, sf_dir, "part"))
+    from ..streaming.stateful import run_asof_stateful
+
+    return run_asof_stateful(spark, ev, ver, tempfile.mkdtemp(prefix="asof_state_"))
 
 
 def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +357,9 @@ def queries() -> dict[str, QueryFn]:
         "cdc_user_engagement": q_cdc_user_engagement,
         "cdc_minute_window": q_cdc_minute_window,
         "cdc_parse_envelope": q_cdc_parse_envelope,
+        "cdc_parse_unwrapped": q_cdc_parse_unwrapped,
+        "cdc_asof_enrich": q_cdc_asof_enrich,
+        "stream_asof_stateful": q_stream_asof_stateful,
         "cdc_dead_letter": q_cdc_dead_letter,
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
