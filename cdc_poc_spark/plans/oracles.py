@@ -227,6 +227,83 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10"""
 
+    sqls["wh_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+    sqls["wh_cube"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+    sqls["wh_distinct_agg"] = """
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag"""
+
+    # wh_approx_users: HLL sketches are engine-specific -> no oracle
+    # (rows-only check); tests/test_wh_sql.py bounds the estimation error.
+
+    sqls["wh_set_ops"] = """
+        ((SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"""
+
+    sqls["wh_window_frames"] = """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS moving3_sum,
+               CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS DOUBLE) AS prev_price,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS order_rank
+        FROM orders"""
+
+    sqls["wh_sessions"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events
+        FROM seq
+        GROUP BY user_id, session_seq"""
+
     sqls["wh_hourly_events"] = """
         SELECT date_trunc('hour', ts) AS event_hour,
                event_type,

@@ -16,11 +16,19 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import format_wire_ntz, ntz_trunc
-from ..operators import aggregates, asof, dedup, multimodal, similarity, text_analysis
+from ..operators import (
+    aggregates,
+    asof,
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    text_analysis,
+)
 from ..operators.enrich import enrichment_misses
 from ..schemas import ENGAGEMENT_EVENT_SCHEMA
 from ..sources import debezium
@@ -255,6 +263,108 @@ def q_wh_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MINUTES = 30
+
+
+def q_wh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
+    subtotals in one pass (Catalyst Expand, single shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_wh_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority) — all 2^2 grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).cast("double").alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_wh_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: per returnflag, distinct suppliers/parts plus
+    the plain row count (two distinct columns => Catalyst expand-based
+    multi-distinct plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_wh_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the sketch
+    path for 100 TB cardinalities. HLL estimates are engine-specific, so no
+    SQL oracle (rows-only check); tests bound the error vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def q_wh_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: ((URGENT buyers ∩ F-status buyers) ∪ BUILDING
+    customers) ∖ 5-LOW buyers."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f_status = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(f_status).union(building).subtract(low)
+
+
+def q_wh_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic window frames over the order history: per-customer running
+    total (unbounded preceding), 3-row moving sum, previous order price
+    (lag), and order rank — decimal-exact so both engines agree."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(price)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(price).over(w.rowsBetween(-2, 0)).cast("double").alias("moving3_sum"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+        F.row_number().over(w).alias("order_rank"),
+    )
+
+
+def q_wh_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-minute inactivity
+    gap per user) — batch twin of session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.sessionize(ev, "user_id", "ts", SESSION_GAP_MINUTES)
+
+
 # ---------------------------------------------------- LLM-pipeline extensions
 
 # thresholds chosen from the corpus' actual similarity distributions
@@ -364,6 +474,13 @@ def queries() -> dict[str, QueryFn]:
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
         "wh_hourly_events": q_wh_hourly_events,
+        "wh_rollup": q_wh_rollup,
+        "wh_cube": q_wh_cube,
+        "wh_distinct_agg": q_wh_distinct_agg,
+        "wh_approx_users": q_wh_approx_users,
+        "wh_set_ops": q_wh_set_ops,
+        "wh_window_frames": q_wh_window_frames,
+        "wh_sessions": q_wh_sessions,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,

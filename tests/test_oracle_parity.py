@@ -15,7 +15,9 @@ NAMES = sorted(queries().keys())
 def test_every_query_has_oracle_or_is_flagged():
     missing = [n for n in NAMES if n not in oracle_sql()]
     # rows-only entries are allowed but must be deliberate — keep the list here
-    allowed_rows_only: set[str] = set()
+    # wh_approx_users: HLL++ estimates are engine-specific; the error bound
+    # vs exact is asserted in tests/test_wh_sql.py instead
+    allowed_rows_only: set[str] = {"wh_approx_users"}
     assert set(missing) <= allowed_rows_only
 
 

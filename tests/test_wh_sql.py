@@ -1,0 +1,59 @@
+"""Warehouse SQL-surface tests that the oracle diff can't express:
+approx_count_distinct error bounds and grouping-set structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.plans.registry import queries
+from cdc_poc_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_approx_users_error_bound(spark):
+    """HLL++ estimate must be within 5% of exact per group (default rsd is
+    0.05; the 150-user corpus is far below sketch saturation)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in queries()["wh_approx_users"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_rollup_totals_consistent(spark):
+    """The grand-total rollup row must equal the sum of the leaf rows."""
+    rows = queries()["wh_rollup"](spark, SF_DIR).collect()
+    leaves = [r for r in rows if r["gid"] == 0]
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    assert total[0]["n"] == sum(r["n"] for r in leaves)
+    assert abs(total[0]["sum_qty"] - sum(r["sum_qty"] for r in leaves)) < 1e-6
+
+
+def test_sessions_cover_all_events(spark):
+    """Session event counts must partition the event set per user."""
+    sess = queries()["wh_sessions"](spark, SF_DIR)
+    per_user = {
+        r["user_id"]: r["total"]
+        for r in sess.groupBy("user_id")
+        .agg(F.sum("n_events").alias("total"))
+        .collect()
+    }
+    events = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == events
