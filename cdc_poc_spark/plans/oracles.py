@@ -281,6 +281,14 @@ def oracle_sql() -> dict[str, str]:
                ) AS order_rank
         FROM orders"""
 
+    sqls["wh_skew_salted_join"] = with_enriched(
+        """
+        SELECT e.id, e.content_id, e.event_ts,
+               c.title AS content_title, c.length_seconds
+        FROM engagement_events e
+        JOIN content c ON e.content_id = c.id"""
+    )
+
     sqls["wh_sessions"] = """
         WITH flagged AS (
             SELECT user_id, ts,

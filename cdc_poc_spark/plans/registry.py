@@ -27,6 +27,7 @@ from ..operators import (
     multimodal,
     sessions,
     similarity,
+    skew,
     text_analysis,
 )
 from ..operators.enrich import enrichment_misses
@@ -358,6 +359,22 @@ def q_wh_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join of the hot-keyed event stream (content_id drawn
+    from ~100 keys) to the content dimension — the non-broadcast skew path
+    (SURVEY §7.5.7). Result is identical to the plain equi-join; only the
+    physical distribution differs."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events")).select(
+        "id", "content_id", "event_ts"
+    )
+    dim = m.content_dim(load_table(spark, sf_dir, "part")).select(
+        F.col("id").alias("content_id"),
+        F.col("title").alias("content_title"),
+        "length_seconds",
+    )
+    return skew.salted_join(ev, dim, on="content_id")
+
+
 def q_wh_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (30-minute inactivity
     gap per user) — batch twin of session_window."""
@@ -480,6 +497,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_approx_users": q_wh_approx_users,
         "wh_set_ops": q_wh_set_ops,
         "wh_window_frames": q_wh_window_frames,
+        "wh_skew_salted_join": q_wh_skew_salted_join,
         "wh_sessions": q_wh_sessions,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
