@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "sim_embedding_dups_lsh",
     "mm_decode_features",
     "mm_media_stats",

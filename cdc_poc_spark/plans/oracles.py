@@ -479,6 +479,50 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id
         LIMIT {SIM_TOPK}"""
 
+    def _l2sq_sql(a: str, b: str) -> str:
+        return f"({dot_sql(a, a)} + {dot_sql(b, b)} - 2 * {dot_sql(a, b)})"
+
+    from ..operators.similarity import IVF_CENTROID_MOD, IVF_NPROBE
+
+    sqls["sim_ann_ivf"] = f"""
+        WITH cent AS (
+            SELECT vec_id AS cell, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+        ),
+        q AS (SELECT embedding AS q_vec FROM embeddings
+              WHERE vec_id = {SIM_QUERY_VEC_ID}),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        qcells AS (
+            SELECT cell FROM (
+                SELECT c.cell,
+                       row_number() OVER (
+                           ORDER BY {_l2sq_sql("q.q_vec", "c.c_vec")}, c.cell
+                       ) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn <= {IVF_NPROBE}
+        )
+        SELECT vec_id, label, cosine_sim
+        FROM (
+            SELECT e.vec_id, e.label,
+                   {cosine_sql("e.embedding", "q_vec")} AS cosine_sim
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN qcells qc ON a.cell = qc.cell
+            CROSS JOIN q
+            WHERE e.vec_id <> {SIM_QUERY_VEC_ID}
+        )
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT {SIM_TOPK}"""
+
     sqls["sim_embedding_dups"] = f"""
         SELECT vec_a, vec_b, cosine_sim
         FROM (

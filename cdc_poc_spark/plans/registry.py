@@ -446,6 +446,15 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic coarse quantizer (every 29th vector),
+    nprobe=3 cells probed — the inverted-file scale path next to the LSH
+    one."""
+    return similarity.ann_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
 def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
     return similarity.embedding_dup_pairs(
@@ -508,6 +517,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "sim_embedding_dups": q_sim_embedding_dups,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
         "mm_decode_features": q_mm_decode_features,

@@ -1,0 +1,40 @@
+"""IVF ANN tests: recall vs brute force and the k-means refinement
+invariant (iterative path, no SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.operators import similarity
+from cdc_poc_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _mean_assign_dist(emb, cents):
+    assign = similarity.ivf_assign(emb, cents)
+    d = (
+        emb.join(assign, "vec_id")
+        .join(cents.withColumnRenamed("cell", "cell2"), F.col("cell") == F.col("cell2"))
+        .select(similarity.l2sq(F.col("embedding"), F.col("c_vec")).alias("d"))
+    )
+    return d.agg(F.avg("d")).collect()[0][0]
+
+
+def test_lloyd_refinement_reduces_distortion(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seed = similarity.ivf_centroids(emb)
+    refined = similarity.ivf_refine(emb, seed, iters=2)
+    assert _mean_assign_dist(emb, refined) <= _mean_assign_dist(emb, seed) + 1e-9
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """With nprobe=3 of ~18 cells the probe set is ~1/6 of the corpus; the
+    top-10 overlap with brute force must still be meaningful (>= 3/10 on
+    this corpus — IVF on near-uniform random vectors is a weak quantizer,
+    but the determinism and plumbing are what's under test)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, 0, 10).collect()}
+    approx = {r["vec_id"] for r in similarity.ann_ivf_topk(emb, 0, 10).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 3
