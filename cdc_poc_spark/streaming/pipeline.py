@@ -133,3 +133,37 @@ def streaming_minute_counts(
             F.max("engagement_pct").alias("max_pct"),
         )
     )
+
+
+def streaming_dedup(events: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    """Exactly-once event dedup by id under an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` keys state on ``id`` and expires it
+    once the watermark passes — bounded state at any scale. This is the
+    engine-side fix for the reference's duplicate-on-replay warehouse sink
+    (BigQuerySink re-queues failed batches, SURVEY §2.7 T5/T6): dedup
+    *before* the sink instead of hoping the sink is idempotent."""
+    from pyspark.sql import functions as F
+
+    with_time = events.withColumn("event_time", F.col(ts_col).cast("timestamp"))
+    return with_time.withWatermark("event_time", WATERMARK).dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+
+
+def streaming_sessions(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts", key: str = "user_id"
+) -> DataFrame:
+    """Native stateful sessionization: ``session_window`` with a per-user
+    inactivity gap — the streaming twin of operators.sessions.sessionize
+    (merging windows + watermark state eviction handled by the engine)."""
+    from pyspark.sql import functions as F
+
+    with_time = events.withColumn("event_time", F.col(ts_col).cast("timestamp"))
+    return (
+        with_time.withWatermark("event_time", WATERMARK)
+        .groupBy(
+            F.session_window("event_time", f"{int(gap_minutes)} minutes"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -109,3 +109,55 @@ def test_native_stateful_window_stream(spark, tmp_path):
         "max_pct",
     )
     assert _rows(got) == _rows(batch)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes at-least-once duplicates: an
+    input with every 5th event doubled yields exactly the distinct ids."""
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events")).select(
+        "id", "content_id", "event_ts"
+    )
+    doubled = ev.unionAll(ev.filter(F.col("id") % 5 == 0))
+    d = str(tmp_path / "dup_in")
+    doubled.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(doubled.schema).parquet(d)
+    q = (
+        pipeline.streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_out")
+    assert got.count() == ev.count()
+    assert got.select("id").distinct().count() == ev.count()
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """session_window sessions equal the batch gap-and-islands sessions."""
+    from cdc_poc_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts")
+    d = str(tmp_path / "sess_in")
+    ev.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    q = (
+        pipeline.streaming_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT user_id, session_window.start AS s, n_events FROM sessions_out"
+    )
+    batch = sessionize(ev, "user_id", "ts", 30).select(
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("s"),
+        "n_events",
+    )
+    assert _rows(got) == _rows(batch)
