@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "wh_pricing_summary",
     "wh_top_orders",
     "wh_hourly_events",
+    "wh_window_frames",
+    "wh_sessions",
+    "wh_skew_salted_join",
     "text_stats",
     "text_fingerprints",
     "dedup_exact",

@@ -243,6 +243,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
+    sqls["wh_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
     sqls["wh_distinct_agg"] = """
         SELECT l_returnflag,
                count(DISTINCT l_suppkey) AS n_supp,

@@ -296,6 +296,21 @@ def q_wh_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not a rollup/cube prefix): per-status,
+    per-priority, and grand-total rows in one Expand pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               grouping_id() AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
 def q_wh_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: per returnflag, distinct suppliers/parts plus
     the plain row count (two distinct columns => Catalyst expand-based
@@ -502,6 +517,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_hourly_events": q_wh_hourly_events,
         "wh_rollup": q_wh_rollup,
         "wh_cube": q_wh_cube,
+        "wh_grouping_sets": q_wh_grouping_sets,
         "wh_distinct_agg": q_wh_distinct_agg,
         "wh_approx_users": q_wh_approx_users,
         "wh_set_ops": q_wh_set_ops,

@@ -1,0 +1,102 @@
+"""Hypothesis property tests for the cross-engine hard parts (SURVEY §7.5):
+metric arithmetic parity with DuckDB on arbitrary inputs, and wire-format
+timestamp round-trips at microsecond precision."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_poc_spark.functions.metrics import engagement_pct, engagement_seconds
+from cdc_poc_spark.functions.timeutil import format_wire_ntz, parse_wire_ntz
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+pairs = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=10**9)),
+        st.one_of(st.none(), st.integers(min_value=-10, max_value=10**6)),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(pairs)
+@settings(**_SETTINGS)
+def test_engagement_metrics_match_duckdb(spark, batch):
+    """O4/O5 on arbitrary (duration_ms, length_seconds), incl. the edge
+    cases: sub-second durations, zero/negative/NULL lengths, huge values."""
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("length_seconds", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (i, d if d is None else min(d, 2**31 - 1), ln)
+        for i, (d, ln) in enumerate(batch)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    es = engagement_seconds(F.col("duration_ms"))
+    got = {
+        r["i"]: (r["es"], r["pct"])
+        for r in df.select(
+            "i",
+            es.alias("es"),
+            engagement_pct(es, F.col("length_seconds")).alias("pct"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, duration_ms INTEGER, length_seconds INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT i,
+                   CAST(duration_ms // 1000 AS INTEGER) AS es,
+                   CASE WHEN duration_ms IS NOT NULL AND length_seconds > 0
+                        THEN round(round((duration_ms // 1000) / length_seconds, 4) * 100, 2)
+                   END AS pct
+            FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+timestamps = st.lists(
+    st.datetimes(
+        min_value=dt.datetime(1970, 1, 1),
+        max_value=dt.datetime(2262, 1, 1),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(timestamps)
+@settings(**_SETTINGS)
+def test_wire_timestamp_roundtrip(spark, batch):
+    """F1/F3: parse_wire_ntz(format_wire_ntz(ts)) == ts for arbitrary
+    microsecond NTZ timestamps (tz-free both ways)."""
+    schema = T.StructType(
+        [T.StructField("i", T.LongType()), T.StructField("ts", T.TimestampNTZType())]
+    )
+    rows = [(i, ts) for i, ts in enumerate(batch)]
+    df = spark.createDataFrame(rows, schema)
+    out = df.select(
+        "i", parse_wire_ntz(format_wire_ntz("ts")).alias("rt"), "ts"
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["ts"], (r["ts"], r["rt"])
