@@ -243,6 +243,29 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
+    sqls["wh_regional_revenue"] = f"""
+        SELECT n_name,
+               CAST(sum({_disc_price}) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name"""
+
+    sqls["wh_semi_anti_subqueries"] = """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')"""
+
     sqls["wh_grouping_sets"] = """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,

@@ -296,6 +296,55 @@ def q_wh_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: revenue per nation where customer and
+    supplier share a nation, restricted to one region — Catalyst picks the
+    join order; nation/region broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_wh_semi_anti_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates into
+    left-semi + left-anti joins: customers with an URGENT order and no
+    P-status order."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_sq o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')"""
+    )
+
+
 def q_wh_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (not a rollup/cube prefix): per-status,
     per-priority, and grand-total rows in one Expand pass."""
@@ -517,6 +566,8 @@ def queries() -> dict[str, QueryFn]:
         "wh_hourly_events": q_wh_hourly_events,
         "wh_rollup": q_wh_rollup,
         "wh_cube": q_wh_cube,
+        "wh_regional_revenue": q_wh_regional_revenue,
+        "wh_semi_anti_subqueries": q_wh_semi_anti_subqueries,
         "wh_grouping_sets": q_wh_grouping_sets,
         "wh_distinct_agg": q_wh_distinct_agg,
         "wh_approx_users": q_wh_approx_users,
