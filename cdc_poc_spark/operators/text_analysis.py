@@ -32,6 +32,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
+# GPT-style pre-tokenizer shape: letter runs | digit runs | single
+# non-alnum-non-space marks. Plain character classes only, so Java regex
+# (Spark) and RE2 (DuckDB) agree.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+PUNCT_PATTERN = r"[^a-zA-Z0-9\s]"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens, empties dropped (portable: split on single space +
@@ -57,21 +63,31 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
     avg_token_len = sum_len.cast("double") / n_tokens
     stop_ratio = _count_in(toks, STOPWORDS).cast("double") / n_tokens
+    n_chars = F.length("text")
+    punct = F.regexp_count(F.col("text"), F.lit(PUNCT_PATTERN)).cast("long")
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars)
     return docs.select(
         "doc_id",
         "lang",
-        F.length("text").alias("n_chars_actual"),
+        n_chars.alias("n_chars_actual"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
         avg_token_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
-        # BPE-ish token estimate (~4 chars/token heuristic)
-        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        # BPE-ish subword count: runs of letters, runs of digits, or single
+        # punctuation marks (the GPT-style pre-tokenizer shape)
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long").alias(
+            "bpe_tokens"
+        ),
+        # crude ~4 chars/token estimate kept for comparison
+        F.ceil(n_chars / 4.0).cast("long").alias("est_bpe_tokens"),
         (
             (n_tokens >= 10)
             & (avg_token_len >= 2.0)
             & (avg_token_len <= 10.0)
             & (stop_ratio <= 0.7)
+            & F.coalesce(punct_ratio <= 0.3, F.lit(False))
         ).alias("quality_ok"),
     )
 

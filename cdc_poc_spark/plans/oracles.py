@@ -358,12 +358,16 @@ def oracle_sql() -> dict[str, str]:
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b)"
     )
+    from ..operators.text_analysis import BPE_PATTERN, PUNCT_PATTERN
+
     sqls["text_stats"] = f"""
         WITH {TOKS_CTE}
         SELECT doc_id, lang, n_chars_actual, n_tokens, n_uniq_tokens,
-               avg_token_len, stopword_ratio, est_bpe_tokens,
+               avg_token_len, stopword_ratio, punct_ratio, bpe_tokens,
+               est_bpe_tokens,
                (n_tokens >= 10 AND avg_token_len >= 2.0 AND avg_token_len <= 10.0
-                AND stopword_ratio <= 0.7) AS quality_ok
+                AND stopword_ratio <= 0.7
+                AND coalesce(punct_ratio <= 0.3, FALSE)) AS quality_ok
         FROM (
             SELECT doc_id, lang,
                    CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -372,6 +376,12 @@ def oracle_sql() -> dict[str, str]:
                    {_sum_len}::DOUBLE / len(toks) AS avg_token_len,
                    CAST(len(list_filter(toks, t -> t IN ({_stop}))) AS BIGINT)::DOUBLE
                        / len(toks) AS stopword_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS BIGINT)::DOUBLE
+                           / length(text)
+                   END AS punct_ratio,
+                   CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+                       AS bpe_tokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
             FROM toks
         )"""

@@ -54,6 +54,21 @@ def write_warehouse(enriched: DataFrame, path: str, mode: str = "append") -> Non
     )
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Bucketed table layout: hash-bucket ``df`` on the join key so repeated
+    fact⋈fact joins on that key run with NO exchange on either side (the
+    Spark analog of co-located/bucketed joins in Hive/BigQuery clustering;
+    at 100 TB this is how you amortize the big shuffle once at write time).
+    Sorted buckets additionally let the join skip the sort of a sort-merge
+    join."""
+    w = df.write.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 SERVING_VIEWS = (
     "leaderboard",
     "content_stats",
