@@ -116,6 +116,82 @@ def decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(decode, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_n_bytes", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_checksum", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize stage for image rows (mapInPandas): bytes in, resized bytes
+    out. Stub codec: output is the input truncated to the resized byte
+    budget (w*h*3, an RGB frame) — deterministic and oracle-checkable; a
+    real build decodes with PIL inside the generator and re-encodes."""
+    budget = target_w * target_h * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["media_type"] == "image"]
+            out_bytes = imgs["content"].map(lambda b: bytes(b[:budget]))
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"],
+                    "width": pd.Series([target_w] * len(imgs), dtype="int32", index=imgs.index),
+                    "height": pd.Series([target_h] * len(imgs), dtype="int32", index=imgs.index),
+                    "out_n_bytes": out_bytes.map(len).astype("int64"),
+                    "content": out_bytes,
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame sampling for video rows — a row-expanding mapInPandas stage
+    (one output row per sampled frame), the shape a real pyav frame
+    extractor has. Stub: frame count from `_decode_stub`, per-frame
+    checksum md5(content || ':' || idx) — deterministic, so the DuckDB
+    oracle reproduces it with generate_series."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            vids = pdf[pdf["media_type"] == "video"]
+            for mid, content in zip(vids["media_id"], vids["content"]):
+                _, _, n_frames = _decode_stub("video", content)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(bytes(content) + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Per-media-type rollup over decoded features."""
     return features.groupBy("media_type").agg(

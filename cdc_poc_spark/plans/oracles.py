@@ -608,6 +608,25 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY media_type"""
 
+    sqls["mm_resize"] = """
+        SELECT doc_id AS media_id,
+               CAST(224 AS INTEGER) AS width,
+               CAST(224 AS INTEGER) AS height,
+               CAST(least(strlen(text), 224 * 224 * 3) AS BIGINT) AS out_n_bytes
+        FROM documents
+        WHERE doc_id % 3 = 0"""
+
+    sqls["mm_frame_sample"] = """
+        SELECT media_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               md5(text || ':' || CAST(i AS VARCHAR)) AS frame_checksum
+        FROM (
+            SELECT doc_id AS media_id, text,
+                   unnest(range(0, 1 + strlen(text) % 240, 30)) AS i
+            FROM documents
+            WHERE doc_id % 3 = 2
+        )"""
+
     sqls["sim_embedding_dups_lsh"] = f"""
         WITH bucketed AS (
             SELECT vec_id, embedding, {_bucket} AS bucket

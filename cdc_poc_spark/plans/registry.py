@@ -546,6 +546,21 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(multimodal.decode_features(media))
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (Arrow-batched mapInPandas, stub codec): bytes ->
+    resized bytes at a fixed RGB budget; binary payload dropped for the
+    diff (byte columns don't normalize across engines)."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media).drop("content")
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (row-expanding mapInPandas): every 30th frame,
+    deterministic per-frame checksum — oracle via generate_series."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -589,4 +604,6 @@ def queries() -> dict[str, QueryFn]:
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
         "mm_decode_features": q_mm_decode_features,
         "mm_media_stats": q_mm_media_stats,
+        "mm_resize": q_mm_resize,
+        "mm_frame_sample": q_mm_frame_sample,
     }
