@@ -608,6 +608,45 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY media_type"""
 
+    sqls["pipeline_clean_corpus"] = f"""
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()},
+        stats AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   {_sum_len}::DOUBLE / len(toks) AS avg_token_len,
+                   CAST(len(list_filter(toks, t -> t IN ({_stop}))) AS BIGINT)::DOUBLE
+                       / len(toks) AS stopword_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS BIGINT)::DOUBLE
+                           / length(text)
+                   END AS punct_ratio
+            FROM toks
+        ),
+        keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY {md5_long_sql("text")}
+        ),
+        losers AS (
+            SELECT DISTINCT doc_b AS doc_id FROM jac
+            WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        surviving AS (
+            SELECT s.doc_id, s.n_tokens
+            FROM stats s
+            JOIN keepers k ON s.doc_id = k.doc_id
+            WHERE s.n_tokens >= 10
+              AND s.avg_token_len >= 2.0 AND s.avg_token_len <= 10.0
+              AND s.stopword_ratio <= 0.7
+              AND coalesce(s.punct_ratio <= 0.3, FALSE)
+              AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = s.doc_id)
+        )
+        SELECT d.lang,
+               count(*) AS n_docs,
+               sum(s.n_tokens) AS total_tokens
+        FROM documents d
+        JOIN surviving s ON d.doc_id = s.doc_id
+        GROUP BY d.lang"""
+
     sqls["mm_resize"] = """
         SELECT doc_id AS media_id,
                CAST(224 AS INTEGER) AS width,

@@ -546,6 +546,36 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(multimodal.decode_features(media))
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline, composed from the
+    individual operators: quality gate -> exact dedup (keep min doc_id per
+    content hash) -> near-dup removal (drop the doc_b side of every
+    shingle-Jaccard pair) -> per-language corpus stats. One DataFrame plan;
+    Catalyst fuses the stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_analysis.text_stats(docs)
+    quality_ids = stats.filter(F.col("quality_ok")).select("doc_id")
+    keepers = dedup.exact_dups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near_dup_losers = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    surviving = (
+        quality_ids.join(keepers, "doc_id")
+        .join(near_dup_losers, "doc_id", "left_anti")
+    )
+    return (
+        docs.join(surviving, "doc_id")
+        .join(stats.select("doc_id", "n_tokens"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize stage (Arrow-batched mapInPandas, stub codec): bytes ->
     resized bytes at a fixed RGB budget; binary payload dropped for the
@@ -606,4 +636,5 @@ def queries() -> dict[str, QueryFn]:
         "mm_media_stats": q_mm_media_stats,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
     }

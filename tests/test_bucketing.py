@@ -44,3 +44,32 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    """An event_hour predicate over the hour-partitioned warehouse must
+    prune at the source: the scan's partition filters carry the predicate
+    and only matching partition directories are read."""
+    from cdc_poc_spark.plans import cdc_mapping
+    from cdc_poc_spark.operators.enrich import enrich
+    from cdc_poc_spark.streaming.sinks import HOUR_PARTITION_COL, write_warehouse
+
+    ev = cdc_mapping.engagement_events(load_table(spark, SF_DIR, "events"))
+    dim = cdc_mapping.content_dim(load_table(spark, SF_DIR, "part"))
+    path = str(tmp_path / "wh")
+    write_warehouse(enrich(ev, dim), path, mode="overwrite")
+
+    fact = spark.read.parquet(path)
+    hours = sorted(
+        r[0] for r in fact.select(HOUR_PARTITION_COL).distinct().collect()
+    )
+    assert len(hours) > 1
+    one_hour = fact.filter(F.col(HOUR_PARTITION_COL) == hours[0])
+    plan = one_hour._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and str(hours[0]) in plan
+    # the pruned scan must touch only the one partition's rows
+    per_hour = {
+        r[0]: r[1]
+        for r in fact.groupBy(HOUR_PARTITION_COL).count().collect()
+    }
+    assert one_hour.count() == per_hour[hours[0]]
