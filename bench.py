@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "sim_embedding_dups_lsh",
     "mm_decode_features",
     "mm_media_stats",
+    "pipeline_clean_corpus",
 ]
 
 
