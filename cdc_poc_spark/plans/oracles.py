@@ -266,6 +266,15 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'P')"""
 
+    sqls["wh_outer_join"] = """
+        SELECT c_custkey, c_name, o_custkey, n_urgent
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+        FULL OUTER JOIN (
+            SELECT o_custkey, count(*) AS n_urgent
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey"""
+
     sqls["wh_grouping_sets"] = """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,

@@ -345,6 +345,24 @@ def q_wh_semi_anti_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-producing sides: high-balance customers vs
+    per-customer URGENT-order counts (customers without urgent orders and
+    urgent buyers below the balance cut each null out one side)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000
+    ).select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "full_outer"
+    ).select("c_custkey", "c_name", "o_custkey", "n_urgent")
+
+
 def q_wh_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (not a rollup/cube prefix): per-status,
     per-priority, and grand-total rows in one Expand pass."""
@@ -613,6 +631,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_cube": q_wh_cube,
         "wh_regional_revenue": q_wh_regional_revenue,
         "wh_semi_anti_subqueries": q_wh_semi_anti_subqueries,
+        "wh_outer_join": q_wh_outer_join,
         "wh_grouping_sets": q_wh_grouping_sets,
         "wh_distinct_agg": q_wh_distinct_agg,
         "wh_approx_users": q_wh_approx_users,

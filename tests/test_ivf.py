@@ -38,3 +38,14 @@ def test_ivf_recall_vs_brute_force(spark):
     approx = {r["vec_id"] for r in similarity.ann_ivf_topk(emb, 0, 10).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 3
+
+
+def test_pandas_udf_cosine_matches_fold(spark):
+    """The vectorized numpy path must agree with the JVM fold path: same
+    top-k members and order, scores within 1e-9 (summation-order ulps)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fold = similarity.brute_force_topk(emb, 0, 10).collect()
+    vec = similarity.brute_force_topk_pandas(emb, 0, 10).collect()
+    assert [r["vec_id"] for r in fold] == [r["vec_id"] for r in vec]
+    for a, b in zip(fold, vec):
+        assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-9
