@@ -68,10 +68,14 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition before CPU-heavy per-row expressions: the test corpora
-    are single parquet files (one input split), which would serialize all
-    hashing onto one core; on a cluster the scan is already split and this
-    is a cheap round-robin."""
+    """Spread the corpus across cores before CPU-heavy per-row expressions —
+    but ONLY when the scan is under-split (the test corpora are single
+    parquet files, which would serialize all hashing onto one core). On a
+    cluster the scan is already split per file/row-group and this is a
+    no-op: no shuffle of the text payload."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= min(parallelism, 8):
+        return docs
     return docs.repartition("doc_id")
 
 
