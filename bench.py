@@ -58,8 +58,12 @@ def main() -> None:
     reg = queries()
     names = [n for n in BENCH_QUERIES if n in reg]
     # warm the JVM/codegen paths once on the smallest SF so the measured
-    # numbers reflect steady-state execution, not first-query JIT
-    for n in names[:2]:
+    # numbers reflect steady-state execution, not first-query JIT; cover
+    # each expression family (joins/aggs, higher-order hashing, Arrow UDFs)
+    warmup = [n for n in (
+        names[0], names[1], "dedup_simhash", "sim_topk_cosine", "mm_decode_features"
+    ) if n in reg]
+    for n in dict.fromkeys(warmup):
         reg[n](spark, "/root/testdata/sf0.001").count()
     timings: dict[str, float] = {}
     for n in names:

@@ -100,3 +100,46 @@ def test_wire_timestamp_roundtrip(spark, batch):
     ).collect()
     for r in out:
         assert r["rt"] == r["ts"], (r["ts"], r["rt"])
+
+
+json_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+            max_codepoint=0x2FFF,
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(json_texts)
+@settings(**_SETTINGS)
+def test_envelope_roundtrip_arbitrary_payloads(spark, texts):
+    """O1 wire robustness: arbitrary unicode payloads (quotes, newlines,
+    control chars, CJK) must survive envelope serialize -> parse intact."""
+    from cdc_poc_spark.sources import debezium
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("raw_payload", T.StringType()),
+        ]
+    )
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema)
+    wire = df.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.struct("id", "raw_payload").alias("after"),
+                    F.lit("c").alias("op"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    parsed = debezium.good_rows(debezium.parse_envelope(wire, schema))
+    got = {r["id"]: r["raw_payload"] for r in parsed.collect()}
+    assert got == dict(rows)

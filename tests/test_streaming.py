@@ -161,3 +161,37 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         "n_events",
     )
     assert _rows(got) == _rows(batch)
+
+
+def test_throughput_listener(spark, tmp_path):
+    """A6: the listener must account every input row exactly once."""
+    import time as _time
+
+    from cdc_poc_spark.streaming import metrics
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts")
+    d = str(tmp_path / "rate_in")
+    ev.coalesce(1).write.parquet(d)
+    listener = metrics.attach(spark)
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(d)
+            .writeStream.format("noop")
+            .queryName("rate_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            s = listener.stats.get("rate_probe")
+            if s is not None and s.total_rows >= ev.count():
+                break
+            _time.sleep(0.5)
+        s = listener.stats.get("rate_probe")
+        assert s is not None and s.total_rows == ev.count()
+        assert s.batches >= 1 and s.mean_rate > 0
+    finally:
+        metrics.detach(spark, listener)
