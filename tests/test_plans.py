@@ -1,0 +1,91 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY §4.2, §7.5.7).
+
+Correctness tests prove the small-SF answers; these prove the *plans* are the
+ones that survive a 1000-executor scale-up:
+
+- the 15-row dimension join is a broadcast, never a shuffle (J1);
+- top-k is TakeOrderedAndProject, never a global sort (K1/K2);
+- aggregations have a map-side partial pass (A1-A4 at scale);
+- filters and projections reach the parquet scan (pushdown/pruning);
+- no query in the registry falls back to row-at-a-time Python UDFs
+  (BatchEvalPython) — Python only via Arrow (ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas*).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_poc_spark.plans.registry import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# runs a real streaming query; its batch-twin plan is covered by cdc_asof_enrich
+PLAN_SKIP = {"stream_asof_stateful"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_enrichment_join_is_broadcast(spark):
+    plan = _plan(queries()["cdc_enriched"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_miss_branch_is_broadcast_anti(spark):
+    plan = _plan(queries()["cdc_enrichment_misses"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(queries()["wh_top_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort followed by limit would shuffle-sort the whole fact table
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_aggregation_is_partial(spark):
+    """Map-side combine: two HashAggregate phases (partial + final), so a
+    groupBy over 100 TB ships pre-aggregated partials, not raw rows."""
+    plan = _plan(queries()["wh_pricing_summary"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_pushed_to_scan(spark):
+    """wh_top_orders filters customers to one market segment; that literal
+    predicate must reach the customer parquet scan, not run post-scan."""
+    plan = _plan(queries()["wh_top_orders"](spark, SF_DIR))
+    scans = [s for s in _scans(plan) if "customer" in s]
+    assert scans and any("EqualTo(c_mktsegment,BUILDING)" in s for s in scans)
+
+
+def test_columns_pruned_at_scan(spark):
+    """The pricing summary touches 7 of lineitem's 16 columns; the scan's
+    ReadSchema must not include untouched wide columns like l_comment."""
+    plan = _plan(queries()["wh_pricing_summary"](spark, SF_DIR))
+    scans = [s for s in _scans(plan) if "lineitem" in s]
+    assert scans and all("l_comment" not in s for s in scans)
+
+
+def test_enrichment_whole_stage_codegen(spark):
+    """The parse->join->derive path must fuse into whole-stage codegen spans
+    (AQE finalizes the plan only on execution, so run it first)."""
+    df = queries()["cdc_enriched"](spark, SF_DIR)
+    df.collect()  # executes THIS plan (count() would plan a new query)
+    plan = _plan(df)
+    # codegen spans print as "*(N) Operator" in the finalized adaptive plan
+    assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in queries() if n not in PLAN_SKIP)
+)
+def test_no_row_at_a_time_python(spark, name):
+    plan = _plan(queries()[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
