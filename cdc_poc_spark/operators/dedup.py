@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, minhash_constants
+from ..functions.partitioning import spread
 from .text_analysis import tokens
 
 # MinHash-LSH defaults: 12 hashes in 4 bands of 3 — generous recall at the
@@ -68,15 +69,9 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Spread the corpus across cores before CPU-heavy per-row expressions —
-    but ONLY when the scan is under-split (the test corpora are single
-    parquet files, which would serialize all hashing onto one core). On a
-    cluster the scan is already split per file/row-group and this is a
-    no-op: no shuffle of the text payload."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= min(parallelism, 8):
-        return docs
-    return docs.repartition("doc_id")
+    """Spread the corpus across cores before CPU-heavy per-row expressions
+    (no-op on a properly-split cluster scan — see functions.partitioning)."""
+    return spread(docs, "doc_id")
 
 
 def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:

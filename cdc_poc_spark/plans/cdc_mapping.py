@@ -30,13 +30,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..operators.enrich import enrich as _enrich
 
 # ---------------------------------------------------------------- engine side
 
 
 def engagement_events(events: DataFrame) -> DataFrame:
-    """events -> ENGAGEMENT_EVENT_SCHEMA-shaped fact (keys as bigint)."""
+    """events -> ENGAGEMENT_EVENT_SCHEMA-shaped fact (keys as bigint).
+
+    The raw scan is spread before the mapping expressions: the per-row JSON
+    FK extraction (get_json_object) is the CPU-heavy step of every cdc_*
+    query, and must not serialize onto one core when the input is a single
+    under-split file (no-op on a real multi-split cluster scan)."""
+    events = spread(events, "event_id")
     return events.select(
         F.col("event_id").alias("id"),
         F.get_json_object("props", "$.k").cast("long").alias("content_id"),

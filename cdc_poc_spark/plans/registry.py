@@ -118,7 +118,14 @@ def _wire(spark: SparkSession, sf_dir: str, corrupt: bool) -> DataFrame:
         value = F.when(
             F.col("id") % CORRUPT_MOD == 0, F.lit('{"payload": not-json}')
         ).otherwise(value)
-    return ev.select(value.alias("value"))
+    # Materialization barrier: in production the wire bytes arrive from Kafka
+    # as stored input; without the barrier Catalyst fuses this synthetic
+    # serializer INTO the parse query under test — pushing the good_rows
+    # filter (with the whole to_json+from_json chain substituted, both
+    # codegen-fallback) below the repartition into the single-split scan
+    # task. The lazy checkpoint pins the wire as materialized rows, exactly
+    # the shape the parse operator sees in production.
+    return ev.select(value.alias("value")).localCheckpoint(eager=False)
 
 
 def q_cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +156,8 @@ def q_cdc_parse_unwrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_delete, F.lit("d")).otherwise(F.lit("c")).alias("__op"),
         F.lit(0).cast("long").alias("__source_ts_ms"),
     )
-    wire = ev.select(F.to_json(flat).alias("value"))
+    # same materialization barrier as _wire (see comment there)
+    wire = ev.select(F.to_json(flat).alias("value")).localCheckpoint(eager=False)
     schema = m.engagement_events(load_table(spark, sf_dir, "events")).schema
     return debezium.good_rows(debezium.parse_unwrapped(wire, schema))
 
