@@ -43,7 +43,10 @@ BENCH_QUERIES = [
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_knn_join_lsh",
     "sim_embedding_dups_lsh",
+    "dedup_clusters",
+    "pipeline_split_assign",
     "mm_decode_features",
     "mm_media_stats",
     "pipeline_clean_corpus",

@@ -1,0 +1,120 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pair-level dedup (``ngram_jaccard_pairs``, ``minhash_lsh_dups``,
+``embedding_dup_pairs``) emits edges; a training-data pipeline then needs the
+transitive closure — "A~B and B~C means A, B, C are one duplicate group,
+keep exactly one". That closure is connected components, which no single
+SQL pass expresses (the DuckDB oracle uses a recursive CTE; SURVEY §5
+strategy item 1).
+
+Spark-first formulation: iterative min-label propagation with pointer
+jumping (the path-halving trick from the large-star/small-star family of
+MapReduce CC algorithms), so rounds scale with log(diameter), not
+diameter. Each round is two equi-join + groupBy stages over (node, label)
+pairs — never the document payload — and the loop truncates lineage every
+round, exactly how an iterative algorithm must run on a real cluster.
+
+Convergence detection is a single scalar aggregate: labels only ever
+decrease toward the component minimum, so the label sum is strictly
+monotone and a fixpoint of the sum IS the fixpoint of the labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import SHINGLE_K, ngram_jaccard_pairs
+
+MAX_CC_ROUNDS = 50
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = MAX_CC_ROUNDS,
+) -> DataFrame:
+    """(node, cluster_id) for every node in `edges`, where cluster_id is the
+    minimum node id reachable through the undirected edge set.
+
+    `edges` may list each pair once in either direction; it is symmetrized
+    here. Raises if the fixpoint is not reached in `max_rounds` rounds
+    (pointer jumping makes that bound ~log2 of the worst component
+    diameter, so 50 covers any realistic graph).
+    """
+    # materialize the (possibly expensive) edge lineage ONCE before the
+    # union symmetrization — both union branches and every loop round read
+    # the pinned rows instead of recomputing the upstream pair pipeline
+    one_dir = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        one_dir.select(F.col("src").alias("node"))
+        .union(one_dir.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # self-loops fold the node's own label into the neighbourhood min, so
+    # each propagation round is ONE join + groupBy (no separate merge join)
+    sym = (
+        one_dir.union(
+            one_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        "node", F.col("node").alias("cluster_id")
+    ).localCheckpoint()  # truncate lineage at the loop entry
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_rounds):
+        # 1. propagate: label <- min over {self ∪ neighbours}' labels
+        propagated = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .select(F.col("src").alias("node"), "cluster_id")
+        )
+        # 2. pointer-jump: label <- label(label)  (path halving)
+        ptr = propagated.select(
+            F.col("node").alias("p_node"), F.col("cluster_id").alias("p_label")
+        )
+        labels = (
+            propagated.join(
+                ptr, propagated["cluster_id"] == ptr["p_node"], "left"
+            )
+            .select(
+                propagated["node"],
+                F.coalesce(F.col("p_label"), propagated["cluster_id"]).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()  # keep the iterative lineage flat
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            sym.unpersist()
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+
+def dup_clusters(
+    docs: DataFrame, threshold: float, k: int = SHINGLE_K
+) -> DataFrame:
+    """Duplicate groups over the near-dup pair graph: for every document in
+    at least one shingle-Jaccard pair, its cluster id (min doc_id of the
+    group), the group size, and whether it is the keeper.
+
+    Oracle: recursive-CTE transitive closure over the same pair set.
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold, k).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -1,0 +1,56 @@
+"""Deterministic dataset splitting — the train/val/test assignment step of a
+training-data pipeline.
+
+`rand()`-based sampling is not reproducible across runs, partitionings, or
+engines; the standard scale answer is hash bucketing: bucket =
+H(seed || id) mod 100, split by bucket range. Properties that matter at
+100 TB:
+
+- pure per-row expression (no shuffle, no state, no sort) — the split of a
+  row never depends on any other row;
+- stable under re-partitioning, retries, and incremental reruns — a
+  document keeps its split forever, so train/val contamination can't creep
+  in when the corpus grows;
+- portable: the md5-based bucket reproduces bit-identically in any engine
+  (same family as the dedup/minhash hashes — functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_seeded
+
+SPLIT_SEED = "split-v1"
+TRAIN_PCT = 90
+VAL_PCT = 5
+
+
+def assign_splits(
+    docs: DataFrame,
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+    seed: str = SPLIT_SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per document: its hash bucket (0-99) and split label
+    (train / val / test by bucket range)."""
+    bucket = md5_long_seeded(F.col(id_col), seed) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )
+
+
+def split_summary(assigned: DataFrame) -> DataFrame:
+    """Per (split, lang) document counts — the stratification check run
+    after every assignment."""
+    return assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))

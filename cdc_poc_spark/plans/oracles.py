@@ -10,6 +10,7 @@ so the comparison is a genuine differential test, not the same code twice
 from __future__ import annotations
 
 from ..functions.hashing import (
+    md5_long_seeded_sql,
     md5_long_sql,
     minhash_constants,
     rolling_fingerprint_sql,
@@ -20,7 +21,8 @@ from ..operators.dedup import (
     SHINGLE_K,
     SIMHASH_BITS,
 )
-from ..operators.similarity import ANN_PLANES, hyperplane_weights
+from ..operators.sampling import SPLIT_SEED, TRAIN_PCT, VAL_PCT
+from ..operators.similarity import ANN_PLANES, KNN_K, hyperplane_weights
 from ..operators.text_analysis import LANG_MARKERS, STOPWORDS
 from .cdc_mapping import VALID_FILTER_SQL, with_enriched, with_versions
 from .registry import (
@@ -688,5 +690,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
+
+    # norms folded once per vector (same IEEE ops as the Spark _normed path:
+    # sqrt of the sequential-fold self-dot, multiplied per pair)
+    _NORMED_CTE = (
+        f"n AS (SELECT vec_id, embedding, "
+        f"sqrt({dot_sql('embedding', 'embedding')}) AS norm FROM embeddings)"
+    )
+    sqls["sim_knn_join"] = f"""
+        WITH {_NORMED_CTE},
+        scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   {dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+                       AS cosine_sim
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        )
+        SELECT src_id, nbr_id, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY cosine_sim DESC, nbr_id
+               ) AS nbr_rank
+        FROM scored
+        QUALIFY nbr_rank <= {KNN_K}"""
+
+    sqls["sim_knn_join_lsh"] = f"""
+        WITH bn AS (
+            SELECT vec_id, embedding, {_bucket} AS bucket,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   {dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+                       AS cosine_sim
+            FROM bn a JOIN bn b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT src_id, nbr_id, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY cosine_sim DESC, nbr_id
+               ) AS nbr_rank
+        FROM scored
+        QUALIFY nbr_rank <= {KNN_K}"""
+
+    # transitive closure of the near-dup pair graph — the recursive-CTE twin
+    # of the engine's iterative min-label propagation
+    sqls["dedup_clusters"] = f"""
+        WITH RECURSIVE {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE},
+        {_JACCARD_PAIRS.strip()},
+        p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               (doc_id = cluster_id) AS is_keeper
+        FROM cc"""
+
+    sqls["pipeline_split_assign"] = f"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   ({md5_long_seeded_sql("doc_id", SPLIT_SEED)}) % 100 AS split_bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, split_bucket,
+               CASE WHEN split_bucket < {TRAIN_PCT} THEN 'train'
+                    WHEN split_bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b"""
 
     return sqls

@@ -23,8 +23,10 @@ from ..functions.timeutil import format_wire_ntz, ntz_trunc
 from ..operators import (
     aggregates,
     asof,
+    clustering,
     dedup,
     multimodal,
+    sampling,
     sessions,
     similarity,
     skew,
@@ -545,6 +547,17 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join: top-k cosine neighbours for every vector —
+    the recall=1 baseline for the blocked variant."""
+    return similarity.knn_join(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked k-NN self-join — the sub-quadratic scale path."""
+    return similarity.knn_join_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
     return similarity.embedding_dup_pairs(
@@ -557,6 +570,20 @@ def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), COSINE_TAU
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: duplicate groups
+    with keeper + size (iterative min-label propagation; oracle: recursive
+    CTE)."""
+    return clustering.dup_clusters(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment per document."""
+    return sampling.assign_splits(load_table(spark, sf_dir, "documents"))
 
 
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,8 +684,12 @@ def queries() -> dict[str, QueryFn]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_knn_join": q_sim_knn_join,
+        "sim_knn_join_lsh": q_sim_knn_join_lsh,
         "sim_embedding_dups": q_sim_embedding_dups,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "pipeline_split_assign": q_pipeline_split_assign,
         "mm_decode_features": q_mm_decode_features,
         "mm_media_stats": q_mm_media_stats,
         "mm_resize": q_mm_resize,

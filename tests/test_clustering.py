@@ -1,0 +1,72 @@
+"""Connected-components unit tests — the iterative operator needs its own
+coverage beyond the oracle diff (worst-case topology, convergence bound)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.operators.clustering import connected_components, dup_clusters
+from cdc_poc_spark.sources.testdata import load_table
+
+
+def _py_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 10), (30, 31)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == _py_components(pairs)
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    # a 64-node path graph is the worst case for plain label propagation
+    # (diameter 63); pointer jumping must close it well inside the cap
+    n = 64
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = connected_components(edges, max_rounds=12)
+    assert got.select(F.count_distinct("cluster_id")).first()[0] == 1
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
+
+
+def test_cc_raises_without_fixpoint(spark):
+    pairs = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_rounds=1)
+
+
+def test_dup_clusters_keeper_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(docs, 0.2).collect()
+    assert clusters, "test corpus should contain near-dup pairs"
+    by_cluster: dict[int, list] = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert cid == ids[0], "cluster id must be the min member id"
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert len(members) >= 2, "singletons cannot appear in the pair graph"

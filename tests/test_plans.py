@@ -83,6 +83,16 @@ def test_enrichment_whole_stage_codegen(spark):
     assert "isFinalPlan=true" in plan and "*(" in plan
 
 
+def test_knn_exact_is_broadcast_nested_loop(spark):
+    """The exact k-NN self-join must score pairs in a narrow broadcast
+    nested-loop stage — the O(n²) work happens without ever shuffling the
+    pair space; only the scored (src, nbr, sim) rows shuffle for the
+    per-source top-k window."""
+    plan = _plan(queries()["sim_knn_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in queries() if n not in PLAN_SKIP)
 )
