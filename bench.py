@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "cdc_user_engagement",
     "cdc_minute_window",
     "cdc_parse_envelope",
+    "cdc_apply_changelog",
     "cdc_asof_enrich",
     "wh_pricing_summary",
     "wh_top_orders",

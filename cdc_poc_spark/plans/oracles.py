@@ -148,6 +148,28 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["cdc_content_stats"] = with_enriched(_LATEST_STATS)
 
+    from .registry import APPLY_KEY_MOD, DELETE_MOD as _DM
+
+    sqls["cdc_apply_changelog"] = with_enriched(
+        f"""
+        SELECT row_key, id, content_id, user_id, event_type, event_ts,
+               duration_ms, device, op
+        FROM (
+            SELECT id % {APPLY_KEY_MOD} AS row_key,
+                   id, content_id, user_id, event_type, event_ts,
+                   duration_ms, device,
+                   CASE WHEN id % {_DM} = 0 THEN 'd'
+                        WHEN id % 3 = 0 THEN 'u'
+                        ELSE 'c' END AS op,
+                   row_number() OVER (
+                       PARTITION BY id % {APPLY_KEY_MOD}
+                       ORDER BY event_ts DESC, id DESC
+                   ) AS rn
+            FROM engagement_events
+        )
+        WHERE rn = 1 AND op <> 'd'"""
+    )
+
     sqls["cdc_user_engagement"] = with_enriched(
         f"""
         SELECT user_id, content_id, engagement_pct, last_updated

@@ -193,6 +193,38 @@ def q_stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_asof_stateful(spark, ev, ver, tempfile.mkdtemp(prefix="asof_state_"))
 
 
+# changelog materialization: logical row key folds the event stream into
+# APPLY_KEY_MOD keys so every key sees many create/update/delete changes
+APPLY_KEY_MOD = 1000
+
+
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply/compaction: materialize current table state from a
+    changelog with create/update/delete ops — latest change per row key
+    wins, deleted keys absent. (The upsert semantics the reference's
+    drop-deletes connector config approximates away.)"""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    op = (
+        F.when(F.col("id") % DELETE_MOD == 0, F.lit("d"))
+        .when(F.col("id") % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    changes = ev.select(
+        (F.col("id") % APPLY_KEY_MOD).alias("row_key"),
+        "id",
+        "content_id",
+        "user_id",
+        "event_type",
+        "event_ts",
+        "duration_ms",
+        "device",
+        op.alias("op"),
+    )
+    return debezium.changelog_apply(
+        changes, ["row_key"], ["event_ts", "id"], op_col="op"
+    )
+
+
 def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8: malformed-record split — corrupt vs parseable counts."""
     wire = _wire(spark, sf_dir, corrupt=True)
@@ -658,6 +690,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_unwrapped": q_cdc_parse_unwrapped,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "stream_asof_stateful": q_stream_asof_stateful,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_dead_letter": q_cdc_dead_letter,
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,

@@ -19,7 +19,7 @@ Catalyst reuses the parse subtree), the analog of Flink side outputs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -111,3 +111,34 @@ def dead_letters(parsed: DataFrame) -> DataFrame:
 def dropped(parsed: DataFrame) -> DataFrame:
     """T8: delete / schema-change records, dropped from the main flow."""
     return parsed.filter(~F.col(CORRUPT) & F.col("_after_null"))
+
+
+def changelog_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = OP,
+    delete_op: str = "d",
+) -> DataFrame:
+    """Materialize current table state from a CDC changelog: per logical row
+    key, the latest change wins; a key whose latest change is a delete is
+    absent from the result.
+
+    This is the compaction step every CDC consumer needs to turn a
+    change stream into a queryable table (the reference sidesteps it by
+    dropping deletes at the connector, postgres-connector.json:15,31 —
+    an append-only approximation; this operator implements the real
+    upsert/delete semantics).
+
+    Scale shape: ONE shuffle on the row key, then a per-key linear window
+    pass — no state beyond the window sort, any number of changes per key.
+    At 100 TB this runs per partition-pruned slice of the changelog (the
+    warehouse layout hour-partitions on event time), and hot keys fall to
+    AQE skew splitting since row keys are near-unique by construction.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

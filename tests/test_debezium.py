@@ -103,3 +103,27 @@ def test_envelope_and_unwrapped_agree(spark):
         debezium.parse_unwrapped(_wire_df(spark, flats), ENGAGEMENT_EVENT_SCHEMA)
     )
     assert sorted(map(str, env.collect())) == sorted(map(str, unw.collect()))
+
+
+def test_changelog_apply_semantics(spark):
+    """Latest-change-wins with real delete handling: a key whose newest
+    change is a delete disappears; a delete followed by a later re-create
+    resurrects the row."""
+    rows = [
+        # key 1: create then update -> survives with v=2
+        (1, 10, "c", 1), (1, 11, "u", 2),
+        # key 2: create then delete -> absent
+        (2, 20, "c", 1), (2, 21, "d", 2),
+        # key 3: delete then re-create -> survives with v=31
+        (3, 30, "d", 1), (3, 31, "c", 2),
+        # key 4: single create -> survives
+        (4, 40, "c", 1),
+    ]
+    changes = spark.createDataFrame(rows, ["row_key", "val", "op", "seq"])
+    got = {
+        r["row_key"]: (r["val"], r["op"])
+        for r in debezium.changelog_apply(
+            changes, ["row_key"], ["seq"], op_col="op"
+        ).collect()
+    }
+    assert got == {1: (11, "u"), 3: (31, "c"), 4: (40, "c")}
