@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "wh_window_frames",
     "wh_sessions",
     "wh_skew_salted_join",
+    "wh_payload_json",
+    "wh_scalar_subquery",
+    "wh_range_join",
+    "wh_explode_tokens",
     "text_stats",
     "text_fingerprints",
     "dedup_exact",

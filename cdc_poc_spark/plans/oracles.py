@@ -30,9 +30,15 @@ from .registry import (
     COSINE_TAU,
     DELETE_MOD,
     JACCARD_THRESHOLD,
+    PRICE_BAND_WIDTH,
+    PRICE_BANDS,
     SIM_QUERY_VEC_ID,
     SIM_TOPK,
+    STRAT_RATE_EN,
+    STRAT_RATE_OTHER,
+    STRAT_SEED,
 )
+from .registry import EVENT_TYPES as REG_EVENT_TYPES
 
 # ---------------------------------------------------------- shared fragments
 
@@ -787,5 +793,69 @@ def oracle_sql() -> dict[str, str]:
                     WHEN split_bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
                     ELSE 'test' END AS split
         FROM b"""
+
+    # different formulation: json_extract_string + FILTER counts
+    sqls["wh_payload_json"] = """
+        SELECT (json_extract_string(props, '$.k')::INT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        FROM events
+        GROUP BY 1"""
+
+    # different formulation: conditional aggregation instead of PIVOT
+    _pivot_cols = ",\n               ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS \"{t}\""
+        for t in REG_EVENT_TYPES
+    )
+    sqls["wh_pivot"] = f"""
+        SELECT user_id % 10 AS user_bucket,
+               {_pivot_cols}
+        FROM events
+        GROUP BY 1"""
+
+    sqls["wh_percentiles"] = """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50_value,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90_value,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type"""
+
+    sqls["wh_explode_tokens"] = f"""
+        WITH {TOKS_CTE},
+        t AS (SELECT unnest(toks) AS token FROM toks)
+        SELECT token, COUNT(*) AS n
+        FROM t
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 50"""
+
+    sqls["wh_scalar_subquery"] = """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)"""
+
+    # different formulation: arithmetic band assignment instead of a range join
+    sqls["wh_range_join"] = f"""
+        SELECT LEAST(CAST(FLOOR(l_extendedprice / {PRICE_BAND_WIDTH}) AS INT),
+                     {PRICE_BANDS - 1}) AS band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem
+        WHERE l_extendedprice >= 0
+        GROUP BY 1"""
+
+    sqls["pipeline_sample_stratified"] = f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ({md5_long_seeded_sql("doc_id", STRAT_SEED)}) % 100 <
+              (CASE WHEN lang = 'en' THEN {STRAT_RATE_EN}
+                    ELSE {STRAT_RATE_OTHER} END)"""
 
     return sqls

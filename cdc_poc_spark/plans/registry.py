@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing
 from ..functions.timeutil import format_wire_ntz, ntz_trunc
 from ..operators import (
     aggregates,
@@ -676,6 +677,131 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+# ------------------- warehouse SQL surface: extended shapes -----------------
+
+# fixed pivot value list — an explicit list keeps the pivot a single
+# Expand+aggregate pass (no extra distinct-values scan) and pins the output
+# schema for the oracle
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+STRAT_SEED = "strat"
+STRAT_RATE_EN = 20  # % of 'en' docs kept
+STRAT_RATE_OTHER = 5  # % of every other language
+PRICE_BANDS = 10
+PRICE_BAND_WIDTH = 10_000
+
+
+def q_wh_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON-path analytics over the raw-payload escape hatch
+    (JSONB `raw_payload`, sql/init.sql:27 / F7-F8): get_json_object stays
+    JVM-side codegen'd, then a grouped aggregate over the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value", "event_type")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        )
+    )
+
+
+def q_wh_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user-bucket × event-type count matrix. Fixed value list =
+    one shuffle, no distinct-values pre-scan; absent cells filled 0 to match
+    the oracle's conditional-aggregation formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def q_wh_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) per event
+    type — single pass, rounded for cross-engine float stability."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_wh_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: explode the token array (lateral unnest) into
+    global token frequencies, deterministic top-50 (count desc, token asc —
+    TakeOrderedAndProject, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text_analysis.tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_wh_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): per-part average inside
+    the predicate — Catalyst decorrelates into an aggregate + join rather
+    than re-executing the subquery per row."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ssq")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_ssq")
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM lineitem_ssq l JOIN part_ssq p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem_ssq l2
+                              WHERE l2.l_partkey = p.p_partkey)"""
+    )
+
+
+def q_wh_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range (band) join: price histogram via lo <= price < hi
+    against a 10-row band dimension — broadcast nested-loop, so the fact
+    side streams without a shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    last = PRICE_BANDS - 1
+    bands = spark.range(PRICE_BANDS).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") * PRICE_BAND_WIDTH).cast("double").alias("lo"),
+        F.when(F.col("id") == last, F.lit(1e18))
+        .otherwise((F.col("id") + 1) * PRICE_BAND_WIDTH)
+        .cast("double")
+        .alias("hi"),
+    )
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+def q_pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates from a
+    portable hash bucket — reproducible across engines, executors, and
+    retries, unlike df.sample (which is seed+partition-layout dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hashing.md5_long_seeded(F.col("doc_id"), STRAT_SEED) % 100
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(STRAT_RATE_EN))
+        .otherwise(F.lit(STRAT_RATE_OTHER))
+    )
+    return docs.where(bucket < rate).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -707,6 +833,13 @@ def queries() -> dict[str, QueryFn]:
         "wh_window_frames": q_wh_window_frames,
         "wh_skew_salted_join": q_wh_skew_salted_join,
         "wh_sessions": q_wh_sessions,
+        "wh_payload_json": q_wh_payload_json,
+        "wh_pivot": q_wh_pivot,
+        "wh_percentiles": q_wh_percentiles,
+        "wh_explode_tokens": q_wh_explode_tokens,
+        "wh_scalar_subquery": q_wh_scalar_subquery,
+        "wh_range_join": q_wh_range_join,
+        "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
