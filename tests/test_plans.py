@@ -93,6 +93,46 @@ def test_knn_exact_is_broadcast_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_range_join_is_broadcast_not_cartesian(spark):
+    """The band dimension is 10 rows: the non-equi join must be a broadcast
+    nested loop (fact side streams with no shuffle), never a CartesianProduct
+    or a shuffled join."""
+    plan = _plan(queries()["wh_range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_decorrelated(spark):
+    """The correlated per-part average (Q17 shape) must decorrelate into an
+    aggregate + join — executing the subquery per outer row would be O(n²)
+    scans at 100 TB."""
+    plan = _plan(queries()["wh_scalar_subquery"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # decorrelation materializes as >= 2 joins (part⋈lineitem, ⋈ per-part avg)
+    assert plan.count("Join") >= 2 and plan.count("HashAggregate") >= 2
+
+
+def test_explode_topk_no_global_sort(spark):
+    """Token frequencies end in TakeOrderedAndProject: the 50-row answer must
+    not global-sort the full token distribution."""
+    plan = _plan(queries()["wh_explode_tokens"](spark, SF_DIR))
+    assert "Generate explode" in plan and "TakeOrderedAndProject" in plan
+
+
+def test_pivot_single_expand_pass(spark):
+    """Fixed pivot value list ⇒ one aggregate pass over the fact table — no
+    distinct-values pre-scan (which would be a second full read at scale)."""
+    plan = _plan(queries()["wh_pivot"](spark, SF_DIR))
+    assert len(_scans(plan)) == 1
+
+
+def test_stratified_sample_filter_before_shuffle(spark):
+    """The hash-bucket sample is a pure narrow filter: no shuffle (Exchange)
+    in the plan at all — sampling 100 TB must not repartition it."""
+    plan = _plan(queries()["pipeline_sample_stratified"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in queries() if n not in PLAN_SKIP)
 )
