@@ -814,6 +814,21 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY 1"""
 
+    # different formulation: direct long-form counts densified against the
+    # bucket × value-list grid (unpivot of a filled pivot keeps 0-cells)
+    _types_list = ", ".join(f"'{t}'" for t in REG_EVENT_TYPES)
+    sqls["wh_unpivot"] = f"""
+        WITH counts AS (
+            SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+        t AS (SELECT unnest([{_types_list}]) AS event_type)
+        SELECT b.user_bucket, t.event_type, COALESCE(c.n, 0) AS n
+        FROM b CROSS JOIN t
+        LEFT JOIN counts c
+          ON c.user_bucket = b.user_bucket AND c.event_type = t.event_type"""
+
     sqls["wh_percentiles"] = """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 4) AS p50_value,

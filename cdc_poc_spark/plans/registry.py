@@ -720,6 +720,15 @@ def q_wh_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the wide per-bucket count matrix back to long form —
+    Expand-based, one pass, no join against a value list."""
+    wide = q_wh_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["user_bucket"], list(EVENT_TYPES), "event_type", "n"
+    )
+
+
 def q_wh_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) per event
     type — single pass, rounded for cross-engine float stability."""
@@ -835,6 +844,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_sessions": q_wh_sessions,
         "wh_payload_json": q_wh_payload_json,
         "wh_pivot": q_wh_pivot,
+        "wh_unpivot": q_wh_unpivot,
         "wh_percentiles": q_wh_percentiles,
         "wh_explode_tokens": q_wh_explode_tokens,
         "wh_scalar_subquery": q_wh_scalar_subquery,

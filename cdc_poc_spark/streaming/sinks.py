@@ -69,6 +69,90 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def partition_file_stats(spark: SparkSession, path: str) -> dict[str, tuple[int, int]]:
+    """Per-partition (file_count, total_bytes) via the Hadoop FileSystem API
+    — works unchanged on HDFS/S3A at cluster scale, no driver-side glob."""
+    fs, root = _fs(spark, path)
+    out: dict[str, tuple[int, int]] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            files = [
+                f
+                for f in fs.listStatus(st.getPath())
+                if f.isFile() and f.getPath().getName().endswith(".parquet")
+            ]
+            out[name] = (len(files), sum(f.getLen() for f in files))
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for a partitioned fact table — the maintenance
+    half of W2. Streaming appends (30 s micro-batches, reference
+    BigQuerySink.java:48) accumulate one file per batch per partition; at
+    100 TB that read-amplifies every scan, so periodically rewrite any
+    partition holding more files than ``ceil(bytes / target_file_bytes)``.
+
+    Scale-safe mechanics: affected partitions are rewritten to a sibling
+    temp directory (never overwrite-while-reading), re-sorted on the
+    clustering keys (restoring row-group selectivity), split by
+    maxRecordsPerFile derived from the measured average row width, then
+    swapped in with per-partition FS renames (the same move Delta/Iceberg
+    commit protocols make atomic). Untouched partitions are never read.
+
+    Returns {partition_dir: (files_before, files_after)}.
+    """
+    import math
+
+    stats = partition_file_stats(spark, path)
+    todo: dict[str, int] = {}
+    for part, (nfiles, nbytes) in stats.items():
+        ideal = max(1, math.ceil(nbytes / target_file_bytes))
+        if nfiles > ideal:
+            todo[part] = ideal
+    if not todo:
+        return {}
+
+    part_col = next(iter(todo)).split("=", 1)[0]
+    values = [p.split("=", 1)[1] for p in todo]
+    sub = spark.read.parquet(path).filter(F.col(part_col).isin(values))
+    rows = sub.count()
+    total_bytes = sum(stats[p][1] for p in todo)
+    avg_row_bytes = max(1.0, total_bytes / max(1, rows))
+    max_records = max(1, int(target_file_bytes / avg_row_bytes))
+
+    tmp = path.rstrip("/") + "__compacting"
+    sort_cols = [c for c in CLUSTER_COLS if c in sub.columns] or [part_col]
+    (
+        sub.repartition(F.col(part_col))
+        .sortWithinPartitions(*sort_cols)
+        .write.option("maxRecordsPerFile", max_records)
+        .mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp)
+    )
+
+    fs, root = _fs(spark, path)
+    jvm = spark._jvm
+    for part in todo:
+        old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{part}")
+        new = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{part}")
+        fs.delete(old, True)
+        fs.rename(new, old)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+    after = partition_file_stats(spark, path)
+    return {p: (stats[p][0], after[p][0]) for p in todo}
+
+
 SERVING_VIEWS = (
     "leaderboard",
     "content_stats",

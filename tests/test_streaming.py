@@ -111,6 +111,29 @@ def test_native_stateful_window_stream(spark, tmp_path):
     assert _rows(got) == _rows(batch)
 
 
+def test_compaction_restores_file_budget(spark, tmp_path):
+    """Repeated micro-batch appends fragment the fact table (one file per
+    batch per partition); compact_partitions must rewrite each partition
+    down to its byte-budget file count without changing the data."""
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events"))
+    dim = cdc_mapping.content_dim(load_table(spark, SF, "part"))
+    enriched = enrich(ev, dim)
+    path = str(tmp_path / "wh")
+    for _ in range(4):  # 4 "micro-batches" -> 4 files per hour partition
+        sinks.write_warehouse(enriched, path)
+
+    before_stats = sinks.partition_file_stats(spark, path)
+    assert before_stats and all(n == 4 for n, _ in before_stats.values())
+    before_rows = spark.read.parquet(path).count()
+
+    report = sinks.compact_partitions(spark, path)
+    assert set(report) == set(before_stats)
+    assert all(b == 4 and a == 1 for b, a in report.values())
+    assert spark.read.parquet(path).count() == before_rows
+    # idempotent: a second pass finds nothing to do
+    assert sinks.compact_partitions(spark, path) == {}
+
+
 def test_streaming_dedup(spark, tmp_path):
     """dropDuplicatesWithinWatermark removes at-least-once duplicates: an
     input with every 5th event doubled yields exactly the distinct ids."""
