@@ -443,6 +443,23 @@ def q_wh_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per event type — the
+    mergeable-quantile path for 100 TB (exact percentile_cont needs a full
+    per-group sort buffer; the sketch is bounded-memory and combines
+    map-side). Sketch results are engine-specific: rows-only check; the
+    error vs exact percentiles is bounded in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.percentile_approx(F.col("value"), F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+    )
+
+
 def q_wh_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: ((URGENT buyers ∩ F-status buyers) ∪ BUILDING
     customers) ∖ 5-LOW buyers."""
@@ -838,6 +855,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_grouping_sets": q_wh_grouping_sets,
         "wh_distinct_agg": q_wh_distinct_agg,
         "wh_approx_users": q_wh_approx_users,
+        "wh_approx_percentiles": q_wh_approx_percentiles,
         "wh_set_ops": q_wh_set_ops,
         "wh_window_frames": q_wh_window_frames,
         "wh_skew_salted_join": q_wh_skew_salted_join,

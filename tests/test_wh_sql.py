@@ -30,6 +30,25 @@ def test_approx_users_error_bound(spark):
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
 
 
+def test_approx_percentiles_error_bound(spark):
+    """GK-sketch quantiles at accuracy 10000 must land within 1% of the
+    exact interpolated percentiles per group (rank error <= 1/accuracy;
+    value tolerance is loose on top of that for interpolation)."""
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in queries()["wh_approx_percentiles"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50_value"], r["p90_value"])
+        for r in queries()["wh_percentiles"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (a50, a90) in approx.items():
+        e50, e90 = exact[k]
+        assert abs(a50 - e50) <= max(0.5, 0.01 * abs(e50)), (k, a50, e50)
+        assert abs(a90 - e90) <= max(0.5, 0.01 * abs(e90)), (k, a90, e90)
+
+
 def test_rollup_totals_consistent(spark):
     """The grand-total rollup row must equal the sum of the leaf rows."""
     rows = queries()["wh_rollup"](spark, SF_DIR).collect()
