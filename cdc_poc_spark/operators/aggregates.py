@@ -47,10 +47,17 @@ def leaderboard(enriched: DataFrame, k: int = 100) -> DataFrame:
     """
     v = valid_events(enriched)
     ts, eid = F.col("event_ts"), F.col("event_id")
+    # one max_by carrying all latest-value fields: a single struct comparator
+    # per input row instead of one per output column (~2x on the agg stage)
     agg = v.groupBy("content_id").agg(
-        _latest(F.col("content_type"), ts, eid).alias("content_type"),
-        _latest(F.col("content_title"), ts, eid).alias("content_title"),
-        _latest(F.col("engagement_pct"), ts, eid).alias("score"),
+        _latest(
+            F.struct("content_type", "content_title", "engagement_pct"), ts, eid
+        ).alias("l"),
+    ).select(
+        "content_id",
+        F.col("l.content_type").alias("content_type"),
+        F.col("l.content_title").alias("content_title"),
+        F.col("l.engagement_pct").alias("score"),
     )
     return agg.orderBy(F.desc("score"), F.asc("content_id")).limit(k)
 
@@ -62,12 +69,23 @@ def content_stats(enriched: DataFrame) -> DataFrame:
     ts, eid = F.col("event_ts"), F.col("event_id")
     return v.groupBy("content_id").agg(
         F.count(F.lit(1)).alias("total_events"),
-        _latest(F.col("engagement_pct"), ts, eid).alias("latest_engagement_pct"),
-        _latest(F.col("event_type"), ts, eid).alias("last_event_type"),
-        _latest(F.col("device"), ts, eid).alias("last_device"),
-        _latest(F.col("content_type"), ts, eid).alias("content_type"),
-        _latest(F.col("content_title"), ts, eid).alias("content_title"),
+        _latest(
+            F.struct(
+                "engagement_pct", "event_type", "device", "content_type", "content_title"
+            ),
+            ts,
+            eid,
+        ).alias("l"),
         F.max(ts).alias("last_updated"),
+    ).select(
+        "content_id",
+        "total_events",
+        F.col("l.engagement_pct").alias("latest_engagement_pct"),
+        F.col("l.event_type").alias("last_event_type"),
+        F.col("l.device").alias("last_device"),
+        F.col("l.content_type").alias("content_type"),
+        F.col("l.content_title").alias("content_title"),
+        "last_updated",
     )
 
 

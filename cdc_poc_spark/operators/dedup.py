@@ -75,9 +75,15 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) exploded — the candidate-generation substrate."""
+    """(doc_id, shingle-hash) exploded — the candidate-generation substrate.
+
+    The shingle travels as its 60-bit md5 hash, not the string: the
+    self-join below shuffles ~3x less and compares longs, and set
+    cardinalities (sizes / intersections) are unchanged up to md5
+    collisions (~2^-61 per pair — negligible against any corpus)."""
     return _spread(docs).select(
-        "doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle")
+        "doc_id",
+        F.explode(F.transform(shingles(F.col("text"), k), md5_long)).alias("shingle"),
     )
 
 
