@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "wh_payload_json",
     "wh_scalar_subquery",
     "wh_range_join",
+    "wh_returned_items",
+    "wh_large_volume_orders",
+    "wh_ship_delay",
     "wh_explode_tokens",
     "text_stats",
     "text_fingerprints",

@@ -30,6 +30,7 @@ from .registry import (
     COSINE_TAU,
     DELETE_MOD,
     JACCARD_THRESHOLD,
+    LARGE_ORDER_QTY,
     PRICE_BAND_WIDTH,
     PRICE_BANDS,
     SIM_QUERY_VEC_ID,
@@ -865,6 +866,82 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_extendedprice >= 0
         GROUP BY 1"""
+
+    sqls["wh_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20"""
+
+    sqls["wh_promo_revenue"] = """
+        SELECT CAST(ROUND(100 * SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                         ELSE 0 END) / SUM(rev), 4) AS DOUBLE)
+                   AS promo_pct,
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                    AS DOUBLE) AS promo_revenue,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        FROM (SELECT p_type,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01') t"""
+
+    # different formulation: HAVING + IN instead of the aggregate->semi-join
+    sqls["wh_large_volume_orders"] = f"""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                                    > {LARGE_ORDER_QTY})
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100"""
+
+    sqls["wh_ship_delay"] = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(delay AS DECIMAL(18,0)))::DOUBLE
+                          / COUNT(*), 4) AS DOUBLE) AS avg_delay_days,
+               CAST(MAX(delay) AS INT) AS max_delay_days,
+               COUNT(CASE WHEN delay > 365 THEN 1 END) AS n_over_year
+        FROM (SELECT o_orderpriority,
+                     date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) AS delay
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+        GROUP BY o_orderpriority"""
+
+    # different formulation: self-join on version rank instead of lead()
+    sqls["cdc_scd2_dim"] = with_versions("""
+        , ranked AS (
+            SELECT content_id, version_title, version_length_seconds,
+                   version_ts,
+                   row_number() OVER (PARTITION BY content_id
+                                      ORDER BY version_ts) AS rn
+            FROM versions
+        )
+        SELECT a.content_id, a.version_title, a.version_length_seconds,
+               a.version_ts AS valid_from,
+               b.version_ts AS valid_to,
+               b.version_ts IS NULL AS is_current
+        FROM ranked a
+        LEFT JOIN ranked b
+          ON a.content_id = b.content_id AND b.rn = a.rn + 1""")
 
     sqls["pipeline_sample_stratified"] = f"""
         SELECT doc_id, lang, source

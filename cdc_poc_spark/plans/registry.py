@@ -828,6 +828,125 @@ def q_pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < rate).select("doc_id", "lang", "source")
 
 
+def q_wh_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returns in one
+    quarter — fact⋈fact shuffle join, broadcast nation dim, TakeOrdered
+    top-k (never a global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_wh_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share for one ship month —
+    conditional aggregation over lineitem⋈part, exact decimal ratio."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0)))
+    total = F.sum(revenue)
+    return joined.agg(
+        F.round(F.lit(100) * promo / total, 4).cast("double").alias("promo_pct"),
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
+    )
+
+
+LARGE_ORDER_QTY = 150
+
+
+def q_wh_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: top-100 large-volume orders (total quantity >
+    threshold) with customer attribution — the aggregate-HAVING-semijoin
+    shape: the qualifying-keys aggregate feeds a semi join back onto the
+    facts, then the per-order rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    joined = (
+        li.join(big.hint("shuffle_hash"), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_wh_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavored: order→ship latency distribution per order
+    priority — fact⋈fact join with day arithmetic on NTZ-safe date casts
+    (cast to DATE reads the date fields only; no session-tz round trip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(delay.cast("decimal(18,0)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_delay_days"),
+        F.max(delay).alias("max_delay_days"),
+        F.count(F.when(delay > 365, 1)).alias("n_over_year"),
+    )
+
+
+def q_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the version changelog: effective
+    ranges [valid_from, valid_to) via lead() per content key, open-ended
+    current row flagged. The warehouse-side materialization of the
+    reference's latest-wins MapState upsert (J1/T3) that keeps history
+    instead of discarding it."""
+    ver = m.dim_versions(load_table(spark, sf_dir, "part"))
+    w = Window.partitionBy("content_id").orderBy("version_ts")
+    return ver.select(
+        "content_id",
+        "version_title",
+        "version_length_seconds",
+        F.col("version_ts").alias("valid_from"),
+        F.lead("version_ts").over(w).alias("valid_to"),
+        F.lead("version_ts").over(w).isNull().alias("is_current"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -867,6 +986,11 @@ def queries() -> dict[str, QueryFn]:
         "wh_explode_tokens": q_wh_explode_tokens,
         "wh_scalar_subquery": q_wh_scalar_subquery,
         "wh_range_join": q_wh_range_join,
+        "wh_returned_items": q_wh_returned_items,
+        "wh_promo_revenue": q_wh_promo_revenue,
+        "wh_large_volume_orders": q_wh_large_volume_orders,
+        "wh_ship_delay": q_wh_ship_delay,
+        "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,

@@ -133,6 +133,35 @@ def test_stratified_sample_filter_before_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_returned_items_broadcast_dim_and_topk(spark):
+    """Q10 shape: the 25-row nation dim must broadcast, the quarter filter
+    must reach the orders scan, and the top-20 must be TakeOrdered — three
+    properties that decide whether this runs at 100 TB."""
+    plan = _plan(queries()["wh_returned_items"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    scans = [s for s in _scans(plan) if "orders" in s]
+    assert scans and any("o_orderdate" in s and "IsNotNull" in s for s in scans)
+    li_scans = [s for s in _scans(plan) if "lineitem" in s]
+    assert li_scans and any("EqualTo(l_returnflag,R)" in s for s in li_scans)
+
+
+def test_large_volume_semijoin_shape(spark):
+    """Q18 shape: qualifying keys reach the facts as a semi join (LeftSemi),
+    and the final 100 rows come from TakeOrdered, not a global sort."""
+    plan = _plan(queries()["wh_large_volume_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_single_shuffle(spark):
+    """The SCD2 build is one window over one shuffle on the dimension key —
+    no joins, no second exchange."""
+    plan = _plan(queries()["cdc_scd2_dim"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in queries() if n not in PLAN_SKIP)
 )
