@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "wh_ship_delay",
     "wh_explode_tokens",
     "text_stats",
+    "text_clean",
     "text_fingerprints",
+    "pipeline_pack_sequences",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

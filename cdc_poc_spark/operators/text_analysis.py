@@ -123,6 +123,34 @@ def language_id(docs: DataFrame) -> DataFrame:
     return out.withColumn("is_match", F.col("lang_predicted") == F.col("lang_actual"))
 
 
+# cleaning patterns — plain character classes only so Java regex (Spark)
+# and RE2 (DuckDB) agree byte-for-byte
+URL_PATTERN = r"https?://[^ ]+"
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+WS_PATTERN = r"  +"
+
+
+def clean_text(docs: DataFrame) -> DataFrame:
+    """Normalization pass before tokenization/dedup: strip URLs and e-mail
+    addresses, collapse runs of spaces, trim, lowercase. Pure per-row
+    regexp_replace chain (JVM codegen, no shuffle); counts of removed
+    entities kept for the cleaning audit."""
+    text = F.col("text")
+    stripped = F.regexp_replace(
+        F.regexp_replace(text, URL_PATTERN, " "), EMAIL_PATTERN, " "
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, WS_PATTERN, " "))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.lower(collapsed).alias("clean_text"),
+        F.length(text).alias("n_chars_raw"),
+        F.length(collapsed).alias("n_chars_clean"),
+        F.regexp_count(text, F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint (Rabin-Karp style) — the cheap
     content identity used before heavier near-dup machinery."""

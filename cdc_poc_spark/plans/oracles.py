@@ -943,6 +943,51 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ranked b
           ON a.content_id = b.content_id AND b.rn = a.rn + 1""")
 
+    from ..operators.text_analysis import EMAIL_PATTERN, URL_PATTERN, WS_PATTERN
+
+    sqls["text_clean"] = f"""
+        WITH stripped AS (
+            SELECT doc_id, lang, text,
+                   regexp_replace(regexp_replace(text, '{URL_PATTERN}', ' ', 'g'),
+                                  '{EMAIL_PATTERN}', ' ', 'g') AS s
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               lower(trim(regexp_replace(s, '{WS_PATTERN}', ' ', 'g')))
+                   AS clean_text,
+               CAST(length(text) AS INT) AS n_chars_raw,
+               CAST(length(trim(regexp_replace(s, '{WS_PATTERN}', ' ', 'g')))
+                    AS INT) AS n_chars_clean,
+               CAST(len(regexp_extract_all(text, '{URL_PATTERN}')) AS BIGINT)
+                   AS n_urls,
+               CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT)
+                   AS n_emails
+        FROM stripped"""
+
+    from ..operators.packing import PACK_BUDGET, PACK_SEED, PACK_SHARDS
+
+    sqls["pipeline_pack_sequences"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(({md5_long_seeded_sql("doc_id", PACK_SEED)})
+                        % {PACK_SHARDS} AS INT) AS shard,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS token_offset
+            FROM toks
+        )
+        SELECT doc_id, shard, n_tokens, token_offset,
+               token_offset // {PACK_BUDGET} AS pack_id,
+               token_offset % {PACK_BUDGET} AS offset_in_pack
+        FROM cum"""
+
     sqls["pipeline_sample_stratified"] = f"""
         SELECT doc_id, lang, source
         FROM documents

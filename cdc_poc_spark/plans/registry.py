@@ -27,6 +27,7 @@ from ..operators import (
     clustering,
     dedup,
     multimodal,
+    packing,
     sampling,
     sessions,
     similarity,
@@ -544,6 +545,18 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.language_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pass: URL/e-mail scrub, whitespace collapse, lowercase —
+    with removed-entity counts for the audit."""
+    return text_analysis.clean_text(load_table(spark, sf_dir, "documents"))
+
+
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded token-budget sequence packing: deterministic hash shards,
+    per-shard contiguous fill (one window per shard)."""
+    return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (Rabin-Karp style) document fingerprints."""
     return text_analysis.fingerprints(load_table(spark, sf_dir, "documents"))
@@ -994,7 +1007,9 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "text_clean": q_text_clean,
         "text_fingerprints": q_text_fingerprints,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
