@@ -148,6 +148,26 @@ def minhash_signatures(
     return hashed.select("doc_id", *cols)
 
 
+def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket_key) — one row per band, via a single explode
+    so the signature columns are evaluated ONCE per document (a per-band
+    union would recompute the whole signature array in every branch)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                ).alias("bucket_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(entries).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = MINHASH_HASHES,
@@ -157,18 +177,8 @@ def minhash_lsh_candidates(
     """LSH banding: docs agreeing on ALL rows of >= 1 band. Output: distinct
     (doc_a, doc_b) candidate pairs, doc_a < doc_b."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k).persist()
-    buckets = []
-    for b in range(bands):
-        key = F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        buckets.append(
-            sigs.select(
-                "doc_id", F.lit(b).alias("band"), key.alias("bucket_key")
-            )
-        )
-    all_buckets = buckets[0]
-    for extra in buckets[1:]:
-        all_buckets = all_buckets.unionAll(extra)
+    sigs = minhash_signatures(docs, num_hashes, k)
+    all_buckets = _banded(sigs, bands, rows)
     a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
     pairs = a.join(
         b_,
@@ -214,15 +224,7 @@ def minhash_lsh_dups(
     # empty shingle sets can never reach a positive Jaccard threshold; drop
     # them before banding (otherwise they'd all share the null-sig bucket)
     sigs = base.filter(F.size("sh") > 0).select("doc_id", *sig_cols)
-    buckets = []
-    for b in range(bands):
-        key = F.concat_ws("_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        buckets.append(
-            sigs.select("doc_id", F.lit(b).alias("band"), key.alias("bucket_key"))
-        )
-    all_buckets = buckets[0]
-    for extra in buckets[1:]:
-        all_buckets = all_buckets.unionAll(extra)
+    all_buckets = _banded(sigs, bands, rows)
     a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
     cands = (
         a.join(

@@ -943,6 +943,28 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ranked b
           ON a.content_id = b.content_id AND b.rn = a.rn + 1""")
 
+    sqls["sim_quantize_int8"] = """
+        WITH scaled AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                                           x -> abs(x::DOUBLE))) / 127 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dims,
+               scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(embedding,
+                                        x -> CAST(round(x::DOUBLE / scale) AS INT))
+                    ELSE list_transform(embedding, x -> 0) END AS q_codes,
+               CASE WHEN scale > 0
+                    THEN list_max(list_transform(embedding,
+                         x -> abs(round(x::DOUBLE / scale) * scale - x::DOUBLE)))
+                    ELSE list_max(list_transform(embedding,
+                                                 x -> abs(x::DOUBLE))) END
+                   AS max_abs_err
+        FROM scaled"""
+
     from ..operators.text_analysis import EMAIL_PATTERN, URL_PATTERN, WS_PATTERN
 
     sqls["text_clean"] = f"""

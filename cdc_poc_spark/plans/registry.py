@@ -635,6 +635,12 @@ def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    audit — pure per-row map, no shuffle."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph: duplicate groups
     with keeper + size (iterative min-label propagation; oracle: recursive
@@ -1021,6 +1027,7 @@ def queries() -> dict[str, QueryFn]:
         "sim_knn_join_lsh": q_sim_knn_join_lsh,
         "sim_embedding_dups": q_sim_embedding_dups,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
+        "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_split_assign": q_pipeline_split_assign,
         "mm_decode_features": q_mm_decode_features,

@@ -54,6 +54,35 @@ def write_warehouse(enriched: DataFrame, path: str, mode: str = "append") -> Non
     )
 
 
+BATCH_PARTITION_COL = "batch_id"
+
+
+def write_batch_idempotent(batch_df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent foreachBatch warehouse write (T5/T6): each micro-batch
+    lands in its own ``batch_id=N`` partition with overwrite, so a replayed
+    epoch (sink retried after a checkpoint-recovery restart) REPLACES its
+    own prior output instead of appending duplicates — end-to-end
+    exactly-once over an at-least-once sink, where the reference's BigQuery
+    re-queue duplicates rows (BigQuerySink.java:248-251).
+
+    The per-batch directory overwrite only touches that batch's partition
+    (static overwrite of the explicit path), never neighbours."""
+    out = with_hour_partition(batch_df)
+    (
+        out.repartition(F.col(HOUR_PARTITION_COL))
+        .sortWithinPartitions(*CLUSTER_COLS)
+        .write.partitionBy(HOUR_PARTITION_COL)
+        .mode("overwrite")
+        .parquet(f"{path}/{BATCH_PARTITION_COL}={int(batch_id)}")
+    )
+
+
+def read_idempotent_warehouse(spark: SparkSession, path: str) -> DataFrame:
+    """Read the batch-partitioned fact table; ``basePath`` keeps both the
+    batch_id and event_hour partition columns visible."""
+    return spark.read.option("basePath", path).parquet(f"{path}/{BATCH_PARTITION_COL}=*")
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
 ) -> None:

@@ -133,6 +133,13 @@ def test_stratified_sample_filter_before_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_quantize_is_narrow_map(spark):
+    """int8 quantization is a pure per-row map: no Exchange anywhere —
+    compressing 100 TB of embeddings must not repartition them."""
+    plan = _plan(queries()["sim_quantize_int8"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
 def test_returned_items_broadcast_dim_and_topk(spark):
     """Q10 shape: the 25-row nation dim must broadcast, the quarter filter
     must reach the orders scan, and the top-20 must be TakeOrdered — three

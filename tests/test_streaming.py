@@ -218,3 +218,84 @@ def test_throughput_listener(spark, tmp_path):
         assert s.batches >= 1 and s.mean_rate > 0
     finally:
         metrics.detach(spark, listener)
+
+
+def test_idempotent_batch_replay(spark, tmp_path):
+    """T5/T6: a replayed micro-batch must REPLACE its prior output, not
+    append duplicates — the engine-side fix for the reference's BigQuery
+    re-queue duplication (BigQuerySink.java:248-251)."""
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events"))
+    dim = cdc_mapping.content_dim(load_table(spark, SF, "part"))
+    enriched = enrich(ev, dim)
+    b0 = enriched.filter(F.col("event_id") % 2 == 0)
+    b1 = enriched.filter(F.col("event_id") % 2 == 1)
+    wh = str(tmp_path / "wh")
+
+    sinks.write_batch_idempotent(b0, wh, batch_id=0)
+    sinks.write_batch_idempotent(b1, wh, batch_id=1)
+    n_first = sinks.read_idempotent_warehouse(spark, wh).count()
+    # sink failure after commit -> epoch 1 replayed wholesale
+    sinks.write_batch_idempotent(b1, wh, batch_id=1)
+    replayed = sinks.read_idempotent_warehouse(spark, wh)
+    assert replayed.count() == n_first == enriched.count()
+    # and the content survives the replay bit-for-bit
+    assert _rows(
+        replayed.drop("batch_id", sinks.HOUR_PARTITION_COL).select(*enriched.columns)
+    ) == _rows(enriched)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T1/T2: an event older than the watermark at arrival time must be
+    discarded from append-mode windowed aggregation — the well-defined
+    late-data policy replacing the reference's TTL approximation."""
+    import json
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id LONG, event_time TIMESTAMP"
+
+    def arrive(name, rows):
+        (src_dir / name).write_text(
+            "\n".join(json.dumps(r) for r in rows), encoding="utf-8"
+        )
+
+    def run_query():
+        agg = (
+            spark.readStream.schema(schema)
+            .json(str(src_dir))
+            .withWatermark("event_time", pipeline.WATERMARK)
+            .groupBy(F.window("event_time", "1 minute"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    arrive("a.json", [
+        {"id": 1, "event_time": "2024-01-01T12:00:30"},
+        {"id": 2, "event_time": "2024-01-01T12:30:00"},
+    ])
+    run_query()  # watermark after this run: 12:20
+    arrive("b.json", [
+        {"id": 3, "event_time": "2024-01-01T12:05:00"},  # LATE: behind watermark
+        {"id": 4, "event_time": "2024-01-01T12:31:00"},
+    ])
+    run_query()
+    arrive("c.json", [{"id": 5, "event_time": "2024-01-01T14:00:00"}])
+    run_query()  # advances the watermark past every earlier window
+
+    got = {
+        r.start.strftime("%H:%M"): r.n
+        for r in spark.read.parquet(out_dir).select("window.start", "n").collect()
+    }
+    assert got.get("12:00") == 1
+    assert got.get("12:30") == 1 and got.get("12:31") == 1
+    assert "12:05" not in got  # the late row left no trace
