@@ -943,6 +943,18 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ranked b
           ON a.content_id = b.content_id AND b.rn = a.rn + 1""")
 
+    from .registry import TOPN_PER_GROUP
+
+    # different formulation: QUALIFY instead of the subquery rank filter
+    sqls["wh_topn_per_group"] = f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC,
+                                                o_orderkey ASC) AS INT)
+                   AS rank_in_cust
+        FROM orders
+        QUALIFY rank_in_cust <= {TOPN_PER_GROUP}"""
+
     sqls["sim_quantize_int8"] = """
         WITH scaled AS (
             SELECT vec_id, embedding,

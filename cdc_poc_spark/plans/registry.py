@@ -948,6 +948,24 @@ def q_wh_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPN_PER_GROUP = 3
+
+
+def q_wh_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: each customer's 3 highest-value orders — the
+    rank-filter window shape (one shuffle on the group key; the per-group
+    sort is local, never global)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= TOPN_PER_GROUP)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
 def q_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from the version changelog: effective
     ranges [valid_from, valid_to) via lead() per content key, open-ended
@@ -1009,6 +1027,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_promo_revenue": q_wh_promo_revenue,
         "wh_large_volume_orders": q_wh_large_volume_orders,
         "wh_ship_delay": q_wh_ship_delay,
+        "wh_topn_per_group": q_wh_topn_per_group,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,

@@ -167,3 +167,46 @@ def streaming_sessions(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def streaming_interval_join(
+    events: DataFrame, bound_minutes: int = 5, key: str = "user_id"
+) -> DataFrame:
+    """Stream-stream self-join with an event-time interval bound: each
+    event paired with the same user's LATER events arriving within
+    ``bound_minutes`` (the follow-on-action shape: click -> purchase).
+
+    Both sides carry a watermark, and the interval condition bounds the
+    join state in BOTH directions — the engine can expire buffered rows
+    once the watermark passes, so state stays O(events in the interval
+    window) at any scale. An unbounded-time stream-stream join would grow
+    state forever; this is the well-defined Spark-native form of joining
+    two CDC streams (the reference never joins fact-to-fact; this extends
+    J1 to the stream-stream case)."""
+    from pyspark.sql import functions as F
+
+    a = (
+        events.select(
+            F.col("id").alias("a_id"),
+            F.col(key).alias("a_key"),
+            F.col("event_time").alias("a_time"),
+        ).withWatermark("a_time", WATERMARK)
+    )
+    b = (
+        events.select(
+            F.col("id").alias("b_id"),
+            F.col(key).alias("b_key"),
+            F.col("event_time").alias("b_time"),
+        ).withWatermark("b_time", WATERMARK)
+    )
+    return a.join(
+        b,
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_time") >= F.col("a_time"))
+        & (
+            F.col("b_time")
+            <= F.col("a_time") + F.expr(f"INTERVAL {int(bound_minutes)} MINUTES")
+        ),
+        "inner",
+    )

@@ -299,3 +299,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("12:00") == 1
     assert got.get("12:30") == 1 and got.get("12:31") == 1
     assert "12:05" not in got  # the late row left no trace
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval self-join (watermarked, state-bounded) must
+    produce exactly the batch join's pairs."""
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("event_time"),
+        )
+    )
+    src_dir = str(tmp_path / "ev_src")
+    ev.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    joined = pipeline.streaming_interval_join(stream, bound_minutes=5)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT a_id, b_id FROM interval_join_out")
+    batch = pipeline.streaming_interval_join(ev, bound_minutes=5).select(
+        "a_id", "b_id"
+    )
+    assert _rows(got) == _rows(batch)
+    assert batch.count() > 0
