@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "wh_returned_items",
     "wh_large_volume_orders",
     "wh_ship_delay",
+    "wh_customer_distribution",
+    "wh_min_cost_supplier",
+    "wh_market_share",
+    "wh_product_profit",
+    "wh_late_suppliers",
     "wh_explode_tokens",
     "text_stats",
     "text_clean",

@@ -943,7 +943,208 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ranked b
           ON a.content_id = b.content_id AND b.rn = a.rn + 1""")
 
-    from .registry import TOPN_PER_GROUP
+    from .registry import (
+        DORMANT_CODES,
+        IMPORTANT_PART_FRACTION,
+        LATE_SHIP_DAYS,
+        MKT_SHARE_NATION,
+        PROFIT_COST_FACTOR,
+        TOPN_PER_GROUP,
+        TRADE_NATION_A,
+        TRADE_NATION_B,
+    )
+
+    sqls["wh_customer_distribution"] = """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
+    # different formulation: scalar-subquery MAX instead of the 1-row join
+    sqls["wh_top_supplier"] = """
+        WITH revenue0 AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+        WHERE total = (SELECT MAX(total) FROM revenue0)
+        ORDER BY s_suppkey"""
+
+    # different formulation: correlated-min subquery instead of agg+join-back
+    sqls["wh_min_cost_supplier"] = """
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey),
+        eligible AS (
+            SELECT l_partkey, unit_cost, s_acctbal, s_name, n_name
+            FROM unit
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM eligible e JOIN part ON e.l_partkey = p_partkey
+        WHERE p_type = 'LARGE' AND p_size <= 25
+          AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                           WHERE e2.l_partkey = e.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100"""
+
+    sqls["wh_nation_trade_volume"] = f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{TRADE_NATION_A}' AND
+                n2.n_name = '{TRADE_NATION_B}')
+            OR (n1.n_name = '{TRADE_NATION_B}' AND
+                n2.n_name = '{TRADE_NATION_A}'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""
+
+    sqls["wh_market_share"] = f"""
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN supp_nation = '{MKT_SHARE_NATION}'
+                             THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END)
+                    AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        FROM (SELECT o_orderdate, n2.n_name AS supp_nation,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01') t
+        GROUP BY o_year
+        ORDER BY o_year"""
+
+    sqls["wh_product_profit"] = f"""
+        SELECT n_name AS nation,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        - CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(p_retailprice AS DECIMAL(12,2)) *
+                          CAST({PROFIT_COST_FACTOR} AS DECIMAL(3,1)))
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC"""
+
+    # different formulation: HAVING vs scalar subquery instead of 1-row join
+    sqls["wh_important_parts"] = f"""
+        WITH scoped AS (
+            SELECT p_partkey AS pk,
+                   CAST(l_quantity AS DECIMAL(12,2)) *
+                   CAST(p_retailprice AS DECIMAL(12,2)) AS val
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        SELECT pk AS p_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+        FROM scoped
+        GROUP BY pk
+        HAVING SUM(val) > (SELECT SUM(val) FROM scoped) *
+                          CAST({IMPORTANT_PART_FRACTION} AS DECIMAL(6,4))
+        ORDER BY part_value DESC, p_partkey"""
+
+    # different formulation: NOT IN subquery instead of the left-anti join
+    sqls["wh_supplier_part_variety"] = """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+    sqls["wh_disjunctive_join"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+               AND l_quantity BETWEEN 20 AND 40)"""
+
+    # different formulation: correlated EXISTS / NOT EXISTS instead of the
+    # decorrelated semi/anti joins
+    sqls["wh_late_suppliers"] = f"""
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l1.l_shipdate AS DATE)) > {LATE_SHIP_DAYS}
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1
+              FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND date_diff('day', CAST(o3.o_orderdate AS DATE),
+                              CAST(l3.l_shipdate AS DATE)) > {LATE_SHIP_DAYS})
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey"""
+
+    _codes = ", ".join(f"'{c}'" for c in DORMANT_CODES)
+    sqls["wh_dormant_customers"] = f"""
+        WITH scoped AS (
+            SELECT c_custkey, c_acctbal,
+                   substring(c_name, -1, 1) AS cntrycode
+            FROM customer
+            WHERE substring(c_name, -1, 1) IN ({_codes}))
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM scoped
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM scoped WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY cntrycode
+        ORDER BY cntrycode"""
 
     # different formulation: QUALIFY instead of the subquery rank filter
     sqls["wh_topn_per_group"] = f"""

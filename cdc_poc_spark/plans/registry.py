@@ -984,6 +984,419 @@ def q_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by order count — the
+    outer-join-then-double-aggregate shape. The left outer join keeps
+    order-less customers (count = 0 bucket); both aggregations shuffle on
+    progressively smaller keys (custkey, then the count itself)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_wh_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum revenue in one
+    quarter — aggregate view + scalar-subquery max, kept as a broadcast
+    join of the 1-row max against the tiny per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    rev0 = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("_total"))
+    top = rev0.agg(F.max("_total").alias("_max_total"))
+    return (
+        rev0.join(F.broadcast(top), F.col("_total") == F.col("_max_total"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_total").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_wh_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: for each part in a type/size slice, the supplier
+    offering the minimum observed unit price (extendedprice/quantity over
+    the trade history stands in for ps_supplycost — the driver schema has
+    no partsupp table). Correlated-min decorrelated into aggregate +
+    equality join back; region filter via broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eligible = (
+        unit.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eligible.groupBy(
+        F.col("l_partkey").alias("_mc_partkey")
+    ).agg(F.min("unit_cost").alias("_min_cost"))
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("_mc_partkey"))
+            & (F.col("unit_cost") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+
+
+def q_wh_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations by year and
+    direction — the double-dimension join (nation joined twice under
+    different roles), disjunctive cross-nation predicate, year rollup."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == TRADE_NATION_A)
+                & (F.col("cust_nation") == TRADE_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == TRADE_NATION_B)
+                & (F.col("cust_nation") == TRADE_NATION_A)
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+MKT_SHARE_NATION = "NATION_2"
+
+
+def q_wh_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of a region's revenue per order
+    year for one part type — 6-way join with conditional-ratio aggregate.
+    All dims broadcast; the only shuffles are the two fact joins and the
+    final year rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_c_nkey"), F.col("n_regionkey").alias("_c_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("_c_nkey"))
+        .join(F.broadcast(region), F.col("_c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("_s_nkey"))
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == MKT_SHARE_NATION, revenue).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    return (
+        joined.groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            (nation_rev.cast("double") / F.sum(revenue).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+PROFIT_COST_FACTOR = "0.5"
+
+
+def q_wh_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit by supplier nation and year for one part
+    family. The driver schema has no ps_supplycost, so cost is the
+    documented proxy quantity * p_retailprice * 0.5 — the join/agg shape
+    (fact ⋈ 2 dims ⋈ fact-side supplier ⋈ nation, then 2-key rollup) is
+    what's under test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    ) - F.col("l_quantity").cast("decimal(12,2)") * F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    ) * F.lit(PROFIT_COST_FACTOR).cast("decimal(3,1)")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+IMPORTANT_PART_FRACTION = "0.008"
+
+
+def q_wh_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose traded inventory value exceeds a
+    fixed fraction of the global total for one region's suppliers —
+    aggregate + scalar-subquery-over-aggregate (HAVING vs global total),
+    expressed as a broadcast of the 1-row total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    value = F.col("l_quantity").cast("decimal(12,2)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(12,2)")
+    scoped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per_part = scoped.groupBy("p_partkey").agg(F.sum(value).alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("_grand_total"))
+    threshold = F.col("_grand_total") * F.lit(IMPORTANT_PART_FRACTION).cast(
+        "decimal(6,4)"
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > threshold)
+        .select(
+            "p_partkey",
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q_wh_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-supplier count per part attribute combo,
+    excluding one brand and a NOT-IN supplier denylist — the
+    distinct-agg-after-anti-join shape (lineitem stands in for partsupp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    denylist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(denylist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_wh_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under three OR'd (brand, size-band,
+    quantity-band) predicates — the disjunctive join-predicate shape that
+    exercises CNF pushdown through the part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & qty.between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+LATE_SHIP_DAYS = 60
+
+
+def q_wh_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the *sole* late shipper on a
+    finished multi-supplier order — the double-correlated EXISTS / NOT
+    EXISTS self-join shape, decorrelated into a conditioned left-semi
+    (another supplier participated) plus a conditioned left-anti (no
+    *other* supplier was late). Late = shipped > 60 days after order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    flagged = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "_late",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > LATE_SHIP_DAYS,
+    )
+    l1 = flagged.filter(F.col("_late")).select(
+        F.col("l_orderkey").alias("_okey"), F.col("l_suppkey").alias("_skey")
+    )
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    late_others = (
+        flagged.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    culprit = (
+        l1.join(
+            others,
+            (F.col("_okey") == others["l_orderkey"])
+            & (F.col("_skey") != others["l_suppkey"]),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("_okey") == late_others["l_orderkey"])
+            & (F.col("_skey") != late_others["l_suppkey"]),
+            "left_anti",
+        )
+    )
+    return (
+        culprit.join(F.broadcast(supp), F.col("_skey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+DORMANT_CODES = ("1", "3", "5", "7", "9")
+
+
+def q_wh_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: well-funded customers (balance above the positive
+    mean of their segment group) who never placed an order — scalar
+    subquery over a filtered aggregate + NOT EXISTS anti join, grouped by
+    a derived code (last digit of the customer number; the driver schema
+    has no phone column)."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring(F.col("c_name"), -1, 1)
+    )
+    in_scope = cust.filter(F.col("cntrycode").isin(*DORMANT_CODES))
+    avg_bal = in_scope.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        in_scope.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -1028,6 +1441,17 @@ def queries() -> dict[str, QueryFn]:
         "wh_large_volume_orders": q_wh_large_volume_orders,
         "wh_ship_delay": q_wh_ship_delay,
         "wh_topn_per_group": q_wh_topn_per_group,
+        "wh_customer_distribution": q_wh_customer_distribution,
+        "wh_top_supplier": q_wh_top_supplier,
+        "wh_min_cost_supplier": q_wh_min_cost_supplier,
+        "wh_nation_trade_volume": q_wh_nation_trade_volume,
+        "wh_market_share": q_wh_market_share,
+        "wh_product_profit": q_wh_product_profit,
+        "wh_important_parts": q_wh_important_parts,
+        "wh_supplier_part_variety": q_wh_supplier_part_variety,
+        "wh_disjunctive_join": q_wh_disjunctive_join,
+        "wh_late_suppliers": q_wh_late_suppliers,
+        "wh_dormant_customers": q_wh_dormant_customers,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,

@@ -169,6 +169,36 @@ def test_scd2_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_market_share_all_dims_broadcast(spark):
+    """Q8 shape: six dimension joins must all be broadcasts — the only
+    exchange left is the final year rollup. A single shuffled dim join here
+    would dominate the 100 TB run."""
+    plan = _plan(queries()["wh_market_share"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_late_suppliers_no_cartesian(spark):
+    """Q21 shape: the EXISTS/NOT EXISTS self-joins carry a non-equi
+    suppkey term, but the orderkey equi-term must still drive a hash/merge
+    LeftSemi+LeftAnti — never a nested-loop or cartesian fallback."""
+    plan = _plan(queries()["wh_late_suppliers"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_min_cost_supplier_agg_join_back(spark):
+    """Q2 shape: the correlated min decorrelates into partial-agg +
+    join-back; the part slice filter must reach the part scan."""
+    plan = _plan(queries()["wh_min_cost_supplier"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    scans = [s for s in _scans(plan) if "/part.parquet" in s or "part]" in s]
+    part_scans = [s for s in _scans(plan) if "p_type" in s]
+    assert part_scans and any("EqualTo(p_type,LARGE)" in s for s in part_scans)
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in queries() if n not in PLAN_SKIP)
 )
