@@ -91,6 +91,7 @@ def main() -> None:
         timings[n] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     stream = stream_throughput(spark, sf_dir)
+    gen = generator_throughput(spark)
     print(
         json.dumps(
             {
@@ -99,11 +100,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stream": stream,
+                "generator": gen,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def generator_throughput(spark, n: int = 1_000_000) -> dict[str, float]:
+    """Distributed synthetic-workload generation rate (sources/generator.py)
+    — the Spark twin of the reference generator's 1M-records-in-5-minutes
+    target (BASELINE.md; reference generator.py:39-41). Measures full
+    materialization (every column computed, rows counted)."""
+    from cdc_poc_spark.sources import generator as G
+
+    content = G.gen_content(spark, 15)
+    t0 = time.perf_counter()
+    made = G.gen_events(spark, content, n).count()
+    dt = time.perf_counter() - t0
+    return {"events": made, "events_per_sec": round(made / dt, 1)}
 
 
 def stream_throughput(spark, sf_dir: str) -> dict[str, float]:

@@ -1,0 +1,231 @@
+"""Distributed synthetic-workload generator — the Spark twin of the
+reference's load generator (reference data-generator/generator.py:112-173 and
+the plpgsql helpers sql/init.sql:82-114; SURVEY §2 rows F10/W4).
+
+The reference pushes 1 M rows / 5 min through one Python process with 8
+insert threads (generator.py:175-200,227-251). Here generation IS a Spark
+job: ``spark.range(n)`` spreads row ids across executors and every column is
+a Catalyst expression — no driver loop, no Python UDF, no collect. Producing
+a 100 TB load test is the same plan with a bigger ``n`` and more executors.
+
+Randomness is *derived, not drawn*: each per-row uniform is a seeded md5
+hash of the row id mapped into [0, 1). That keeps the output
+
+- deterministic for a given seed (goldens and CI don't flake),
+- independent of partitioning/parallelism (unlike ``F.rand``, whose draw
+  depends on the partition index — a repartitioned rerun changes values),
+- reproducible shard-by-shard: row ``i`` is the same event no matter which
+  executor computes it, so a failed task retry is idempotent by construction.
+
+Distribution spec mirrored from the reference:
+- event types weighted {play .45, pause .25, click .20, finish .10}
+  (generator.py:50-55)
+- duration: click -> NULL; play 5-95 %, pause 10-80 %, finish 85-100 % of
+  ``length_seconds * 1000`` (generator.py:93-110)
+- event_ts uniform over the trailing 10 minutes (generator.py:129)
+- devices: 6-way uniform (generator.py:46); payload JSON with
+  device-dependent source, session id, and event-specific fields incl.
+  nested click coordinates and a 30 %-present finish rating
+  (generator.py:138-161)
+- content drawn uniformly from the dimension (generator.py:118) — at scale
+  this is the *deliberate* hot-key skew SURVEY §7.5.7 plans for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_seeded
+from ..schemas import VALID_CONTENT_TYPES
+
+DEVICES = ("ios", "android", "web-chrome", "web-safari", "web-firefox", "desktop")
+MOBILE_DEVICES = ("ios", "android")
+EVENT_WEIGHTS = {"play": 0.45, "pause": 0.25, "click": 0.20, "finish": 0.10}
+DURATION_BANDS = {"play": (0.05, 0.95), "pause": (0.10, 0.80), "finish": (0.85, 1.00)}
+CLICK_ELEMENTS = ("play_button", "share_button", "like_button", "subscribe")
+QUALITIES = ("SD", "HD", "4K")
+DEFAULT_USER_POOL = 10_000
+DEFAULT_END_TS = "2026-01-01 00:00:00"
+TRAILING_WINDOW_S = 600
+
+_U_MOD = 1_000_000
+
+
+def _uniform(col: Column, seed: str) -> Column:
+    """Deterministic uniform in [0, 1) from a seeded hash of ``col``."""
+    return (md5_long_seeded(col, seed) % _U_MOD).cast("double") / _U_MOD
+
+
+def _pick(col: Column, seed: str, choices: tuple[str, ...]) -> Column:
+    """Uniform pick from a small tuple (1-indexed element_at)."""
+    idx = (md5_long_seeded(col, seed) % len(choices) + 1).cast("int")
+    return F.element_at(F.array(*[F.lit(c) for c in choices]), idx)
+
+
+def _uuidish(col: Column, seed: str) -> Column:
+    """Deterministic UUID-shaped string (8-4-4-4-12 hex groups) — the
+    generator's fake.uuid4() twin, md5-derived so it is stable per row."""
+    h = F.md5(F.concat(F.lit(seed), col.cast("string")))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def _weighted_event_type(u: Column) -> Column:
+    """CASE over the cumulative weight ladder — the Catalyst form of
+    random.choices(weights=...)."""
+    expr = None
+    acc = 0.0
+    items = list(EVENT_WEIGHTS.items())
+    for name, w in items[:-1]:
+        acc += w
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    return expr.otherwise(F.lit(items[-1][0]))
+
+
+def gen_content(spark: SparkSession, n: int = 15, seed: str = "content") -> DataFrame:
+    """The dimension table (reference sql/init.sql:40-60 seeds 15 rows):
+    deterministic UUID ids, 3-way content types, plausible lengths."""
+    rows = spark.range(n)
+    i = F.col("id")
+    ctype = _pick(i, f"{seed}:type", VALID_CONTENT_TYPES)
+    return rows.select(
+        _uuidish(i, f"{seed}:id").alias("id"),
+        F.concat(F.lit("content-"), i.cast("string")).alias("slug"),
+        F.concat(F.lit("Title "), i.cast("string")).alias("title"),
+        ctype.alias("content_type"),
+        # 180 s .. 5400 s, matching the seed-row range (init.sql:40-60)
+        (F.lit(180) + (md5_long_seeded(i, f"{seed}:len") % 5221)).cast("int").alias(
+            "length_seconds"
+        ),
+        (
+            F.to_timestamp(F.lit(DEFAULT_END_TS))
+            - F.make_interval(days=(md5_long_seeded(i, f"{seed}:age") % 365).cast("int"))
+        ).alias("publish_ts"),
+    )
+
+
+def _payload(i: Column, event_type: Column, device: Column, seed: str) -> Column:
+    """raw_payload JSON (generator.py:138-161): common fields + event-type
+    specific extras; nulls dropped by to_json, matching the reference's
+    dict-update construction."""
+    rating_u = _uniform(i, f"{seed}:rating_p")
+    payload = F.struct(
+        F.when(device.isin(*MOBILE_DEVICES), F.lit("mobile_app"))
+        .otherwise(F.lit("web_app"))
+        .alias("source"),
+        F.concat_ws(
+            ".",
+            (md5_long_seeded(i, f"{seed}:v1") % 3 + 1).cast("string"),
+            (md5_long_seeded(i, f"{seed}:v2") % 10).cast("string"),
+            (md5_long_seeded(i, f"{seed}:v3") % 10).cast("string"),
+        ).alias("version"),
+        _uuidish(i, f"{seed}:session").alias("session_id"),
+        F.when(event_type == "play", _pick(i, f"{seed}:q", QUALITIES)).alias("quality"),
+        F.when(event_type == "play", md5_long_seeded(i, f"{seed}:ap") % 2 == 0).alias(
+            "autoplay"
+        ),
+        F.when(
+            event_type == "finish",
+            F.round(F.lit(0.85) + _uniform(i, f"{seed}:cr") * 0.15, 4),
+        ).alias("completion_rate"),
+        F.when(
+            (event_type == "finish") & (rating_u < 0.3),
+            (md5_long_seeded(i, f"{seed}:stars") % 5 + 1).cast("int"),
+        ).alias("rating"),
+        F.when(event_type == "click", _pick(i, f"{seed}:el", CLICK_ELEMENTS)).alias(
+            "element"
+        ),
+        F.when(
+            event_type == "click",
+            F.struct(
+                (md5_long_seeded(i, f"{seed}:x") % 1921).cast("int").alias("x"),
+                (md5_long_seeded(i, f"{seed}:y") % 1081).cast("int").alias("y"),
+            ),
+        ).alias("coordinates"),
+    )
+    return F.to_json(payload)
+
+
+def gen_events(
+    spark: SparkSession,
+    content: DataFrame,
+    n: int,
+    n_users: int = DEFAULT_USER_POOL,
+    seed: str = "events",
+    end_ts: str = DEFAULT_END_TS,
+) -> DataFrame:
+    """``n`` engagement events over the given content dimension, schema =
+    ENGAGEMENT_EVENT_SCHEMA. One broadcast join (the dimension pick), zero
+    shuffles, zero Python — the whole generator is one codegen stage."""
+    n_content = content.count()
+    dim = F.broadcast(
+        content.select(
+            (md5_long_seeded(F.col("id"), "dimorder") % (2**40)).alias("_ord"),
+            F.col("id").alias("_content_id"),
+            "length_seconds",
+        )
+        .withColumn(
+            "_idx",
+            F.row_number().over(Window.orderBy("_ord", "_content_id")) - 1,
+        )
+        .drop("_ord")
+    )
+    rows = spark.range(n)
+    i = F.col("id")
+    etype = _weighted_event_type(_uniform(i, f"{seed}:etype"))
+    device = _pick(i, f"{seed}:device", DEVICES)
+    picked = (md5_long_seeded(i, f"{seed}:content") % n_content).cast("int")
+    ev = rows.select(
+        i.alias("event_id"),
+        picked.alias("_pick"),
+        _uuidish(md5_long_seeded(i, f"{seed}:user") % n_users, f"{seed}:userid").alias(
+            "user_id"
+        ),
+        etype.alias("event_type"),
+        (
+            F.to_timestamp(F.lit(end_ts))
+            - F.make_interval(
+                secs=(md5_long_seeded(i, f"{seed}:ts") % TRAILING_WINDOW_S).cast(
+                    "double"
+                )
+            )
+        ).alias("event_ts"),
+        _uniform(i, f"{seed}:dur").alias("_dur_u"),
+        device.alias("device"),
+        _payload(i, etype, device, seed).alias("raw_payload"),
+    )
+    joined = ev.join(dim, ev["_pick"] == dim["_idx"])
+    duration = F.lit(None).cast("int")
+    for name, (lo, hi) in DURATION_BANDS.items():
+        frac = F.lit(lo) + F.col("_dur_u") * (hi - lo)
+        duration = F.when(
+            F.col("event_type") == name,
+            F.floor(F.col("length_seconds") * 1000 * frac).cast("int"),
+        ).otherwise(duration)
+    return joined.select(
+        F.col("event_id").alias("id"),
+        F.col("_content_id").alias("content_id"),
+        "user_id",
+        "event_type",
+        "event_ts",
+        duration.alias("duration_ms"),
+        "device",
+        "raw_payload",
+    )
+
+
+__all__ = [
+    "DEVICES",
+    "EVENT_WEIGHTS",
+    "DURATION_BANDS",
+    "gen_content",
+    "gen_events",
+]

@@ -1,0 +1,131 @@
+"""The distributed workload generator (sources/generator.py) must mirror the
+reference generator's distribution spec (reference
+data-generator/generator.py:50-55,93-110,112-173) and stay deterministic,
+partitioning-independent, and shuffle/UDF-free — the properties that make a
+100 TB load-generation job reproducible and retry-safe."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.schemas import (
+    CONTENT_SCHEMA,
+    ENGAGEMENT_EVENT_SCHEMA,
+    VALID_CONTENT_TYPES,
+)
+from cdc_poc_spark.sources import generator as G
+
+N_EVENTS = 20_000
+
+
+def _events(spark, n=N_EVENTS, **kw):
+    content = G.gen_content(spark, 15)
+    return G.gen_events(spark, content, n, **kw)
+
+
+def test_schemas_match_reference_model(spark):
+    content = G.gen_content(spark, 15)
+    assert [f.name for f in content.schema] == [f.name for f in CONTENT_SCHEMA]
+    assert [f.dataType for f in content.schema] == [
+        f.dataType for f in CONTENT_SCHEMA
+    ]
+    ev = _events(spark, 100)
+    assert [f.name for f in ev.schema] == [f.name for f in ENGAGEMENT_EVENT_SCHEMA]
+    assert [f.dataType for f in ev.schema] == [
+        f.dataType for f in ENGAGEMENT_EVENT_SCHEMA
+    ]
+
+
+def test_deterministic_and_partitioning_independent(spark):
+    a = sorted(map(tuple, _events(spark, 500).collect()))
+    b = sorted(map(tuple, _events(spark, 500).repartition(7).collect()))
+    assert a == b
+
+
+def test_event_type_weights(spark):
+    dist = dict(
+        _events(spark)
+        .groupBy("event_type")
+        .agg((F.count("*") / N_EVENTS).alias("p"))
+        .collect()
+    )
+    for name, w in G.EVENT_WEIGHTS.items():
+        assert abs(dist[name] - w) < 0.02, (name, dist[name], w)
+
+
+def test_duration_semantics(spark):
+    content = G.gen_content(spark, 15)
+    ev = G.gen_events(spark, content, N_EVENTS)
+    joined = ev.join(content, ev["content_id"] == content["id"])
+    clicks = joined.filter(F.col("event_type") == "click")
+    assert clicks.filter(F.col("duration_ms").isNotNull()).count() == 0
+    for name, (lo, hi) in G.DURATION_BANDS.items():
+        bad = joined.filter(
+            (F.col("event_type") == name)
+            & (
+                F.col("duration_ms").isNull()
+                | (F.col("duration_ms") < F.col("length_seconds") * 1000 * lo - 1)
+                | (F.col("duration_ms") > F.col("length_seconds") * 1000 * hi)
+            )
+        ).count()
+        assert bad == 0, name
+
+
+def test_user_pool_and_content_coverage(spark):
+    ev = _events(spark, n_users=50)
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("u"),
+        F.count_distinct("content_id").alias("c"),
+    ).first()
+    assert agg["u"] <= 50
+    assert agg["c"] == 15  # uniform over the full dimension
+    assert ev.filter(~F.col("event_type").isin("play", "pause", "click", "finish")).count() == 0
+
+
+def test_payload_shape(spark):
+    rows = (
+        _events(spark, 2_000)
+        .select("event_type", "device", "raw_payload")
+        .collect()
+    )
+    saw_rating = False
+    for r in rows:
+        p = json.loads(r.raw_payload)
+        assert p["source"] == (
+            "mobile_app" if r.device in G.MOBILE_DEVICES else "web_app"
+        )
+        assert len(p["session_id"]) == 36
+        if r.event_type == "click":
+            assert p["element"] in G.CLICK_ELEMENTS
+            assert 0 <= p["coordinates"]["x"] <= 1920
+            assert 0 <= p["coordinates"]["y"] <= 1080
+        if r.event_type == "finish":
+            assert 0.85 <= p["completion_rate"] <= 1.0
+            saw_rating = saw_rating or "rating" in p
+        if r.event_type == "play":
+            assert p["quality"] in G.QUALITIES
+    assert saw_rating  # ~30% of finishes carry a rating
+
+
+def test_content_types_valid(spark):
+    content = G.gen_content(spark, 100)
+    assert (
+        content.filter(~F.col("content_type").isin(*VALID_CONTENT_TYPES)).count()
+        == 0
+    )
+    assert content.filter(
+        (F.col("length_seconds") < 180) | (F.col("length_seconds") > 5400)
+    ).count() == 0
+    assert content.select("id").distinct().count() == 100
+
+
+def test_generator_plan_is_one_stage(spark):
+    """No shuffle except the broadcast build side, no Python eval — the
+    generator must be a single codegen stage over range()."""
+    plan = _events(spark, 1_000)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Range" in plan
