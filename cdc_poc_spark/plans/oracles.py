@@ -1128,6 +1128,72 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_suppkey"""
 
+    from ..sources.generator import (
+        DEVICES,
+        DURATION_BANDS,
+        EVENT_WEIGHTS,
+        TRAILING_WINDOW_S,
+    )
+    from .registry import GEN_CONTENT_N, GEN_WORKLOAD_N
+
+    def _h(expr: str, seed: str) -> str:
+        return md5_long_seeded_sql(f"CAST({expr} AS VARCHAR)", seed)
+
+    def _uuidish(expr: str, seed: str) -> str:
+        hx = f"md5('{seed}' || CAST({expr} AS VARCHAR))"
+        return (
+            f"concat_ws('-', substr({hx},1,8), substr({hx},9,4), "
+            f"substr({hx},13,4), substr({hx},17,4), substr({hx},21,12))"
+        )
+
+    def _u(expr: str, seed: str) -> str:
+        return f"(CAST({_h(expr, seed)} % 1000000 AS DOUBLE) / 1000000)"
+
+    _etype_case = "CASE"
+    _acc = 0.0
+    _items = list(EVENT_WEIGHTS.items())
+    for _name, _w in _items[:-1]:
+        _acc += _w
+        _etype_case += f" WHEN {_u('i', 'events:etype')} < {_acc!r} THEN '{_name}'"
+    _etype_case += f" ELSE '{_items[-1][0]}' END"
+    _devices = ", ".join(f"'{d}'" for d in DEVICES)
+    _dur_case = "CASE"
+    for _name, (_lo, _hi) in DURATION_BANDS.items():
+        _dur_case += (
+            f" WHEN event_type = '{_name}' THEN CAST(FLOOR(length_seconds * 1000"
+            f" * ({_lo!r} + dur_u * {_hi - _lo!r})) AS INT)"
+        )
+    _dur_case += " ELSE NULL END"
+    sqls["gen_workload"] = f"""
+        WITH content AS (
+            SELECT {_uuidish('t.i', 'content:id')} AS cid,
+                   CAST(180 + {_h('t.i', 'content:len')} % 5221 AS INT)
+                       AS length_seconds
+            FROM (SELECT unnest(range({GEN_CONTENT_N})) AS i) t),
+        dim AS (
+            SELECT cid, length_seconds,
+                   row_number() OVER (
+                       ORDER BY {md5_long_seeded_sql('cid', 'dimorder')}
+                                % 1099511627776, cid) - 1 AS idx
+            FROM content),
+        ev AS (
+            SELECT t.i AS id,
+                   CAST({_h('t.i', 'events:content')} % {GEN_CONTENT_N} AS INT)
+                       AS pick,
+                   {_uuidish(_h('t.i', 'events:user') + ' % 10000',
+                             'events:userid')} AS user_id,
+                   {_etype_case} AS event_type,
+                   CAST({_h('t.i', 'events:ts')} % {TRAILING_WINDOW_S} AS INT)
+                       AS ts_offset_s,
+                   {_u('t.i', 'events:dur')} AS dur_u,
+                   list_extract([{_devices}],
+                                CAST({_h('t.i', 'events:device')} % 6 + 1
+                                     AS INT)) AS device
+            FROM (SELECT unnest(range({GEN_WORKLOAD_N})) AS i) t)
+        SELECT id, cid AS content_id, user_id, event_type, ts_offset_s,
+               {_dur_case} AS duration_ms, device
+        FROM ev JOIN dim ON pick = idx"""
+
     _codes = ", ".join(f"'{c}'" for c in DORMANT_CODES)
     sqls["wh_dormant_customers"] = f"""
         WITH scoped AS (

@@ -984,6 +984,34 @@ def q_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEN_WORKLOAD_N = 10_000
+GEN_CONTENT_N = 15
+
+
+def q_gen_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed workload generator itself, differential-tested: its
+    randomness is seeded-md5 arithmetic (sources/generator.py), so DuckDB
+    can replay the identical draw — event types, devices, users, content
+    pick, and duration bands all hash-match cross-engine. (raw_payload is
+    projected out: JSON field order is engine-specific; its shape is
+    asserted in tests/test_generator.py.) Ignores sf_dir — the generator is
+    its own source."""
+    from ..sources import generator as G
+
+    content = G.gen_content(spark, GEN_CONTENT_N)
+    ev = G.gen_events(spark, content, GEN_WORKLOAD_N)
+    end = F.unix_timestamp(F.to_timestamp(F.lit(G.DEFAULT_END_TS)))
+    return ev.select(
+        "id",
+        "content_id",
+        "user_id",
+        "event_type",
+        (end - F.unix_timestamp(F.col("event_ts"))).cast("int").alias("ts_offset_s"),
+        "duration_ms",
+        "device",
+    )
+
+
 def q_wh_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: distribution of customers by order count — the
     outer-join-then-double-aggregate shape. The left outer join keeps
@@ -1452,6 +1480,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_disjunctive_join": q_wh_disjunctive_join,
         "wh_late_suppliers": q_wh_late_suppliers,
         "wh_dormant_customers": q_wh_dormant_customers,
+        "gen_workload": q_gen_workload,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,
