@@ -154,19 +154,10 @@ def _payload(i: Column, event_type: Column, device: Column, seed: str) -> Column
     return F.to_json(payload)
 
 
-def gen_events(
-    spark: SparkSession,
-    content: DataFrame,
-    n: int,
-    n_users: int = DEFAULT_USER_POOL,
-    seed: str = "events",
-    end_ts: str = DEFAULT_END_TS,
-) -> DataFrame:
-    """``n`` engagement events over the given content dimension, schema =
-    ENGAGEMENT_EVENT_SCHEMA. One broadcast join (the dimension pick), zero
-    shuffles, zero Python — the whole generator is one codegen stage."""
-    n_content = content.count()
-    dim = F.broadcast(
+def _indexed_dim(content: DataFrame) -> DataFrame:
+    """The dimension with a deterministic dense 0..n-1 pick index (hash
+    order, id tiebreak) — tiny, always broadcast."""
+    return F.broadcast(
         content.select(
             (md5_long_seeded(F.col("id"), "dimorder") % (2**40)).alias("_ord"),
             F.col("id").alias("_content_id"),
@@ -178,8 +169,20 @@ def gen_events(
         )
         .drop("_ord")
     )
-    rows = spark.range(n)
-    i = F.col("id")
+
+
+def _assemble(
+    rows: DataFrame,
+    i: Column,
+    event_ts: Column,
+    dim: DataFrame,
+    n_content: int,
+    n_users: int,
+    seed: str,
+) -> DataFrame:
+    """Shared batch/stream event assembly: one projection, one broadcast
+    join against the pick index, one duration CASE — a single codegen
+    stage either way."""
     etype = _weighted_event_type(_uniform(i, f"{seed}:etype"))
     device = _pick(i, f"{seed}:device", DEVICES)
     picked = (md5_long_seeded(i, f"{seed}:content") % n_content).cast("int")
@@ -190,14 +193,7 @@ def gen_events(
             "user_id"
         ),
         etype.alias("event_type"),
-        (
-            F.to_timestamp(F.lit(end_ts))
-            - F.make_interval(
-                secs=(md5_long_seeded(i, f"{seed}:ts") % TRAILING_WINDOW_S).cast(
-                    "double"
-                )
-            )
-        ).alias("event_ts"),
+        event_ts.alias("event_ts"),
         _uniform(i, f"{seed}:dur").alias("_dur_u"),
         device.alias("device"),
         _payload(i, etype, device, seed).alias("raw_payload"),
@@ -222,10 +218,99 @@ def gen_events(
     )
 
 
+def gen_events(
+    spark: SparkSession,
+    content: DataFrame,
+    n: int,
+    n_users: int = DEFAULT_USER_POOL,
+    seed: str = "events",
+    end_ts: str = DEFAULT_END_TS,
+) -> DataFrame:
+    """``n`` engagement events over the given content dimension, schema =
+    ENGAGEMENT_EVENT_SCHEMA. One broadcast join (the dimension pick), zero
+    shuffles, zero Python — the whole generator is one codegen stage."""
+    n_content = content.count()
+    rows = spark.range(n)
+    i = F.col("id")
+    event_ts = F.to_timestamp(F.lit(end_ts)) - F.make_interval(
+        secs=(md5_long_seeded(i, f"{seed}:ts") % TRAILING_WINDOW_S).cast("double")
+    )
+    return _assemble(rows, i, event_ts, _indexed_dim(content), n_content, n_users, seed)
+
+
+def gen_events_stream(
+    spark: SparkSession,
+    content: DataFrame,
+    rows_per_second: int,
+    n_users: int = DEFAULT_USER_POOL,
+    seed: str = "events",
+) -> DataFrame:
+    """Continuous load generation as a Structured Streaming source — the
+    running-forever mode of the reference generator (generator.py:214-262's
+    rate loop). Built on the ``rate`` source: ``value`` is the event id and
+    drives the same hash arithmetic as the batch path; ``event_ts`` is the
+    arrival timestamp backdated a hashed 0-600 s (the reference draws
+    timestamps uniform over the trailing 10 minutes). The dimension pick is
+    a stream-static broadcast join, so the plan stays one stage per
+    micro-batch and scales by adding executors, not driver threads."""
+    n_content = content.count()
+    rows = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    i = F.col("value")
+    event_ts = F.col("timestamp") - F.make_interval(
+        secs=(md5_long_seeded(i, f"{seed}:ts") % TRAILING_WINDOW_S).cast("double")
+    )
+    return _assemble(
+        rows.select("value", "timestamp"),
+        i,
+        event_ts,
+        _indexed_dim(content),
+        n_content,
+        n_users,
+        seed,
+    )
+
+
+def wire_encode(events: DataFrame, delete_mod: int | None = None) -> DataFrame:
+    """Serialize generated events into Debezium-enveloped JSON ``value``
+    strings (the shape S2/O1 consume), optionally marking every
+    ``delete_mod``-th id a delete (after=null, op='d'). Works on the batch
+    and streaming outputs alike, closing the loop: generator -> wire ->
+    parse_envelope -> enrich is a full synthetic CDC pipeline."""
+    from ..functions.timeutil import format_wire_ntz
+
+    after = F.struct(
+        F.col("id"),
+        F.col("content_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        format_wire_ntz(F.col("event_ts").cast("timestamp_ntz")).alias("event_ts"),
+        F.col("duration_ms"),
+        F.col("device"),
+        F.col("raw_payload"),
+    )
+    if delete_mod is None:
+        payload = F.struct(after.alias("after"), F.lit("c").alias("op"))
+    else:
+        is_delete = F.col("id") % delete_mod == 0
+        payload = F.struct(
+            F.when(~is_delete, after).alias("after"),
+            F.when(is_delete, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        )
+    return events.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )
+
+
 __all__ = [
     "DEVICES",
     "EVENT_WEIGHTS",
     "DURATION_BANDS",
     "gen_content",
     "gen_events",
+    "gen_events_stream",
+    "wire_encode",
 ]

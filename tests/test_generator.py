@@ -121,6 +121,72 @@ def test_content_types_valid(spark):
     assert content.select("id").distinct().count() == 100
 
 
+def test_wire_round_trip(spark):
+    """generator -> Debezium wire -> parse_envelope must reproduce the
+    generated rows (deletes dropped) — the full synthetic CDC loop."""
+    from cdc_poc_spark.sources import debezium
+
+    ev = _events(spark, 300)
+    wire = G.wire_encode(ev, delete_mod=10)
+    parsed = debezium.good_rows(
+        debezium.parse_envelope(wire, ev.schema)
+    )
+    got = {r.id: r for r in parsed.collect()}
+    want = {r.id: r for r in ev.collect()}
+    assert set(got) == {i for i in want if i % 10 != 0}
+    for i, r in got.items():
+        w = want[i]
+        assert (
+            r.content_id, r.user_id, r.event_type, r.duration_ms, r.device
+        ) == (w.content_id, w.user_id, w.event_type, w.duration_ms, w.device)
+        assert r.event_ts == w.event_ts
+
+
+def test_stream_generator_matches_batch_arithmetic(spark, tmp_path):
+    """The rate-source streaming generator must draw the same hash-derived
+    columns as the batch path for the same ids (event_ts differs by
+    construction: arrival-time-based)."""
+    from pyspark.sql import functions as F
+
+    content = G.gen_content(spark, 15)
+    stream = G.gen_events_stream(spark, content, rows_per_second=500)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gen_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM gen_stream_test").first()[0] >= 200:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        r.id: r
+        for r in spark.sql(
+            "SELECT id, content_id, user_id, event_type, duration_ms, device "
+            "FROM gen_stream_test"
+        ).collect()
+    }
+    assert len(got) >= 200
+    batch = {
+        r.id: r
+        for r in G.gen_events(spark, content, max(got) + 1)
+        .filter(F.col("id").isin(*list(got)[:200]))
+        .collect()
+    }
+    for i in list(got)[:200]:
+        g, b = got[i], batch[i]
+        assert (
+            g.content_id, g.user_id, g.event_type, g.duration_ms, g.device
+        ) == (b.content_id, b.user_id, b.event_type, b.duration_ms, b.device)
+
+
 def test_generator_plan_is_one_stage(spark):
     """No shuffle except the broadcast build side, no Python eval — the
     generator must be a single codegen stage over range()."""
