@@ -1,0 +1,66 @@
+"""Single-pass data profiling — the ingest-gate quality check a large-scale
+training-data pipeline runs before anything else touches a new drop.
+
+Not present in the reference (its only data validation is eyeballing Redis
+keys, reference README.md:221-236); included as an M6-class pipeline
+extension (SURVEY §7.3).
+
+Scale shape: ALL metrics for ALL profiled columns come from ONE ``agg`` over
+one scan — count/nulls/min/max are plain map-side-partial aggregates, and
+the per-column distinct counts ride the same pass (Catalyst plans multi
+count_distinct via a single Expand + partial aggregation, one shuffle
+total). The wide 1-row result is then exploded to long format
+(column, metric rows) driver-free via a literal map + explode, never a
+per-column job loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# metric names, in output order
+METRICS = ("n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Profile ``columns`` (default: all non-complex columns) into long rows
+    ``(column, n_rows, n_nulls, n_distinct, min_str, max_str)``.
+
+    min/max are compared in the column's native type (so numerics order
+    numerically) and rendered as strings only for the uniform output schema.
+    """
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema
+            if f.dataType.typeName() not in ("array", "map", "struct", "binary")
+        ]
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_nulls"),
+            F.count_distinct(col).alias(f"{c}__n_distinct"),
+            F.min(col).cast("string").alias(f"{c}__min_str"),
+            F.max(col).cast("string").alias(f"{c}__max_str"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_nulls").alias("n_nulls"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_str").alias("min_str"),
+                F.col(f"{c}__max_str").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+__all__ = ["profile", "METRICS"]

@@ -1128,6 +1128,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_suppkey"""
 
+    from .registry import PROFILE_COLUMNS
+
+    sqls["profile_documents"] = "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM documents"""
+        for c in PROFILE_COLUMNS
+    )
+
     from ..sources.generator import (
         DEVICES,
         DURATION_BANDS,

@@ -988,6 +988,19 @@ GEN_WORKLOAD_N = 10_000
 GEN_CONTENT_N = 15
 
 
+PROFILE_COLUMNS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest-gate profile of the document corpus: per-column
+    row/null/distinct counts and min/max — all metrics from ONE scan+agg
+    (multi count_distinct plans as a single Expand, one shuffle), exploded
+    to long format without a per-column job loop."""
+    from ..operators.profiling import profile
+
+    return profile(load_table(spark, sf_dir, "documents"), PROFILE_COLUMNS)
+
+
 def q_gen_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed workload generator itself, differential-tested: its
     randomness is seeded-md5 arithmetic (sources/generator.py), so DuckDB
@@ -1481,6 +1494,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_late_suppliers": q_wh_late_suppliers,
         "wh_dormant_customers": q_wh_dormant_customers,
         "gen_workload": q_gen_workload,
+        "profile_documents": q_profile_documents,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,

@@ -199,6 +199,14 @@ def test_min_cost_supplier_agg_join_back(spark):
     assert part_scans and any("EqualTo(p_type,LARGE)" in s for s in part_scans)
 
 
+def test_profile_is_single_scan(spark):
+    """The profiler must compute every column's metrics from ONE scan of
+    the table — a per-column scan loop would read a 100 TB table N times."""
+    plan = _plan(queries()["profile_documents"](spark, SF_DIR))
+    assert len(_scans(plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in queries() if n not in PLAN_SKIP)
 )
