@@ -1128,6 +1128,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_suppkey"""
 
+    sqls["wh_customer_quantiles"] = """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                              RANGE BETWEEN 100 PRECEDING
+                                        AND 100 FOLLOWING) AS peers_100
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)"""
+
     from .registry import PROFILE_COLUMNS
 
     sqls["profile_documents"] = "\n        UNION ALL\n".join(

@@ -988,6 +988,29 @@ GEN_WORKLOAD_N = 10_000
 GEN_CONTENT_N = 15
 
 
+def q_wh_customer_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window surface: ntile quartiles, percent_rank,
+    cume_dist (rank windows, custkey tiebreak for determinism), and a
+    RANGE-value frame (peers within ±100 acctbal) — one shuffle on the
+    segment key serves all four windows."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_range = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, 100)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.count(F.lit(1)).over(w_range).alias("peers_100"),
+    )
+
+
 PROFILE_COLUMNS = ["doc_id", "lang", "source", "n_chars"]
 
 
@@ -1495,6 +1518,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_dormant_customers": q_wh_dormant_customers,
         "gen_workload": q_gen_workload,
         "profile_documents": q_profile_documents,
+        "wh_customer_quantiles": q_wh_customer_quantiles,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,
