@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "text_stats",
     "text_clean",
     "text_fingerprints",
+    "text_repetition",
+    "pipeline_decontaminate",
+    "profile_documents",
     "pipeline_pack_sequences",
     "dedup_exact",
     "dedup_ngram_jaccard",

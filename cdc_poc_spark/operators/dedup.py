@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long, minhash_constants
+from ..functions.hashing import md5_long, md5_long_seeded, minhash_constants
 from ..functions.partitioning import spread
 from .text_analysis import tokens
 
@@ -270,3 +270,45 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     for c in bit_cols[1:]:
         fp = fp + c
     return docs.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# Benchmark decontamination: a doc sharing this many distinct k-gram
+# shingles with any held-out/benchmark document is flagged (the standard
+# n-gram-overlap eval-contamination check for pretraining corpora)
+CONTAM_MIN_SHARED = 5
+CONTAM_BENCH_MOD = 50  # deterministic stand-in benchmark: ~2% of the corpus
+
+
+def benchmark_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (corpus, benchmark) split by doc_id hash — the test
+    stand-in for a real eval set. Pure expression, no shuffle."""
+    is_bench = md5_long_seeded(F.col("doc_id"), "bench") % CONTAM_BENCH_MOD == 0
+    return docs.filter(~is_bench), docs.filter(is_bench)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = CONTAM_MIN_SHARED,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Corpus documents contaminated by benchmark overlap: sharing >=
+    ``min_shared`` distinct k-gram shingles with the benchmark set, with
+    the shared-gram count.
+
+    Scale shape: the benchmark's distinct gram set is small (eval suites
+    are thousands of docs, not billions) and broadcasts; the corpus grams
+    stream through the broadcast join exploded — one hash-agg shuffle keyed
+    by doc_id, document text never shuffles. 100 TB corpus x fixed
+    benchmark stays linear.
+    """
+    bench_grams = F.broadcast(
+        doc_shingles(benchmark, k).select("shingle").distinct()
+    )
+    return (
+        doc_shingles(corpus, k)
+        .join(bench_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )

@@ -159,3 +159,72 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         rolling_fingerprint(F.col("text")).alias("fingerprint"),
         F.length("text").alias("n_chars_actual"),
     )
+
+
+# Gopher-style repetition gates (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+# documents dominated by repeated lines or one repeated n-gram are boilerplate
+DUP_LINE_MAX_FRAC = 0.30
+TOP_BIGRAM_MAX_FRAC = 0.20
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition quality: duplicate-line fraction and
+    most-frequent-bigram fraction, with the pass/fail gate.
+
+    Scale shape: the line metrics are pure array expressions (no shuffle);
+    the bigram mode needs true counts (not distinct), so bigrams explode and
+    aggregate — both aggregations are map-side-partial hash aggs keyed by
+    doc, and only (doc_id, gram) pairs shuffle, never document text.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    base = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_counts = (
+        base.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("_n").alias("_top"),
+            F.sum("_n").alias("_total"),
+        )
+    )
+    return (
+        base.drop("_toks")
+        .join(gram_counts, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            (
+                (F.col("dup_line_frac") <= DUP_LINE_MAX_FRAC)
+                & (
+                    F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0))
+                    <= TOP_BIGRAM_MAX_FRAC
+                )
+            ).alias("repetition_ok"),
+        )
+    )

@@ -1128,6 +1128,60 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_suppkey"""
 
+    from ..operators.dedup import CONTAM_BENCH_MOD, CONTAM_MIN_SHARED
+    from ..operators.text_analysis import (
+        DUP_LINE_MAX_FRAC,
+        TOP_BIGRAM_MAX_FRAC,
+    )
+
+    sqls["text_repetition"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> x <> '') AS lines,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents),
+        lb AS (
+            SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                        ELSE 0.0 END AS dup_line_frac,
+                   t
+            FROM base),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM lb),
+        gc AS (
+            SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS tbf
+            FROM (SELECT doc_id, gram, COUNT(*) AS n FROM bi
+                  GROUP BY doc_id, gram) c
+            GROUP BY doc_id)
+        SELECT l.doc_id, n_lines, dup_line_frac,
+               COALESCE(tbf, 0.0) AS top_bigram_frac,
+               (dup_line_frac <= {DUP_LINE_MAX_FRAC}
+                AND COALESCE(tbf, 0.0) <= {TOP_BIGRAM_MAX_FRAC})
+                   AS repetition_ok
+        FROM lb l LEFT JOIN gc ON l.doc_id = gc.doc_id"""
+
+    _bench_pred = (
+        f"{md5_long_seeded_sql('CAST(doc_id AS VARCHAR)', 'bench')}"
+        f" % {CONTAM_BENCH_MOD} = 0"
+    )
+    sqls["pipeline_decontaminate"] = f"""
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE},
+        bench_ids AS (SELECT doc_id FROM documents WHERE {_bench_pred}),
+        bg AS (SELECT DISTINCT shingle FROM ex
+               WHERE doc_id IN (SELECT doc_id FROM bench_ids))
+        SELECT doc_id, COUNT(*) AS n_shared_grams
+        FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+          AND shingle IN (SELECT shingle FROM bg)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= {CONTAM_MIN_SHARED}"""
+
     sqls["wh_customer_quantiles"] = """
         SELECT c_custkey, c_mktsegment, c_acctbal,
                CAST(ntile(4) OVER w AS INT) AS quartile,

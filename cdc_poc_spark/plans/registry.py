@@ -988,6 +988,22 @@ GEN_WORKLOAD_N = 10_000
 GEN_CONTENT_N = 15
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-line fraction (pure array
+    expression) + most-frequent-bigram fraction (explode -> two hash aggs;
+    only (doc_id, gram) pairs shuffle)."""
+    return text_analysis.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= CONTAM_MIN_SHARED
+    distinct shingles with the (deterministic stand-in) benchmark set.
+    Benchmark gram set broadcasts; corpus grams stream through it."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, bench = dedup.benchmark_split(docs)
+    return dedup.decontaminate(corpus, bench)
+
+
 def q_wh_customer_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining analytic-window surface: ntile quartiles, percent_rank,
     cume_dist (rank windows, custkey tiebreak for determinism), and a
@@ -1519,6 +1535,8 @@ def queries() -> dict[str, QueryFn]:
         "gen_workload": q_gen_workload,
         "profile_documents": q_profile_documents,
         "wh_customer_quantiles": q_wh_customer_quantiles,
+        "text_repetition": q_text_repetition,
+        "pipeline_decontaminate": q_pipeline_decontaminate,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "text_stats": q_text_stats,

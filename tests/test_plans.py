@@ -199,6 +199,14 @@ def test_min_cost_supplier_agg_join_back(spark):
     assert part_scans and any("EqualTo(p_type,LARGE)" in s for s in part_scans)
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast: a shuffled gram join would
+    reshuffle the full corpus gram stream against a tiny eval set."""
+    plan = _plan(queries()["pipeline_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_profile_is_single_scan(spark):
     """The profiler must compute every column's metrics from ONE scan of
     the table — a per-column scan loop would read a 100 TB table N times."""
