@@ -29,8 +29,12 @@ from .registry import (
     CORRUPT_MOD,
     COSINE_TAU,
     DELETE_MOD,
+    EXCESS_SHIP_QTY,
     JACCARD_THRESHOLD,
     LARGE_ORDER_QTY,
+    ORDER_PRIORITY_LATE_DAYS,
+    SMALL_QTY_BRAND,
+    SMALL_QTY_FRACTION,
     PRICE_BAND_WIDTH,
     PRICE_BANDS,
     SIM_QUERY_VEC_ID,
@@ -1368,6 +1372,59 @@ def oracle_sql() -> dict[str, str]:
                token_offset // {PACK_BUDGET} AS pack_id,
                token_offset % {PACK_BUDGET} AS offset_in_pack
         FROM cum"""
+
+    sqls["wh_forecast_revenue"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN
+              CAST('0.05' AS DECIMAL(12,2)) AND CAST('0.07' AS DECIMAL(12,2))
+          AND l_quantity < 24"""
+
+    # different formulation: correlated EXISTS instead of the semi join
+    sqls["wh_order_priority"] = f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND CAST(l.l_shipdate AS DATE) >
+                            CAST(o.o_orderdate AS DATE)
+                            + INTERVAL {ORDER_PRIORITY_LATE_DAYS} DAY)
+        GROUP BY o_orderpriority"""
+
+    # different formulation: correlated scalar subquery instead of the
+    # decorrelated per-part aggregate join
+    sqls["wh_small_qty_revenue"] = f"""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 4)
+                    AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{SMALL_QTY_BRAND}'
+          AND CAST(l.l_quantity AS DECIMAL(12,2)) <
+              (SELECT CAST('{SMALL_QTY_FRACTION}' AS DECIMAL(12,2)) *
+                      AVG(CAST(l2.l_quantity AS DECIMAL(12,2)))
+               FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+
+    # different formulation: IN subqueries instead of the semi-join chain
+    sqls["wh_excess_shipments"] = f"""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%green%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {EXCESS_SHIP_QTY})
+        ORDER BY s_suppkey"""
 
     sqls["pipeline_sample_stratified"] = f"""
         SELECT doc_id, lang, source

@@ -1477,6 +1477,117 @@ def q_wh_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: revenue increase from hypothetically eliminating
+    small discounts — a single-pass filtered aggregation whose three
+    predicates (shipdate range, discount band, quantity cap) all push down
+    to the parquet scan; no shuffle beyond the final 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").cast("decimal(12,2)") >= F.lit("0.05").cast("decimal(12,2)"))
+        & (F.col("l_discount").cast("decimal(12,2)") <= F.lit("0.07").cast("decimal(12,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(12,2)")
+    return li.agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORDER_PRIORITY_LATE_DAYS = 30
+
+
+def q_wh_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: per-priority count of one quarter's orders with at
+    least one line shipped > 30 days after the order date (the testdata has
+    no commit/receipt dates, so lateness is ship-vs-order). The correlated
+    EXISTS with a non-equi conjunct decorrelates to a left-semi join whose
+    extra predicate rides on the equi-join — no cartesian expansion."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), ORDER_PRIORITY_LATE_DAYS)
+    )
+    return (
+        orders.join(li, (F.col("l_orderkey") == F.col("o_orderkey")) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SMALL_QTY_BRAND = "Brand#13"
+SMALL_QTY_FRACTION = "0.2"
+
+
+def q_wh_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue lost if small-quantity
+    orders for one brand were not taken. The correlated scalar subquery
+    (0.2 * per-part avg quantity) decorrelates into a per-part aggregate
+    joined back to the facts; the brand filter semi-joins lineitem down
+    BEFORE the aggregate so the avg is computed only for surviving parts."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == SMALL_QTY_BRAND
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(SMALL_QTY_FRACTION).cast("decimal(12,2)") * F.avg(qty)).alias("_cap")
+    ).select(F.col("l_partkey").alias("_pk"), "_cap")
+    small = li.join(
+        avg_qty, F.col("l_partkey") == F.col("_pk"), "inner"
+    ).filter(qty < F.col("_cap"))
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0), 4
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+EXCESS_SHIP_QTY = 40
+
+
+def q_wh_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (adapted: the testdata has no partsupp, so "excess
+    availability" becomes "shipped more than EXCESS_SHIP_QTY units"):
+    suppliers who heavily shipped green parts in 1996. Part filter
+    broadcasts into the fact scan; the (supp, part) aggregate then reduces
+    to a distinct supplier set that semi-joins the supplier dim."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
+        .filter(F.col("_qty") > EXCESS_SHIP_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "cdc_enriched": q_cdc_enriched,
@@ -1532,6 +1643,10 @@ def queries() -> dict[str, QueryFn]:
         "wh_disjunctive_join": q_wh_disjunctive_join,
         "wh_late_suppliers": q_wh_late_suppliers,
         "wh_dormant_customers": q_wh_dormant_customers,
+        "wh_forecast_revenue": q_wh_forecast_revenue,
+        "wh_order_priority": q_wh_order_priority,
+        "wh_small_qty_revenue": q_wh_small_qty_revenue,
+        "wh_excess_shipments": q_wh_excess_shipments,
         "gen_workload": q_gen_workload,
         "profile_documents": q_profile_documents,
         "wh_customer_quantiles": q_wh_customer_quantiles,
