@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "wh_market_share",
     "wh_product_profit",
     "wh_late_suppliers",
+    "wh_forecast_revenue",
+    "wh_order_priority",
+    "wh_small_qty_revenue",
+    "wh_excess_shipments",
     "wh_explode_tokens",
     "text_stats",
     "text_clean",
