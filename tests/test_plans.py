@@ -215,6 +215,61 @@ def test_profile_is_single_scan(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_forecast_revenue_pushdown_and_partial_agg(spark):
+    """Q6 shape: every predicate must reach the parquet scan (at 100 TB the
+    win IS the row-group skip), the scan must read only the 4 needed
+    columns, and the 1-row agg must have a map-side partial pass."""
+    df = queries()["wh_forecast_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert len(_scans(plan)) == 1
+    # plan.toString truncates long scan lines — read the formatted explain,
+    # which prints PushedFilters / ReadSchema in full
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    full = df._jdf.queryExecution().explainString(mode)
+    # shipdate range + quantity cap appear in PushedFilters
+    assert "GreaterThanOrEqual(l_shipdate" in full
+    assert "LessThan(l_quantity,24" in full
+    # no extra columns read
+    read_schema = [ln for ln in full.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_orderkey" not in read_schema[0]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_order_priority_semi_join_no_cartesian(spark):
+    """Q4 shape: the correlated EXISTS with the non-equi lateness conjunct
+    must decorrelate to a semi join keyed on the equi predicate — a
+    nested-loop fallback would be quadratic in the fact table."""
+    plan = _plan(queries()["wh_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the quarter filter reaches the orders scan
+    assert any("GreaterThanOrEqual(o_orderdate" in s for s in _scans(plan))
+
+
+def test_small_qty_brand_filter_before_aggregate(spark):
+    """Q17 shape: the brand slice must semi-join the facts down BEFORE the
+    per-part avg — aggregating all parts then filtering would shuffle the
+    full fact table for a 1/25 slice."""
+    plan = _plan(queries()["wh_small_qty_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert any("EqualTo(p_brand,Brand#13)" in s for s in _scans(plan))
+    # both fact branches (avg side and revenue side) are semi-joined first:
+    # every LeftSemi sits below the first HashAggregate in its subtree
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_excess_shipments_semi_chain(spark):
+    """Q20 shape: part slice -> fact aggregate -> supplier must stay a
+    semi-join chain with the name filter pushed to the part scan."""
+    plan = _plan(queries()["wh_excess_shipments"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert any("StringContains(p_name,green)" in s for s in _scans(plan))
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in queries() if n not in PLAN_SKIP)
 )
