@@ -461,6 +461,22 @@ def q_wh_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAVY_HITTER_RECENT = "2024-01-30"
+
+
+def q_wh_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: estimated all-time event counts for
+    the users active in the most recent day — one sketch pass over the
+    facts (mergeable, bounded memory) instead of a full groupBy shuffle.
+    Estimates are engine-specific (rows-only check); the CMS error bound
+    est in [true, true + eps*N] is asserted in tests/test_wh_sql.py."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    recent = ev.filter(F.col("ts") >= F.lit(HEAVY_HITTER_RECENT)).select("user_id")
+    return sketches.heavy_hitters_over_candidates(ev, recent, "user_id")
+
+
 def q_wh_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: ((URGENT buyers ∩ F-status buyers) ∪ BUILDING
     customers) ∖ 5-LOW buyers."""
@@ -1616,6 +1632,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_distinct_agg": q_wh_distinct_agg,
         "wh_approx_users": q_wh_approx_users,
         "wh_approx_percentiles": q_wh_approx_percentiles,
+        "wh_heavy_hitters": q_wh_heavy_hitters,
         "wh_set_ops": q_wh_set_ops,
         "wh_window_frames": q_wh_window_frames,
         "wh_skew_salted_join": q_wh_skew_salted_join,

@@ -19,7 +19,13 @@ def test_every_query_has_oracle_or_is_flagged():
     # vs exact is asserted in tests/test_wh_sql.py instead
     # wh_approx_percentiles: GK-sketch quantiles likewise engine-specific;
     # error bound vs exact asserted in tests/test_wh_sql.py
-    allowed_rows_only: set[str] = {"wh_approx_users", "wh_approx_percentiles"}
+    # wh_heavy_hitters: Count-Min estimates likewise engine-specific;
+    # CMS bound (est in [true, true + eps*N]) asserted in tests/test_wh_sql.py
+    allowed_rows_only: set[str] = {
+        "wh_approx_users",
+        "wh_approx_percentiles",
+        "wh_heavy_hitters",
+    }
     assert set(missing) <= allowed_rows_only
 
 

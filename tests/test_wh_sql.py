@@ -76,3 +76,33 @@ def test_sessions_cover_all_events(spark):
         .collect()
     }
     assert per_user == events
+
+
+def test_heavy_hitters_cms_bound(spark):
+    """Count-Min guarantee: est >= true, and est <= true + eps*N (eps=0.001,
+    N = total events). Candidates must cover every recently-active user."""
+    from cdc_poc_spark.operators.sketches import CMS_EPS
+    from cdc_poc_spark.plans.registry import HEAVY_HITTER_RECENT
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_total = ev.count()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in queries()["wh_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    recent_users = {
+        r["user_id"]
+        for r in ev.filter(F.col("ts") >= F.lit(HEAVY_HITTER_RECENT))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert set(est) == recent_users
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    slack = CMS_EPS * n_total
+    for uid, e in est.items():
+        true = exact[uid]
+        assert true <= e <= true + slack, (uid, e, true, slack)
