@@ -253,6 +253,78 @@ def minhash_lsh_dups(
     )
 
 
+def incremental_minhash_dups(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    threshold: float,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Incremental near-dup: match an INCOMING BATCH against an already-
+    indexed corpus without re-pairing the corpus with itself.
+
+    This is how dedup actually runs in a continuously-ingesting pipeline:
+    the corpus' banding keys are a standing index (at 100 TB, a bucketed
+    table keyed by (band, bucket_key)); each new batch computes its own
+    signatures, probes the index — a join whose left side is only the
+    batch — and verifies candidates with exact shingle Jaccard. Cost per
+    batch is O(batch + candidates), never O(corpus^2), and corpus-internal
+    pairs are deliberately NOT re-emitted.
+
+    Output: (doc_batch, doc_index, n_common, jaccard) pairs over threshold.
+    """
+    rows = num_hashes // bands
+    consts = minhash_constants(num_hashes)
+
+    def _prep(docs: DataFrame) -> DataFrame:
+        return (
+            _spread(docs)
+            .select("doc_id", shingles(F.col("text"), k).alias("sh"))
+            .withColumn("hs", F.transform(F.col("sh"), md5_long))
+            .persist()
+        )
+
+    def _buckets(base: DataFrame) -> DataFrame:
+        sig_cols = [
+            F.array_min(
+                F.transform(F.col("hs"), lambda h, i=i: h.bitwiseXOR(F.lit(consts[i])))
+            ).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+        return _banded(base.filter(F.size("sh") > 0).select("doc_id", *sig_cols), bands, rows)
+
+    idx, bat = _prep(index_docs), _prep(batch_docs)
+    cands = (
+        _buckets(bat)
+        .alias("b")
+        .join(
+            _buckets(idx).alias("a"),
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.bucket_key") == F.col("a.bucket_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_batch"), F.col("a.doc_id").alias("doc_index")
+        )
+        .distinct()
+    )
+    sb = bat.select(F.col("doc_id").alias("doc_batch"), F.col("sh").alias("sh_b"))
+    sa = idx.select(F.col("doc_id").alias("doc_index"), F.col("sh").alias("sh_a"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union_size = F.size("sh_a") + F.size("sh_b") - n_common
+    return (
+        cands.join(sb, "doc_batch")
+        .join(sa, "doc_index")
+        .select(
+            "doc_batch",
+            "doc_index",
+            n_common.alias("n_common"),
+            (n_common.cast("double") / union_size).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash fingerprint: bit j of the fingerprint is the majority
     vote of bit j across the (distinct) token hashes."""
