@@ -31,12 +31,12 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type for
-# (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos (legacy nanosAsLong — a
-# dynamic conf, so this works on whatever session the driver hands us) and
-# truncate to microseconds as TIMESTAMP_NTZ. The epoch+interval construction
-# is timezone-independent (no session-tz-dependent cast anywhere), and the
-# nanos->micros floor division matches DuckDB's own truncation of NANOS.
+# Some driver builds write events.ts as parquet TIMESTAMP(NANOS), which Spark
+# has no native type for (PARQUET_TYPE_ILLEGAL); others write TIMESTAMP(MICROS)
+# which reads natively. Adapt per-file: only when the column surfaces as int64
+# nanos (legacy nanosAsLong) do we rebuild a TIMESTAMP_NTZ via an
+# epoch+interval construction that is timezone-independent and floors
+# nanos->micros exactly like DuckDB's own truncation of NANOS.
 _NANOS_TO_NTZ = (
     "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
     "make_interval(0, 0, 0, 0, 0, 0, CAST(ts div 1000 AS DECIMAL(26,0)) / 1000000)"
@@ -47,7 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn("ts", F.expr(_NANOS_TO_NTZ))
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+        return df
     return spark.read.parquet(path)
 
 
