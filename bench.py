@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_stats",
     "text_clean",
     "text_fingerprints",
+    "search_bm25",
     "text_repetition",
     "pipeline_decontaminate",
     "profile_documents",

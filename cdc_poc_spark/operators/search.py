@@ -51,10 +51,14 @@ def bm25_topk(
     ranking on the raw double with doc_id as the deterministic tiebreak.
     """
     toks = tokens(F.col("text"))
+
+    # NB: a two-parameter lambda would be treated by F.filter as
+    # (element, index) — bind the term via a closure factory instead.
+    def _eq(term: str):
+        return lambda t: t == F.lit(term)
+
     tf_cols = [
-        F.size(F.filter(F.col("_toks"), lambda t, term=term: t == F.lit(term)))
-        .cast("long")
-        .alias(f"tf_{term}")
+        F.size(F.filter(F.col("_toks"), _eq(term))).cast("long").alias(f"tf_{term}")
         for term in query_terms
     ]
     base = (

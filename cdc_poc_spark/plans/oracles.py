@@ -465,6 +465,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(text) AS BIGINT) AS n_chars_actual
         FROM documents"""
 
+    from ..operators.search import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK
+
+    _tf = ",\n                   ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_QUERY
+    )
+    _df = ",\n                   ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_QUERY
+    )
+    # fixed left-to-right sum mirrors the Spark expression exactly
+    _score = " + ".join(
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * ((tf_{t} * ({BM25_K1} + 1.0)) / (tf_{t} + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * (dl / (sum_dl::DOUBLE / n_docs)))))"
+        for t in BM25_QUERY
+    )
+    _tf_out = ", ".join(f"tf_{t}" for t in BM25_QUERY)
+    sqls["search_bm25"] = f"""
+        WITH {TOKS_CTE},
+        base AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   {_tf}
+            FROM toks
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                   {_df}
+            FROM base
+        )
+        SELECT doc_id, {_tf_out}, round(_score, 6) AS score
+        FROM (
+            SELECT base.*, {_score} AS _score
+            FROM base CROSS JOIN stats
+        )
+        WHERE _score > 0
+        ORDER BY _score DESC, doc_id ASC
+        LIMIT {BM25_TOPK}"""
+
     sqls["dedup_exact"] = f"""
         SELECT {md5_long_sql("text")} AS text_hash,
                min(doc_id) AS keep_doc_id,

@@ -29,6 +29,7 @@ from ..operators import (
     multimodal,
     packing,
     sampling,
+    search,
     sessions,
     similarity,
     skew,
@@ -571,6 +572,13 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded token-budget sequence packing: deterministic hash shards,
     per-shard contiguous fill (one window per shard)."""
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 keyword retrieval over ``documents`` — one column-pruned
+    scan, a single 1-row corpus-stats aggregate broadcast back, codegen'd
+    scoring, TakeOrderedAndProject top-k (operators/search.py)."""
+    return search.bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,6 +1683,7 @@ def queries() -> dict[str, QueryFn]:
         "text_langid": q_text_langid,
         "text_clean": q_text_clean,
         "text_fingerprints": q_text_fingerprints,
+        "search_bm25": q_search_bm25,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

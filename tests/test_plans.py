@@ -276,3 +276,15 @@ def test_excess_shipments_semi_chain(spark):
 def test_no_row_at_a_time_python(spark, name):
     plan = _plan(queries()[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_bm25_no_explode_single_pass_topk(spark):
+    """BM25 (operators/search.py): term frequencies are array expressions
+    (no Generate/explode shuffle of one-row-per-token), corpus stats are a
+    1-row broadcast, and top-k is TakeOrderedAndProject — at 100 TB the cost
+    must be the documents scan itself."""
+    plan = _plan(queries()["search_bm25"](spark, SF_DIR))
+    assert "Generate explode" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
