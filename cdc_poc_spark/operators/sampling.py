@@ -54,3 +54,34 @@ def split_summary(assigned: DataFrame) -> DataFrame:
     """Per (split, lang) document counts — the stratification check run
     after every assignment."""
     return assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Per-source corpus composition + uniform-mix resampling weights — the
+    "domain mixing" step of corpus assembly (what fraction of tokens each
+    source contributes, and how to reweight sampling toward a uniform mix).
+
+    Token counts use the same chars/4 estimator as text_stats'
+    ``est_bpe_tokens`` (cheap, deterministic, engine-portable). Scale shape:
+    one column-pruned scan, one partial-agg shuffle on ``source`` (domain
+    cardinality is tiny), then a 1-row total broadcast back — no second pass
+    over the data. ``uniform_weight`` > 1 means the source is
+    under-represented vs a uniform token mix and should be up-sampled.
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.ceil(F.length("text") / F.lit(4.0)).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t_tokens"), 9).alias("token_share"),
+        F.round(
+            (F.col("t_tokens") / F.col("n_sources")) / F.col("n_tokens"), 9
+        ).alias("uniform_weight"),
+    )

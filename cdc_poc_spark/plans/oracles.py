@@ -647,6 +647,36 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id
         LIMIT {SIM_TOPK}"""
 
+    # recall@k of each ANN path vs exact top-k — compose the three top-k
+    # queries above verbatim (DuckDB allows WITH inside a parenthesized
+    # subquery), so this oracle can never drift from theirs
+    sqls["sim_ann_recall"] = f"""
+        WITH bf AS (SELECT vec_id FROM ({sqls["sim_topk_cosine"]})),
+             lsh AS (SELECT vec_id FROM ({sqls["sim_ann_lsh"]})),
+             ivf AS (SELECT vec_id FROM ({sqls["sim_ann_ivf"]}))
+        SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits,
+               round(count(*)::DOUBLE / {SIM_TOPK}, 6) AS recall_at_k
+        FROM lsh JOIN bf USING (vec_id)
+        UNION ALL
+        SELECT 'ivf', CAST(count(*) AS BIGINT),
+               round(count(*)::DOUBLE / {SIM_TOPK}, 6)
+        FROM ivf JOIN bf USING (vec_id)"""
+
+    sqls["pipeline_domain_mix"] = """
+        WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(n_tokens) AS t_tokens, count(*) AS n_sources FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens::DOUBLE / t_tokens, 9) AS token_share,
+               round((t_tokens::DOUBLE / n_sources) / n_tokens, 9)
+                   AS uniform_weight
+        FROM per CROSS JOIN tot"""
+
     sqls["sim_embedding_dups"] = f"""
         SELECT vec_a, vec_b, cosine_sim
         FROM (

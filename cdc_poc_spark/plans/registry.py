@@ -634,6 +634,20 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the LSH and IVF ANN paths vs exact brute-force
+    top-k (operators/similarity.py::ann_recall)."""
+    return similarity.ann_recall(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
+def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share + uniform-mix resampling weights
+    (operators/sampling.py::domain_mix)."""
+    return sampling.domain_mix(load_table(spark, sf_dir, "documents"))
+
+
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN self-join: top-k cosine neighbours for every vector —
     the recall=1 baseline for the blocked variant."""
@@ -1692,6 +1706,8 @@ def queries() -> dict[str, QueryFn]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_recall": q_sim_ann_recall,
+        "pipeline_domain_mix": q_pipeline_domain_mix,
         "sim_knn_join": q_sim_knn_join,
         "sim_knn_join_lsh": q_sim_knn_join_lsh,
         "sim_embedding_dups": q_sim_embedding_dups,
