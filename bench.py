@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_knn_join_lsh",
+    "sim_ann_lsh_multiprobe",
     "sim_ann_recall",
     "pipeline_domain_mix",
     "sim_embedding_dups_lsh",

@@ -647,16 +647,45 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id
         LIMIT {SIM_TOPK}"""
 
-    # recall@k of each ANN path vs exact top-k — compose the three top-k
-    # queries above verbatim (DuckDB allows WITH inside a parenthesized
-    # subquery), so this oracle can never drift from theirs
+    from ..operators.similarity import ANN_PLANES
+
+    _masks = ", ".join(str(m) for m in [0] + [1 << p for p in range(ANN_PLANES)])
+    sqls["sim_ann_lsh_multiprobe"] = f"""
+        WITH bucketed AS (
+            SELECT vec_id, label, embedding, {_bucket} AS bucket
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, embedding AS q_vec,
+                   xor(bucket, m.mask) AS probe_bucket
+            FROM bucketed, (SELECT unnest([{_masks}]::BIGINT[]) AS mask) m
+            WHERE vec_id = {SIM_QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, cosine_sim
+        FROM (
+            SELECT b.vec_id, b.label,
+                   {cosine_sql("b.embedding", "q_vec")} AS cosine_sim
+            FROM bucketed b JOIN probes p ON b.bucket = p.probe_bucket
+            WHERE b.vec_id <> p.q_id
+        )
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT {SIM_TOPK}"""
+
+    # recall@k of each ANN path vs exact top-k — compose the top-k queries
+    # above verbatim (DuckDB allows WITH inside a parenthesized subquery),
+    # so this oracle can never drift from theirs
     sqls["sim_ann_recall"] = f"""
         WITH bf AS (SELECT vec_id FROM ({sqls["sim_topk_cosine"]})),
              lsh AS (SELECT vec_id FROM ({sqls["sim_ann_lsh"]})),
+             lshmp AS (SELECT vec_id FROM ({sqls["sim_ann_lsh_multiprobe"]})),
              ivf AS (SELECT vec_id FROM ({sqls["sim_ann_ivf"]}))
         SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS hits,
                round(count(*)::DOUBLE / {SIM_TOPK}, 6) AS recall_at_k
         FROM lsh JOIN bf USING (vec_id)
+        UNION ALL
+        SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT),
+               round(count(*)::DOUBLE / {SIM_TOPK}, 6)
+        FROM lshmp JOIN bf USING (vec_id)
         UNION ALL
         SELECT 'ivf', CAST(count(*) AS BIGINT),
                round(count(*)::DOUBLE / {SIM_TOPK}, 6)

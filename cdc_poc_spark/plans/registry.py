@@ -634,6 +634,14 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k: query bucket + all Hamming-distance-1
+    buckets probed (operators/similarity.py::ann_lsh_multiprobe_topk)."""
+    return similarity.ann_lsh_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k of the LSH and IVF ANN paths vs exact brute-force
     top-k (operators/similarity.py::ann_recall)."""
@@ -1706,6 +1714,7 @@ def queries() -> dict[str, QueryFn]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "sim_ann_recall": q_sim_ann_recall,
         "pipeline_domain_mix": q_pipeline_domain_mix,
         "sim_knn_join": q_sim_knn_join,

@@ -288,3 +288,13 @@ def test_bm25_no_explode_single_pass_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_multiprobe_broadcast_probe_set(spark):
+    """Multi-probe LSH: the planes+1 probe buckets come from ONE query row —
+    they must broadcast to the bucketed corpus, never shuffle it, and the
+    final top-k must stay TakeOrderedAndProject."""
+    plan = _plan(queries()["sim_ann_lsh_multiprobe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
