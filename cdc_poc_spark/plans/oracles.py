@@ -24,7 +24,7 @@ from ..operators.dedup import (
 from ..operators.sampling import SPLIT_SEED, TRAIN_PCT, VAL_PCT
 from ..operators.similarity import ANN_PLANES, KNN_K, hyperplane_weights
 from ..operators.text_analysis import LANG_MARKERS, STOPWORDS
-from .cdc_mapping import VALID_FILTER_SQL, with_enriched, with_versions
+from .cdc_mapping import EVENTS_CTE, VALID_FILTER_SQL, with_enriched, with_versions
 from .registry import (
     CORRUPT_MOD,
     COSINE_TAU,
@@ -386,6 +386,38 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events
         FROM seq
         GROUP BY user_id, session_seq"""
+
+    # the streaming session_window twin must produce the SAME sessions as
+    # the batch gap-and-islands plan — identical CTE chain, projected to the
+    # streaming output columns
+    sqls["stream_sessions_native"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               count(*) AS n_events
+        FROM seq
+        GROUP BY user_id, session_seq"""
+
+    # streaming dropDuplicatesWithinWatermark over a deterministically
+    # doubled source must restore exactly the distinct events
+    sqls["stream_dedup_native"] = (
+        f"WITH {EVENTS_CTE.strip()}\n"
+        "        SELECT id, content_id, event_ts FROM engagement_events"
+    )
 
     sqls["wh_hourly_events"] = """
         SELECT date_trunc('hour', ts) AS event_hour,

@@ -201,6 +201,69 @@ def q_stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPLY_KEY_MOD = 1000
 
 
+def q_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful streaming sessionization (``session_window`` + 30-min
+    gap, T2/T3), driven availableNow over a file source and hash-checked
+    against the SAME gap-and-islands SQL oracle as the batch twin
+    (wh_sessions) — streaming and batch must agree on every session."""
+    import os
+    import tempfile
+
+    from ..streaming import pipeline
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    workdir = tempfile.mkdtemp(prefix="stream_sessions_")
+    d = os.path.join(workdir, "in")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    q = (
+        pipeline.streaming_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("stream_sessions_native_result")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_sessions_native_result").select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )
+
+
+def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (``dropDuplicatesWithinWatermark``,
+    T5/T6 fix): every 5th event deterministically doubled at the source,
+    the stream must emit exactly the distinct events — oracle is the plain
+    event projection."""
+    import os
+    import tempfile
+
+    from ..streaming import pipeline
+
+    ev = m.engagement_events(load_table(spark, sf_dir, "events")).select(
+        "id", "content_id", "event_ts"
+    )
+    doubled = ev.unionAll(ev.filter(F.col("id") % 5 == 0))
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    d = os.path.join(workdir, "in")
+    doubled.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(doubled.schema).parquet(d)
+    q = (
+        pipeline.streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup_native_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup_native_result").select(
+        "id", "content_id", "event_ts"
+    )
+
+
 def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply/compaction: materialize current table state from a
     changelog with create/update/delete ops — latest change per row key
@@ -1648,6 +1711,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_unwrapped": q_cdc_parse_unwrapped,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "stream_asof_stateful": q_stream_asof_stateful,
+        "stream_sessions_native": q_stream_sessions_native,
+        "stream_dedup_native": q_stream_dedup_native,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_dead_letter": q_cdc_dead_letter,
         "wh_pricing_summary": q_wh_pricing_summary,

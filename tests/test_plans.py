@@ -20,8 +20,9 @@ from cdc_poc_spark.plans.registry import queries
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# runs a real streaming query; its batch-twin plan is covered by cdc_asof_enrich
-PLAN_SKIP = {"stream_asof_stateful"}
+# these run real streaming queries; their batch-twin plans are covered by
+# cdc_asof_enrich / wh_sessions / cdc_parse_envelope respectively
+PLAN_SKIP = {"stream_asof_stateful", "stream_sessions_native", "stream_dedup_native"}
 
 
 def _plan(df) -> str:
