@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "sim_ann_recall",
     "pipeline_domain_mix",
     "sim_embedding_dups_lsh",
+    "sim_pq_encode",
+    "sim_pq_adc_topk",
     "dedup_clusters",
     "pipeline_split_assign",
     "mm_decode_features",

@@ -738,6 +738,60 @@ def oracle_sql() -> dict[str, str]:
                    AS uniform_weight
         FROM per CROSS JOIN tot"""
 
+    from ..operators.similarity import EMBED_DIM, PQ_CENTROID_MOD, PQ_M
+
+    _sd = EMBED_DIM // PQ_M
+    # shared PQ CTE chain: per-subspace codebooks from the deterministic
+    # centroid seed, per-(vector, subspace) nearest-codebook assignment
+    # (ties -> lowest cell), folded in fixed subspace order
+    _PQ_CTES = f"""
+        subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+        seeds AS (SELECT vec_id AS cell, embedding FROM embeddings
+                  WHERE vec_id % {PQ_CENTROID_MOD} = 0),
+        cb AS (SELECT cell, sub,
+                      list_slice(embedding, sub*{_sd}+1, sub*{_sd}+{_sd}) AS c_sub
+               FROM seeds CROSS JOIN subs),
+        vecs AS (SELECT vec_id, sub,
+                        list_slice(embedding, sub*{_sd}+1, sub*{_sd}+{_sd}) AS v_sub
+                 FROM embeddings CROSS JOIN subs),
+        dist AS (
+            SELECT vec_id, sub, cell, d,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, cell) AS rn
+            FROM (SELECT v.vec_id, v.sub, c.cell,
+                         {_l2sq_sql("v.v_sub", "c.c_sub")} AS d
+                  FROM vecs v JOIN cb c ON v.sub = c.sub)
+        ),
+        best AS (SELECT vec_id, sub, cell, d FROM dist WHERE rn = 1)"""
+
+    sqls["sim_pq_encode"] = f"""
+        WITH {_PQ_CTES.strip()}
+        SELECT vec_id,
+               string_agg(CAST(cell AS VARCHAR), '-' ORDER BY sub) AS codes,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list(d ORDER BY sub)),
+                                 (a, b) -> a + b) / {EMBED_DIM}, 6) AS recon_mse
+        FROM best GROUP BY vec_id"""
+
+    sqls["sim_pq_adc_topk"] = f"""
+        WITH {_PQ_CTES.strip()},
+        q AS (SELECT sub, list_slice(embedding, sub*{_sd}+1, sub*{_sd}+{_sd}) AS q_sub
+              FROM embeddings CROSS JOIN subs
+              WHERE vec_id = {SIM_QUERY_VEC_ID}),
+        lut AS (SELECT c.sub, c.cell, {_l2sq_sql("c.c_sub", "q.q_sub")} AS qd
+                FROM cb c JOIN q ON c.sub = q.sub),
+        appr AS (
+            SELECT b.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(l.qd ORDER BY b.sub)),
+                               (a, x) -> a + x) AS approx
+            FROM best b JOIN lut l ON b.sub = l.sub AND b.cell = l.cell
+            WHERE b.vec_id <> {SIM_QUERY_VEC_ID}
+            GROUP BY b.vec_id
+        )
+        SELECT vec_id, round(approx, 6) AS approx_l2sq
+        FROM appr ORDER BY approx, vec_id LIMIT {SIM_TOPK}"""
+
     sqls["sim_embedding_dups"] = f"""
         SELECT vec_a, vec_b, cosine_sim
         FROM (

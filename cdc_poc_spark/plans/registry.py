@@ -744,6 +744,20 @@ def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + reconstruction MSE per vector
+    (operators/similarity.py::pq_encode)."""
+    return similarity.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search over the code table
+    (operators/similarity.py::pq_adc_topk)."""
+    return similarity.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
 def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with reconstruction-error
     audit — pure per-row map, no shuffle."""
@@ -1787,6 +1801,8 @@ def queries() -> dict[str, QueryFn]:
         "sim_embedding_dups": q_sim_embedding_dups,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
         "sim_quantize_int8": q_sim_quantize_int8,
+        "sim_pq_encode": q_sim_pq_encode,
+        "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_split_assign": q_pipeline_split_assign,
         "mm_decode_features": q_mm_decode_features,

@@ -299,3 +299,14 @@ def test_lsh_multiprobe_broadcast_probe_set(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_codebooks_broadcast(spark):
+    """Product quantization: codebooks and the ADC lookup table are tiny
+    (m x C rows) — every join in encode and search must broadcast them; the
+    corpus side shuffles only (vec_id, sub, cell) assignment rows, never
+    raw vectors."""
+    for name in ("sim_pq_encode", "sim_pq_adc_topk"):
+        plan = _plan(queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, name
