@@ -285,11 +285,16 @@ def incremental_minhash_dups(
             .persist()
         )
 
+    # NB: a two-parameter lambda would be treated by F.transform as
+    # (element, index) — bind the constant via a closure factory instead
+    def _xor_const(c: int):
+        return lambda h: h.bitwiseXOR(F.lit(c))
+
     def _buckets(base: DataFrame) -> DataFrame:
         sig_cols = [
-            F.array_min(
-                F.transform(F.col("hs"), lambda h, i=i: h.bitwiseXOR(F.lit(consts[i])))
-            ).alias(f"sig_{i}")
+            F.array_min(F.transform(F.col("hs"), _xor_const(consts[i]))).alias(
+                f"sig_{i}"
+            )
             for i in range(num_hashes)
         ]
         return _banded(base.filter(F.size("sh") > 0).select("doc_id", *sig_cols), bands, rows)

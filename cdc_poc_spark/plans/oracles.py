@@ -181,6 +181,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1 AND op <> 'd'"""
     )
 
+    # full recompute over the whole changelog (sequence = id) — the
+    # incremental merge must be indistinguishable from this; the state/delta
+    # split point is engine-side only and must not appear here
+    sqls["cdc_incremental_agg"] = with_enriched(
+        f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(duration_ms), 0) AS BIGINT) AS sum_duration_ms
+        FROM (
+            SELECT event_type, duration_ms,
+                   CASE WHEN id % {_DM} = 0 THEN 'd'
+                        WHEN id % 3 = 0 THEN 'u'
+                        ELSE 'c' END AS op,
+                   row_number() OVER (
+                       PARTITION BY id % {APPLY_KEY_MOD}
+                       ORDER BY id DESC
+                   ) AS rn
+            FROM engagement_events
+        )
+        WHERE rn = 1 AND op <> 'd'
+        GROUP BY event_type
+        HAVING count(*) > 0"""
+    )
+
     sqls["cdc_user_engagement"] = with_enriched(
         f"""
         SELECT user_id, content_id, engagement_pct, last_updated
@@ -581,6 +605,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.doc_a, c.doc_b, v.n_common, v.jaccard
         FROM cands c
         JOIN jac v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+        WHERE v.jaccard >= {JACCARD_THRESHOLD}"""
+
+    from .registry import DEDUP_BATCH_MOD
+
+    # same signature/banding chain as dedup_minhash_lsh; candidates are
+    # (batch probes index) pairs only — corpus-internal pairs not re-emitted
+    sqls["dedup_minhash_incremental"] = f"""
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()},
+        hashed AS (SELECT doc_id,
+                          list_transform(shingles, s -> {md5_long_sql('s')}) AS hs
+                   FROM sh),
+        sigs AS (SELECT doc_id, {sig_exprs} FROM hashed),
+        buckets AS ({band_selects}),
+        cands AS (
+            SELECT DISTINCT b.doc_id AS doc_batch, a.doc_id AS doc_index
+            FROM buckets b
+            JOIN buckets a
+              ON b.band = a.band AND b.bucket_key = a.bucket_key
+            WHERE b.doc_id % {DEDUP_BATCH_MOD} = 0
+              AND a.doc_id % {DEDUP_BATCH_MOD} <> 0
+        )
+        SELECT c.doc_batch, c.doc_index, v.n_common, v.jaccard
+        FROM cands c
+        JOIN jac v
+          ON v.doc_a = least(c.doc_batch, c.doc_index)
+         AND v.doc_b = greatest(c.doc_batch, c.doc_index)
         WHERE v.jaccard >= {JACCARD_THRESHOLD}"""
 
     bit_terms = " + ".join(

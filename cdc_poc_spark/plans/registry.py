@@ -291,6 +291,58 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental-maintenance split: changes with id <= INC_SPLIT_ID form the
+# already-materialized state, the rest arrive as the delta batch (id is the
+# sequence column, so the delta is strictly newer — the standard CDC-consumer
+# assumption documented in operators/incremental.py)
+INC_SPLIT_ID = 800
+
+
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/incremental.py):
+    merge a delta change batch into a previously-applied aggregate state
+    WITHOUT re-aggregating it — the oracle is the full recompute over the
+    whole changelog, so the differential proves the delta identity."""
+    from ..operators import incremental
+
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    op = (
+        F.when(F.col("id") % DELETE_MOD == 0, F.lit("d"))
+        .when(F.col("id") % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    changes = ev.select(
+        (F.col("id") % APPLY_KEY_MOD).alias("row_key"),
+        "id",
+        "event_type",
+        "duration_ms",
+        op.alias("op"),
+    )
+    state = debezium.changelog_apply(
+        changes.filter(F.col("id") <= INC_SPLIT_ID), ["row_key"], ["id"], op_col="op"
+    )
+    delta = changes.filter(F.col("id") > INC_SPLIT_ID)
+    return incremental.incremental_agg(
+        state, delta, ["row_key"], ["id"], ["event_type"], "duration_ms"
+    )
+
+
+# which documents arrive as the "new batch" probing the standing dedup index
+DEDUP_BATCH_MOD = 7
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: a new document batch probes the
+    standing banded index — O(batch + candidates) per batch, corpus-internal
+    pairs deliberately not re-emitted (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_dups(
+        docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0),
+        docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD == 0),
+        JACCARD_THRESHOLD,
+    )
+
+
 def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8: malformed-record split — corrupt vs parseable counts."""
     wire = _wire(spark, sf_dir, corrupt=True)
@@ -1728,6 +1780,8 @@ def queries() -> dict[str, QueryFn]:
         "stream_sessions_native": q_stream_sessions_native,
         "stream_dedup_native": q_stream_dedup_native,
         "cdc_apply_changelog": q_cdc_apply_changelog,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "cdc_dead_letter": q_cdc_dead_letter,
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
