@@ -443,6 +443,19 @@ def oracle_sql() -> dict[str, str]:
         "        SELECT id, content_id, event_ts FROM engagement_events"
     )
 
+    sqls["wh_value_histogram"] = """
+        SELECT bucket,
+               CAST(bucket * 20 AS DOUBLE) AS lo,
+               CAST((bucket + 1) * 20 AS DOUBLE) AS hi,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT CAST(least(floor(value / 20.0), 24) AS INTEGER) AS bucket,
+                   value
+            FROM events
+        )
+        GROUP BY bucket"""
+
     sqls["wh_hourly_events"] = """
         SELECT date_trunc('hour', ts) AS event_hour,
                event_type,

@@ -427,6 +427,32 @@ def q_wh_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MINUTES = 30
 
 
+def q_wh_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value: 25 buckets of width 20 with
+    the overflow clamped into the last — one scan, one partial-agg shuffle
+    of 25 groups (binning 100 TB costs the scan, nothing else). Decimal sum
+    for a partition-order-independent double."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 20.0), F.lit(24)).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 20).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * 20).cast("double").alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_wh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     subtotals in one pass (Catalyst Expand, single shuffle)."""
@@ -1786,6 +1812,7 @@ def queries() -> dict[str, QueryFn]:
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
         "wh_hourly_events": q_wh_hourly_events,
+        "wh_value_histogram": q_wh_value_histogram,
         "wh_rollup": q_wh_rollup,
         "wh_cube": q_wh_cube,
         "wh_regional_revenue": q_wh_regional_revenue,
