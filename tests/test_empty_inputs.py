@@ -49,3 +49,45 @@ def test_dedup_and_packing_empty(spark):
     assert packing.pack_sequences(docs).count() == 0
     assert text_stats(docs).count() == 0
     assert clean_text(docs).count() == 0
+
+
+def test_search_similarity_empty(spark):
+    """BM25, PQ, and the ANN paths on zero rows: empty result, no throw.
+    (The BM25 corpus-stats aggregate yields one all-null row on empty input;
+    the null-safe score filter must still produce zero output rows.)"""
+    from cdc_poc_spark.operators import sampling, search, similarity
+
+    docs = _empty_like(load_table(spark, SF, "documents"))
+    assert search.bm25_topk(docs).count() == 0
+    assert sampling.domain_mix(docs).count() == 0
+    emb = _empty_like(load_table(spark, SF, "embeddings"))
+    assert similarity.pq_encode(emb).count() == 0
+    assert similarity.pq_adc_topk(emb, 0).count() == 0
+    assert similarity.ann_lsh_multiprobe_topk(emb, 0).count() == 0
+
+
+def test_incremental_empty_delta(spark):
+    """An empty delta batch must leave the incremental view identical to
+    the state's own aggregate (the no-op maintenance run)."""
+    from cdc_poc_spark.operators import incremental
+    from cdc_poc_spark.sources.debezium import changelog_apply
+
+    ev = cdc_mapping.engagement_events(load_table(spark, SF, "events"))
+    changes = ev.select(
+        (F.col("id") % 100).alias("row_key"),
+        "id",
+        "event_type",
+        "duration_ms",
+        F.lit("c").alias("op"),
+    )
+    state = changelog_apply(changes, ["row_key"], ["id"], op_col="op")
+    out = incremental.incremental_agg(
+        state, _empty_like(changes), ["row_key"], ["id"], ["event_type"], "duration_ms"
+    )
+    base = state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("duration_ms"), F.lit(0)).cast("long").alias("sum_duration_ms"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in base.collect()}
+    assert got == want
