@@ -822,6 +822,23 @@ def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the IVF coarse quantizer, then the
+    per-cell assignment counts — a genuinely ITERATIVE distributed
+    algorithm (assign -> elementwise mean -> reassign), so no SQL oracle:
+    rows-only check here; the k-means invariant (mean intra-cell distance
+    non-increasing) is asserted in tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    refined = similarity.ivf_refine(
+        emb, similarity.ivf_centroids(emb), iters=2
+    )
+    return (
+        similarity.ivf_assign(emb, refined)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+
+
 def q_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes + reconstruction MSE per vector
     (operators/similarity.py::pq_encode)."""
@@ -1882,6 +1899,7 @@ def queries() -> dict[str, QueryFn]:
         "sim_embedding_dups": q_sim_embedding_dups,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
         "sim_quantize_int8": q_sim_quantize_int8,
+        "sim_ivf_refined": q_sim_ivf_refined,
         "sim_pq_encode": q_sim_pq_encode,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "dedup_clusters": q_dedup_clusters,

@@ -21,10 +21,13 @@ def test_every_query_has_oracle_or_is_flagged():
     # error bound vs exact asserted in tests/test_wh_sql.py
     # wh_heavy_hitters: Count-Min estimates likewise engine-specific;
     # CMS bound (est in [true, true + eps*N]) asserted in tests/test_wh_sql.py
+    # sim_ivf_refined: iterative Lloyd refinement (k-means) — invariants
+    # asserted in tests/test_ivf.py instead
     allowed_rows_only: set[str] = {
         "wh_approx_users",
         "wh_approx_percentiles",
         "wh_heavy_hitters",
+        "sim_ivf_refined",
     }
     assert set(missing) <= allowed_rows_only
 
