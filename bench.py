@@ -28,10 +28,12 @@ BENCH_QUERIES = [
     "cdc_minute_window",
     "cdc_parse_envelope",
     "cdc_apply_changelog",
+    "cdc_incremental_agg",
     "cdc_asof_enrich",
     "wh_pricing_summary",
     "wh_top_orders",
     "wh_hourly_events",
+    "wh_value_histogram",
     "wh_window_frames",
     "wh_sessions",
     "wh_skew_salted_join",
@@ -62,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_ann_lsh",
