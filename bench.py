@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "search_bm25",
     "text_repetition",
+    "text_char_entropy",
     "pipeline_decontaminate",
     "profile_documents",
     "pipeline_pack_sequences",

@@ -228,3 +228,36 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).alias("repetition_ok"),
         )
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy over non-whitespace
+    characters + distinct-char count — the classic gibberish/boilerplate
+    quality signal (natural text sits near the language's ~4.1 bits/char;
+    base64 blobs and repeated padding sit far off it).
+
+    Pure per-row Column expressions — char extraction, per-char frequency,
+    and the entropy fold all happen inside one narrow projection, so there
+    is NO shuffle at any scale: 100 TB costs exactly the text scan. The
+    fold runs over the sorted distinct-char list, so doubles are
+    oracle-bit-identical.
+    """
+    cs = F.regexp_extract_all(F.col("text"), F.lit(r"[^\s]"), 0)
+    n = F.size(cs).cast("double")
+
+    def _plogp(c: Column) -> Column:
+        p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / n
+        return p * F.log2(p)
+
+    ent = -F.aggregate(
+        F.array_sort(F.array_distinct(cs)),
+        F.lit(0.0),
+        lambda acc, c: acc + _plogp(c),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size(cs) > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias(
+            "char_entropy"
+        ),
+        F.size(F.array_distinct(cs)).cast("long").alias("n_uniq_chars"),
+    )

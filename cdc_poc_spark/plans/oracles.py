@@ -528,6 +528,25 @@ def oracle_sql() -> dict[str, str]:
                ({_pred} = lang_actual) AS is_match
         FROM scored"""
 
+    sqls["text_char_entropy"] = r"""
+        WITH chars AS (
+            SELECT doc_id, regexp_extract_all(text, '[^\s]') AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(cs) > 0 THEN
+                   round(-(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(list_sort(list_distinct(cs)),
+                               c -> (len(list_filter(cs, x -> x = c))::DOUBLE
+                                         / len(cs))
+                                    * log2(len(list_filter(cs, x -> x = c))::DOUBLE
+                                           / len(cs)))),
+                       (a, b) -> a + b)), 6)
+               ELSE 0.0 END AS char_entropy,
+               CAST(len(list_distinct(cs)) AS BIGINT) AS n_uniq_chars
+        FROM chars"""
+
     sqls["text_fingerprints"] = f"""
         SELECT doc_id,
                {rolling_fingerprint_sql("text")} AS fingerprint,

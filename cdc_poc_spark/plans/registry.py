@@ -722,6 +722,13 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char-level Shannon entropy (gibberish/boilerplate
+    signal) — shuffle-free narrow projection
+    (operators/text_analysis.py::char_entropy)."""
+    return text_analysis.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (Rabin-Karp style) document fingerprints."""
     return text_analysis.fingerprints(load_table(spark, sf_dir, "documents"))
@@ -1882,6 +1889,7 @@ def queries() -> dict[str, QueryFn]:
         "text_langid": q_text_langid,
         "text_clean": q_text_clean,
         "text_fingerprints": q_text_fingerprints,
+        "text_char_entropy": q_text_char_entropy,
         "search_bm25": q_search_bm25,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "dedup_exact": q_dedup_exact,

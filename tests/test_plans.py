@@ -310,3 +310,10 @@ def test_pq_codebooks_broadcast(spark):
         plan = _plan(queries()[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_char_entropy_no_shuffle(spark):
+    """Char entropy is a pure narrow projection — no Exchange at all;
+    scoring 100 TB of text must not repartition it."""
+    plan = _plan(queries()["text_char_entropy"](spark, SF_DIR))
+    assert "Exchange" not in plan
