@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "wh_value_histogram",
     "wh_window_frames",
     "wh_sessions",
+    "ts_subsequence_search",
     "wh_skew_salted_join",
     "wh_payload_json",
     "wh_scalar_subquery",

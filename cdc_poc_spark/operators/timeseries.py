@@ -1,0 +1,99 @@
+"""Time-series subsequence similarity search over the ``events`` stream —
+find the per-user sliding windows of the value series nearest a query
+pattern (z-normalized Euclidean distance, the UCR-suite formulation used by
+the distributed trajectory/series-search literature in PAPERS.md: EDBT 2019
+streaming series similarity, ICDE 2021 REPOSE).
+
+The reference has no series search (its read path is key lookups,
+reference sinks/RedisSink.java:174-231); this is an M6-class extension
+built Spark-first:
+
+- sliding windows come from ONE window spec per user (`collect_list` over
+  `rowsBetween`) — a single hash shuffle on user_id, then every candidate
+  subsequence materializes inside the partition, no self-join;
+- z-normalization and the distance are fixed-order array folds (same IEEE
+  op order as the DuckDB oracle's ``list_reduce`` — bit-identical);
+- top-k is orderBy+limit -> TakeOrderedAndProject (per-partition heaps).
+
+Scale: cost = one shuffle of (user_id, ts, value) + O(W) arithmetic per
+row. W is a constant; at 100 TB this is the same shape as any windowed
+aggregation. Constant (zero-variance) windows are skipped, as z-distance
+is undefined there.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SUBSEQ_W = 8
+SUBSEQ_K = 20
+# query shape: a monotone ramp (z-normalized below) — "find value runs that
+# steadily increase"
+_RAW_PATTERN = [float(i) for i in range(SUBSEQ_W)]
+
+
+def znorm_pattern(raw: list[float] | None = None) -> list[float]:
+    raw = raw if raw is not None else _RAW_PATTERN
+    m = sum(raw) / len(raw)
+    sd = math.sqrt(sum((x - m) ** 2 for x in raw) / len(raw))
+    return [(x - m) / sd for x in raw]
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def subsequence_topk(
+    events: DataFrame, k: int = SUBSEQ_K, w: int = SUBSEQ_W
+) -> DataFrame:
+    """Top-k (user_id, event_id) windows by z-normalized Euclidean distance
+    of the trailing-w value subsequence to the query pattern.
+
+    Output: (user_id, event_id, dist) — dist rounded to 6 decimals in the
+    output; ranking uses the raw double with (user_id, event_id) tiebreak.
+    """
+    pat = znorm_pattern()
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sub = events.select(
+        "user_id",
+        "event_id",
+        F.collect_list(F.col("value").cast("double")).over(win).alias("sub"),
+    ).filter(F.size("sub") == w)
+    n = F.lit(float(w))
+    mean = (_fold_sum(F.col("sub")) / n).alias("m")
+    with_m = sub.select("user_id", "event_id", "sub", mean)
+    sd = F.sqrt(
+        _fold_sum(
+            F.transform(
+                F.col("sub"), lambda x: (x - F.col("m")) * (x - F.col("m"))
+            )
+        )
+        / n
+    ).alias("sd")
+    with_sd = with_m.select("user_id", "event_id", "sub", "m", sd).filter(
+        F.col("sd") > 0
+    )
+    pat_col = F.array(*[F.lit(p) for p in pat])
+    dist = F.sqrt(
+        _fold_sum(
+            F.zip_with(
+                F.col("sub"),
+                pat_col,
+                lambda x, q: ((x - F.col("m")) / F.col("sd") - q)
+                * ((x - F.col("m")) / F.col("sd") - q),
+            )
+        )
+    )
+    return (
+        with_sd.select("user_id", "event_id", dist.alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("user_id"), F.asc("event_id"))
+        .limit(k)
+        .select("user_id", "event_id", F.round(F.col("_d"), 6).alias("dist"))
+    )

@@ -528,6 +528,39 @@ def oracle_sql() -> dict[str, str]:
                ({_pred} = lang_actual) AS is_match
         FROM scored"""
 
+    from ..operators.timeseries import SUBSEQ_K, SUBSEQ_W, znorm_pattern
+
+    _pat = ", ".join(repr(p) for p in znorm_pattern())
+    _w = SUBSEQ_W
+    sqls["ts_subsequence_search"] = f"""
+        WITH win AS (
+            SELECT user_id, event_id,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_w - 1} PRECEDING AND CURRENT ROW) AS sub
+            FROM events
+        ),
+        fullw AS (SELECT * FROM win WHERE len(sub) = {_w}),
+        wm AS (SELECT user_id, event_id, sub,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sub),
+                                  (a, b) -> a + b) / {_w}.0 AS m
+               FROM fullw),
+        ws AS (SELECT user_id, event_id, sub, m,
+                      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(sub, x -> (x - m) * (x - m))),
+                           (a, b) -> a + b) / {_w}.0) AS sd
+               FROM wm),
+        d AS (SELECT user_id, event_id,
+                     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(range(1, {_w + 1}),
+                                  i -> ((sub[i] - m) / sd - pat[i])
+                                       * ((sub[i] - m) / sd - pat[i]))),
+                          (a, b) -> a + b)) AS _d
+              FROM ws, (SELECT [{_pat}]::DOUBLE[] AS pat) p
+              WHERE sd > 0)
+        SELECT user_id, event_id, round(_d, 6) AS dist
+        FROM d ORDER BY _d, user_id, event_id LIMIT {SUBSEQ_K}"""
+
     sqls["text_char_entropy"] = r"""
         WITH chars AS (
             SELECT doc_id, regexp_extract_all(text, '[^\s]') AS cs

@@ -722,6 +722,15 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
+def q_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search: top-k trailing-8 value
+    windows per user nearest a z-normalized query ramp
+    (operators/timeseries.py::subsequence_topk)."""
+    from ..operators import timeseries
+
+    return timeseries.subsequence_topk(load_table(spark, sf_dir, "events"))
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document char-level Shannon entropy (gibberish/boilerplate
     signal) — shuffle-free narrow projection
@@ -1890,6 +1899,7 @@ def queries() -> dict[str, QueryFn]:
         "text_clean": q_text_clean,
         "text_fingerprints": q_text_fingerprints,
         "text_char_entropy": q_text_char_entropy,
+        "ts_subsequence_search": q_ts_subsequence_search,
         "search_bm25": q_search_bm25,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "dedup_exact": q_dedup_exact,

@@ -317,3 +317,13 @@ def test_char_entropy_no_shuffle(spark):
     scoring 100 TB of text must not repartition it."""
     plan = _plan(queries()["text_char_entropy"](spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_subsequence_search_single_shuffle_topk(spark):
+    """Series subsequence search: one hash shuffle on user_id (the window
+    spec), every candidate window materialized in-partition (no self-join),
+    final top-k a heap."""
+    plan = _plan(queries()["ts_subsequence_search"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
