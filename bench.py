@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "wh_top_orders",
     "wh_hourly_events",
     "wh_value_histogram",
+    "wh_funnel",
+    "wh_event_transitions",
     "wh_window_frames",
     "wh_sessions",
     "ts_subsequence_search",

@@ -443,6 +443,49 @@ def oracle_sql() -> dict[str, str]:
         "        SELECT id, content_id, event_ts FROM engagement_events"
     )
 
+    sqls["wh_funnel"] = """
+        WITH t1s AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ),
+        t2s AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM t1s
+        ),
+        t3s AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t3
+            FROM t2s
+        ),
+        per_user AS (
+            SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+            FROM t3s GROUP BY user_id
+        )
+        SELECT CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_view,
+               CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_view_click,
+               CAST(count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_view_click_purchase
+        FROM per_user"""
+
+    sqls["wh_event_transitions"] = """
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2"""
+
     sqls["wh_value_histogram"] = """
         SELECT bucket,
                CAST(bucket * 20 AS DOUBLE) AS lo,

@@ -427,6 +427,62 @@ def q_wh_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MINUTES = 30
 
 
+def q_wh_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream: per user, the
+    earliest 'view', the earliest 'click' after that view, the earliest
+    'purchase' after that click; output per-step user counts. Two window
+    passes over ONE hash shuffle on user_id (the second min() reuses the
+    first's partitioning — Catalyst plans a single Exchange), then a 1-row
+    final aggregate: funnel analysis of 100 TB costs one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t2").isNotNull(), 1)).alias("n_view_click"),
+        F.count(F.when(F.col("t3").isNotNull(), 1)).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+def q_wh_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain matrix of
+    the stream): lag over one user_id shuffle, then a tiny
+    (type x type)-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_wh_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of events.value: 25 buckets of width 20 with
     the overflow clamped into the last — one scan, one partial-agg shuffle
@@ -1845,6 +1901,8 @@ def queries() -> dict[str, QueryFn]:
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
         "wh_hourly_events": q_wh_hourly_events,
+        "wh_funnel": q_wh_funnel,
+        "wh_event_transitions": q_wh_event_transitions,
         "wh_value_histogram": q_wh_value_histogram,
         "wh_rollup": q_wh_rollup,
         "wh_cube": q_wh_cube,

@@ -327,3 +327,12 @@ def test_subsequence_search_single_shuffle_topk(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_single_shuffle(spark):
+    """The three chained funnel-step window mins share one user_id
+    partitioning — Catalyst must plan exactly ONE hash exchange before the
+    final 1-row aggregate."""
+    plan = _plan(queries()["wh_funnel"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
