@@ -185,6 +185,7 @@ def q_stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applyInPandasWithState keyed version-history state — the reference's
     MapState join, J1/T3), driven availableNow and hash-checked against the
     same ASOF oracle as the batch twin."""
+    import shutil
     import tempfile
 
     ev = m.engagement_events(load_table(spark, sf_dir, "events")).select(
@@ -193,7 +194,11 @@ def q_stream_asof_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver = m.dim_versions(load_table(spark, sf_dir, "part"))
     from ..streaming.stateful import run_asof_stateful
 
-    return run_asof_stateful(spark, ev, ver, tempfile.mkdtemp(prefix="asof_state_"))
+    workdir = tempfile.mkdtemp(prefix="asof_state_")
+    out = run_asof_stateful(spark, ev, ver, workdir)
+    # results live in the memory sink; the staged input is no longer needed
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 # changelog materialization: logical row key folds the event stream into
@@ -207,6 +212,7 @@ def q_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAME gap-and-islands SQL oracle as the batch twin
     (wh_sessions) — streaming and batch must agree on every session."""
     import os
+    import shutil
     import tempfile
 
     from ..streaming import pipeline
@@ -225,6 +231,8 @@ def q_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # results live in the memory sink; the staged input is no longer needed
+    shutil.rmtree(workdir, ignore_errors=True)
     return spark.table("stream_sessions_native_result").select(
         "user_id",
         F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
@@ -238,6 +246,7 @@ def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream must emit exactly the distinct events — oracle is the plain
     event projection."""
     import os
+    import shutil
     import tempfile
 
     from ..streaming import pipeline
@@ -259,6 +268,7 @@ def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
     return spark.table("stream_dedup_native_result").select(
         "id", "content_id", "event_ts"
     )
