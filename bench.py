@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "wh_hourly_events",
     "wh_value_histogram",
     "wh_funnel",
+    "wh_cohort_retention",
+    "pipeline_weighted_sample",
     "wh_event_transitions",
     "wh_window_frames",
     "wh_sessions",

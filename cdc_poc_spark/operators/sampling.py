@@ -85,3 +85,39 @@ def domain_mix(docs: DataFrame) -> DataFrame:
             (F.col("t_tokens") / F.col("n_sources")) / F.col("n_tokens"), 9
         ).alias("uniform_weight"),
     )
+
+
+WSAMPLE_SEED = "wsample-v1"
+WSAMPLE_K = 50
+_WSAMPLE_MOD = 1 << 40
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = WSAMPLE_K,
+    weight_col: str = "n_chars",
+    seed: str = WSAMPLE_SEED,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): rank by ln(u)/w with u a per-row
+    hash-uniform in (0,1), take the top-k — each row's inclusion odds are
+    proportional to its weight, yet the draw is a pure per-row expression:
+    reproducible across engines, partitionings, and reruns (unlike
+    ``rand()``-based sampling), and the top-k is a heap, not a sort.
+
+    Output: (doc_id, weight, sample_key) — key rounded to 6 decimals,
+    ranking on the raw double with doc_id tiebreak.
+    """
+    u = (
+        (md5_long_seeded(F.col("doc_id"), seed) % F.lit(_WSAMPLE_MOD)).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_WSAMPLE_MOD))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.select("doc_id", F.col(weight_col).alias("weight"), key.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "weight", F.round(F.col("_k"), 6).alias("sample_key"))
+    )

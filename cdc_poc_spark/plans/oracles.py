@@ -443,6 +443,34 @@ def oracle_sql() -> dict[str, str]:
         "        SELECT id, content_id, event_ts FROM engagement_events"
     )
 
+    sqls["wh_cohort_retention"] = """
+        WITH ud AS (
+            SELECT DISTINCT user_id, cohort_day, day FROM (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       min(date_trunc('day', ts)) OVER (PARTITION BY user_id)
+                           AS cohort_day
+                FROM events
+            )
+        )
+        SELECT cohort_day, day AS activity_day,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ud GROUP BY 1, 2"""
+
+    from ..operators.sampling import _WSAMPLE_MOD, WSAMPLE_K, WSAMPLE_SEED
+
+    _u = (
+        f"(({md5_long_seeded_sql('CAST(doc_id AS VARCHAR)', WSAMPLE_SEED)}"
+        f" % {_WSAMPLE_MOD})::DOUBLE + 0.5) / {float(_WSAMPLE_MOD)!r}"
+    )
+    sqls["pipeline_weighted_sample"] = f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars AS weight,
+                   ln({_u}) / n_chars AS _k
+            FROM documents
+        )
+        SELECT doc_id, weight, round(_k, 6) AS sample_key
+        FROM keyed ORDER BY _k DESC, doc_id LIMIT {WSAMPLE_K}"""
+
     sqls["wh_funnel"] = """
         WITH t1s AS (
             SELECT user_id, ts, event_type,

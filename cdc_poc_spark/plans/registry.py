@@ -437,6 +437,33 @@ def q_wh_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MINUTES = 30
 
 
+def q_wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    distinct active users per (cohort_day, activity_day). One user_id
+    window pass + per-day dedup + a tiny (day x day) aggregate — tz-free
+    day truncation (timeutil.ntz_trunc) so the driver's session timezone
+    cannot shift the buckets."""
+    # to_date on NTZ is pure field extraction (tz-free) and matches the
+    # DATE type DuckDB's date_trunc('day') returns
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort_day", F.min("day").over(w))
+        .select("user_id", "cohort_day", "day")
+        .distinct()
+        .groupBy("cohort_day", F.col("day").alias("activity_day"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-Res) over
+    documents, weight = n_chars (operators/sampling.py::weighted_sample)."""
+    return sampling.weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_wh_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion over the event stream: per user, the
     earliest 'view', the earliest 'click' after that view, the earliest
@@ -1911,6 +1938,8 @@ def queries() -> dict[str, QueryFn]:
         "wh_pricing_summary": q_wh_pricing_summary,
         "wh_top_orders": q_wh_top_orders,
         "wh_hourly_events": q_wh_hourly_events,
+        "wh_cohort_retention": q_wh_cohort_retention,
+        "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "wh_funnel": q_wh_funnel,
         "wh_event_transitions": q_wh_event_transitions,
         "wh_value_histogram": q_wh_value_histogram,
