@@ -234,6 +234,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2"""
     )
 
+    # the native streaming minute-window twin: same enriched chain, minus
+    # the wire-injected deletes, projected to the streaming output columns
+    sqls["stream_minute_window_native"] = with_enriched(
+        f"""
+        SELECT date_trunc('minute', event_ts) AS window_start,
+               content_id,
+               count(*) AS n_events,
+               max(engagement_pct) AS max_pct
+        FROM enriched
+        WHERE {VALID_FILTER_SQL} AND event_id % {_DM} <> 0
+        GROUP BY 1, 2"""
+    )
+
     sqls["cdc_parse_envelope"] = with_enriched(
         f"SELECT * FROM engagement_events WHERE id % {DELETE_MOD} <> 0"
     )

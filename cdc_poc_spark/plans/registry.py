@@ -274,6 +274,41 @@ def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_minute_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as a NATIVE watermarked streaming aggregation driven end-to-end:
+    wire JSON (deletes injected) -> envelope parse -> broadcast enrich ->
+    validity gate -> 1-minute tumbling windows — hash-checked against the
+    batch SQL restricted to the non-deleted events."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import pipeline
+
+    workdir = tempfile.mkdtemp(prefix="stream_minwin_")
+    wire_dir = os.path.join(workdir, "wire")
+    _wire(spark, sf_dir, corrupt=False).write.text(wire_dir)
+    ev_schema = m.engagement_events(load_table(spark, sf_dir, "events")).schema
+    dim = m.content_dim(load_table(spark, sf_dir, "part"))
+    src = pipeline.file_wire_source(spark, wire_dir, ev_schema)
+    agg = pipeline.streaming_minute_counts(src, dim, ev_schema)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_minwin_result")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.table("stream_minwin_result").select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "content_id",
+        "n_events",
+        "max_pct",
+    )
+
+
 def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply/compaction: materialize current table state from a
     changelog with create/update/delete ops — latest change per row key
@@ -1931,6 +1966,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_asof_stateful": q_stream_asof_stateful,
         "stream_sessions_native": q_stream_sessions_native,
         "stream_dedup_native": q_stream_dedup_native,
+        "stream_minute_window_native": q_stream_minute_window_native,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,

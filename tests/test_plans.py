@@ -21,8 +21,13 @@ from cdc_poc_spark.plans.registry import queries
 SF_DIR = "/root/testdata/sf0.001"
 
 # these run real streaming queries; their batch-twin plans are covered by
-# cdc_asof_enrich / wh_sessions / cdc_parse_envelope respectively
-PLAN_SKIP = {"stream_asof_stateful", "stream_sessions_native", "stream_dedup_native"}
+# cdc_asof_enrich / wh_sessions / cdc_parse_envelope / cdc_minute_window
+PLAN_SKIP = {
+    "stream_asof_stateful",
+    "stream_sessions_native",
+    "stream_dedup_native",
+    "stream_minute_window_native",
+}
 
 
 def _plan(df) -> str:
