@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "wh_value_histogram",
     "wh_funnel",
     "wh_cohort_retention",
+    "wh_value_anomalies",
     "pipeline_weighted_sample",
     "wh_event_transitions",
     "wh_window_frames",

@@ -527,6 +527,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE prev_type IS NOT NULL
         GROUP BY 1, 2"""
 
+    sqls["wh_value_anomalies"] = """
+        WITH by_min AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(15,2)) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        roll AS (
+            SELECT event_type, minute, v,
+                   count(v) OVER w AS n_hist,
+                   CAST(sum(v) OVER w AS DOUBLE) AS s,
+                   CAST(sum(CAST(v * v AS DECIMAL(31,4))) OVER w AS DOUBLE) AS s2
+            FROM by_min
+            WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                         ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+        ),
+        calc AS (
+            SELECT event_type, minute, v, n_hist,
+                   s / n_hist AS mean,
+                   s2 / n_hist - (s / n_hist) * (s / n_hist) AS var
+            FROM roll
+            WHERE n_hist >= 10
+        )
+        SELECT event_type, minute, CAST(v AS DOUBLE) AS minute_total,
+               round((CAST(v AS DOUBLE) - mean) / sqrt(var), 6) AS z
+        FROM calc
+        WHERE var > 0
+          AND abs((CAST(v AS DOUBLE) - mean) / sqrt(var)) > 3"""
+
     sqls["wh_value_histogram"] = """
         SELECT bucket,
                CAST(bucket * 20 AS DOUBLE) AS lo,

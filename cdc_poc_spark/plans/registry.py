@@ -555,6 +555,58 @@ def q_wh_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection on the per-(event_type, minute) value
+    series: each minute total compared against the trailing-30-minute
+    rolling mean/std, |z| > 3 flagged. The rolling sums run in DECIMAL
+    (exact under sliding-frame retraction — double accumulation would
+    drift between engines), converting to double only for the final
+    mean/var/z arithmetic. One shuffle for the minute rollup, one for the
+    per-type ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    by_min = ev.groupBy(
+        "event_type", ntz_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(15,2)")
+        .alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-30, -1)
+    )
+    # divisions happen only after the n_hist filter (ANSI mode errors on
+    # divide-by-zero, and empty frames yield n_hist = 0)
+    roll = (
+        by_min.withColumn("n_hist", F.count("v").over(w))
+        .withColumn("s", F.sum("v").over(w).cast("double"))
+        .withColumn(
+            "s2",
+            F.sum((F.col("v") * F.col("v")).cast("decimal(31,4)"))
+            .over(w)
+            .cast("double"),
+        )
+        .filter(F.col("n_hist") >= 10)
+    )
+    mean = F.col("s") / F.col("n_hist")
+    var = F.col("s2") / F.col("n_hist") - mean * mean
+    calc = roll.withColumn("_mean", mean).withColumn("_var", var).filter(
+        F.col("_var") > 0
+    )
+    z = (F.col("v").cast("double") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        calc.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select(
+            "event_type",
+            "minute",
+            F.col("v").cast("double").alias("minute_total"),
+            F.round(F.col("z"), 6).alias("z"),
+        )
+    )
+
+
 def q_wh_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of events.value: 25 buckets of width 20 with
     the overflow clamped into the last — one scan, one partial-agg shuffle
@@ -1978,6 +2030,7 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "wh_funnel": q_wh_funnel,
         "wh_event_transitions": q_wh_event_transitions,
+        "wh_value_anomalies": q_wh_value_anomalies,
         "wh_value_histogram": q_wh_value_histogram,
         "wh_rollup": q_wh_rollup,
         "wh_cube": q_wh_cube,
