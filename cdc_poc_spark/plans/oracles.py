@@ -159,6 +159,28 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["cdc_content_stats"] = with_enriched(_LATEST_STATS)
 
+    from .registry import DELETE_MOD
+
+    # the streaming leaderboard twin: identical SQL minus the wire-injected
+    # deletes (the parser drops after=null records)
+    sqls["stream_leaderboard_native"] = with_enriched(
+        f"""
+        SELECT content_id, content_type, content_title, score
+        FROM (
+            SELECT content_id, content_type, content_title,
+                   engagement_pct AS score,
+                   row_number() OVER (
+                       PARTITION BY content_id
+                       ORDER BY event_ts DESC, event_id DESC
+                   ) AS rn
+            FROM enriched
+            WHERE {VALID_FILTER_SQL} AND event_id % {DELETE_MOD} <> 0
+        )
+        WHERE rn = 1
+        ORDER BY score DESC, content_id
+        LIMIT 100"""
+    )
+
     from .registry import APPLY_KEY_MOD, DELETE_MOD as _DM
 
     sqls["cdc_apply_changelog"] = with_enriched(

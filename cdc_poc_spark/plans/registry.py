@@ -274,6 +274,36 @@ def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_leaderboard_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship leaderboard (A1) as a TRUE streaming aggregation in
+    complete output mode — the engine maintains the standing top-100
+    incrementally; hash-checked against the batch leaderboard SQL minus the
+    wire-injected deletes."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import pipeline
+
+    workdir = tempfile.mkdtemp(prefix="stream_lb_")
+    wire_dir = os.path.join(workdir, "wire")
+    _wire(spark, sf_dir, corrupt=False).write.text(wire_dir)
+    ev_schema = m.engagement_events(load_table(spark, sf_dir, "events")).schema
+    dim = m.content_dim(load_table(spark, sf_dir, "part"))
+    src = pipeline.file_wire_source(spark, wire_dir, ev_schema)
+    lb = pipeline.streaming_leaderboard(src, dim, ev_schema)
+    q = (
+        lb.writeStream.format("memory")
+        .queryName("stream_lb_result")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.table("stream_lb_result")
+
+
 def q_stream_minute_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 as a NATIVE watermarked streaming aggregation driven end-to-end:
     wire JSON (deletes injected) -> envelope parse -> broadcast enrich ->
@@ -2019,6 +2049,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_sessions_native": q_stream_sessions_native,
         "stream_dedup_native": q_stream_dedup_native,
         "stream_minute_window_native": q_stream_minute_window_native,
+        "stream_leaderboard_native": q_stream_leaderboard_native,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,

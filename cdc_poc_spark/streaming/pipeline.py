@@ -135,6 +135,22 @@ def streaming_minute_counts(
     )
 
 
+def streaming_leaderboard(
+    wire: DataFrame, dim: DataFrame, after_schema: T.StructType, k: int = 100
+) -> DataFrame:
+    """A1 (the reference's headline standing query) as a NATIVE streaming
+    aggregation: wire parse -> broadcast enrich -> validity gate -> one
+    max_by(latest) agg per content -> global top-k. Complete output mode
+    maintains the standing result incrementally — the engine-native form of
+    the Redis ZADD-overwrite + ZREMRANGEBYRANK loop
+    (reference sinks/RedisSink.java:174-188)."""
+    from ..operators.aggregates import leaderboard
+
+    parsed = debezium.parse_envelope(wire, after_schema)
+    good = debezium.good_rows(parsed)
+    return leaderboard(enrich(good, dim), k)
+
+
 def streaming_dedup(events: DataFrame, ts_col: str = "event_ts") -> DataFrame:
     """Exactly-once event dedup by id under an at-least-once source:
     ``dropDuplicatesWithinWatermark`` keys state on ``id`` and expires it

@@ -27,6 +27,7 @@ PLAN_SKIP = {
     "stream_sessions_native",
     "stream_dedup_native",
     "stream_minute_window_native",
+    "stream_leaderboard_native",
 }
 
 
