@@ -491,6 +491,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_users
         FROM ud GROUP BY 1, 2"""
 
+    sqls["wh_retention_rate"] = """
+        WITH ud AS (
+            SELECT DISTINCT user_id, cohort_day, day FROM (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       min(date_trunc('day', ts)) OVER (PARTITION BY user_id)
+                           AS cohort_day
+                FROM events
+            )
+        ),
+        tri AS (
+            SELECT cohort_day, day AS activity_day,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud GROUP BY 1, 2
+        ),
+        day0 AS (
+            SELECT cohort_day, n_users AS cohort_size
+            FROM tri WHERE activity_day = cohort_day
+        )
+        SELECT t.cohort_day, t.activity_day, t.n_users, d.cohort_size,
+               round(t.n_users::DOUBLE / d.cohort_size, 6) AS retention
+        FROM tri t JOIN day0 d USING (cohort_day)"""
+
+    sqls["text_ngram_topk"] = f"""
+        WITH {TOKS_CTE},
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1]))
+                       AS bigram
+            FROM toks
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 50"""
+
     from ..operators.sampling import _WSAMPLE_MOD, WSAMPLE_K, WSAMPLE_SEED
 
     _u = (

@@ -523,6 +523,45 @@ def q_wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized cohort retention: the triangle's counts divided by each
+    cohort's day-0 size (broadcast join of the tiny per-cohort sizes back
+    onto the triangle)."""
+    tri = q_wh_cohort_retention(spark, sf_dir)
+    day0 = (
+        tri.filter(F.col("activity_day") == F.col("cohort_day"))
+        .select("cohort_day", F.col("n_users").alias("cohort_size"))
+    )
+    return tri.join(F.broadcast(day0), "cohort_day").select(
+        "cohort_day",
+        "activity_day",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with counts — n-gram frequency analysis for
+    LM-data inspection. Bigrams form per-row (zip of the token array with
+    its tail — no explode until the pair column exists), then one hash-agg
+    shuffle and a heap top-k; ties broken on the bigram text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_analysis.tokens(F.col("text"))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
 def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis-Spirakis A-Res) over
     documents, weight = n_chars (operators/sampling.py::weighted_sample)."""
@@ -2058,6 +2097,8 @@ def queries() -> dict[str, QueryFn]:
         "wh_top_orders": q_wh_top_orders,
         "wh_hourly_events": q_wh_hourly_events,
         "wh_cohort_retention": q_wh_cohort_retention,
+        "wh_retention_rate": q_wh_retention_rate,
+        "text_ngram_topk": q_text_ngram_topk,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "wh_funnel": q_wh_funnel,
         "wh_event_transitions": q_wh_event_transitions,
