@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "mm_decode_features",
     "mm_media_stats",
     "pipeline_clean_corpus",
+    "pipeline_filter_audit",
 ]
 
 

@@ -261,3 +261,87 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         ),
         F.size(F.array_distinct(cs)).cast("long").alias("n_uniq_chars"),
     )
+
+
+# filter-audit gates (the "why was this document dropped" accounting)
+AUDIT_MIN_TOKENS = 10
+AUDIT_TOKEN_LEN = (2.0, 10.0)
+AUDIT_MAX_STOPWORD = 0.7
+AUDIT_MAX_PUNCT = 0.3
+AUDIT_MIN_ENTROPY = 3.0
+AUDIT_MAX_DUP_LINES = 0.3
+
+
+def filter_audit(docs: DataFrame) -> DataFrame:
+    """Corpus-filter audit: ONE row of per-reason rejection counts plus the
+    kept count — the accounting every large-scale cleaning run needs
+    ("what did each gate cost us"). A document can fail several gates;
+    each reason counts it once.
+
+    Every metric (token stats, punctuation, char entropy, duplicate-line
+    fraction) is a per-row Column expression over one scan — no joins, no
+    per-doc shuffle; the only exchange is the final 1-row aggregate.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_len = F.when(n_tokens > 0, sum_len.cast("double") / n_tokens)
+    stop_ratio = F.when(
+        n_tokens > 0, _count_in(toks, STOPWORDS).cast("double") / n_tokens
+    )
+    n_chars = F.length("text")
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.regexp_count(F.col("text"), F.lit(PUNCT_PATTERN)).cast("double")
+        / n_chars,
+    )
+    cs = F.regexp_extract_all(F.col("text"), F.lit(r"[^\s]"), 0)
+    ncs = F.size(cs).cast("double")
+
+    def _plogp(c: Column) -> Column:
+        p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / ncs
+        return p * F.log2(p)
+
+    ent = F.when(
+        F.size(cs) > 0,
+        -F.aggregate(
+            F.array_sort(F.array_distinct(cs)),
+            F.lit(0.0),
+            lambda acc, c: acc + _plogp(c),
+        ),
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    lo, hi = AUDIT_TOKEN_LEN
+    reasons = {
+        "too_few_tokens": n_tokens < AUDIT_MIN_TOKENS,
+        "bad_token_len": F.coalesce(
+            (avg_len < lo) | (avg_len > hi), F.lit(True)
+        ),
+        "high_stopword": F.coalesce(
+            stop_ratio > AUDIT_MAX_STOPWORD, F.lit(True)
+        ),
+        "high_punct": F.coalesce(punct_ratio > AUDIT_MAX_PUNCT, F.lit(True)),
+        "low_entropy": ent < AUDIT_MIN_ENTROPY,
+        "high_dup_lines": dup_frac > AUDIT_MAX_DUP_LINES,
+    }
+    kept = ~reasons["too_few_tokens"]
+    for r in list(reasons.values())[1:]:
+        kept = kept & ~r
+    per = docs.select(
+        kept.cast("long").alias("kept"),
+        *[v.cast("long").alias(f"r_{k}") for k, v in reasons.items()],
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        *[F.sum(f"r_{k}").alias(f"n_{k}") for k in reasons],
+    )

@@ -729,6 +729,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, round(_d, 6) AS dist
         FROM d ORDER BY _d, user_id, event_id LIMIT {SUBSEQ_K}"""
 
+    from ..operators.text_analysis import (
+        AUDIT_MAX_DUP_LINES,
+        AUDIT_MAX_PUNCT,
+        AUDIT_MAX_STOPWORD,
+        AUDIT_MIN_ENTROPY,
+        AUDIT_MIN_TOKENS,
+        AUDIT_TOKEN_LEN,
+        PUNCT_PATTERN as _PUNCT,
+    )
+
+    _lo, _hi = AUDIT_TOKEN_LEN
+    _ent_sql = r"""CASE WHEN len(cs) > 0 THEN
+        -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list_distinct(cs)),
+                c -> (len(list_filter(cs, x -> x = c))::DOUBLE / len(cs))
+                     * log2(len(list_filter(cs, x -> x = c))::DOUBLE / len(cs)))),
+            (a, b) -> a + b))
+        ELSE 0.0 END"""
+    sqls["pipeline_filter_audit"] = f"""
+        WITH per AS (
+            SELECT
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN {_sum_len}::DOUBLE / len(toks) END AS avg_len,
+                CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, t -> t IN ({_stop}))) AS BIGINT)::DOUBLE
+                        / len(toks) END AS stop_ratio,
+                CASE WHEN length(text) > 0 THEN
+                    CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS BIGINT)::DOUBLE
+                        / length(text) END AS punct_ratio,
+                {_ent_sql} AS ent,
+                CASE WHEN len(lines) > 0
+                     THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                     ELSE 0.0 END AS dup_frac
+            FROM (
+                SELECT text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                       regexp_extract_all(text, '[^\\s]') AS cs,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines
+                FROM documents
+            )
+        ),
+        flags AS (
+            SELECT
+                CASE WHEN n_tokens < {AUDIT_MIN_TOKENS} THEN 1 ELSE 0 END AS r_too_few_tokens,
+                CASE WHEN coalesce(avg_len < {_lo} OR avg_len > {_hi}, TRUE) THEN 1 ELSE 0 END AS r_bad_token_len,
+                CASE WHEN coalesce(stop_ratio > {AUDIT_MAX_STOPWORD}, TRUE) THEN 1 ELSE 0 END AS r_high_stopword,
+                CASE WHEN coalesce(punct_ratio > {AUDIT_MAX_PUNCT}, TRUE) THEN 1 ELSE 0 END AS r_high_punct,
+                CASE WHEN ent < {AUDIT_MIN_ENTROPY} THEN 1 ELSE 0 END AS r_low_entropy,
+                CASE WHEN dup_frac > {AUDIT_MAX_DUP_LINES} THEN 1 ELSE 0 END AS r_high_dup_lines
+            FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN r_too_few_tokens + r_bad_token_len
+                                  + r_high_stopword + r_high_punct
+                                  + r_low_entropy + r_high_dup_lines = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(r_too_few_tokens) AS BIGINT) AS n_too_few_tokens,
+               CAST(sum(r_bad_token_len) AS BIGINT) AS n_bad_token_len,
+               CAST(sum(r_high_stopword) AS BIGINT) AS n_high_stopword,
+               CAST(sum(r_high_punct) AS BIGINT) AS n_high_punct,
+               CAST(sum(r_low_entropy) AS BIGINT) AS n_low_entropy,
+               CAST(sum(r_high_dup_lines) AS BIGINT) AS n_high_dup_lines
+        FROM flags"""
+
     sqls["text_char_entropy"] = r"""
         WITH chars AS (
             SELECT doc_id, regexp_extract_all(text, '[^\s]') AS cs

@@ -1151,6 +1151,12 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(multimodal.decode_features(media))
 
 
+def q_pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-reason rejection counts for the corpus quality gates — one scan,
+    one 1-row aggregate (operators/text_analysis.py::filter_audit)."""
+    return text_analysis.filter_audit(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data prep pipeline, composed from the
     individual operators: quality gate -> exact dedup (keep min doc_id per
@@ -2185,4 +2191,5 @@ def queries() -> dict[str, QueryFn]:
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_filter_audit": q_pipeline_filter_audit,
     }
