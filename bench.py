@@ -95,7 +95,12 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("cdc-poc-spark-bench")
+    # stdout must stay pristine for the one-line JSON contract: silence the
+    # console progress bar (it writes control chars) and raise the log level.
+    spark = get_spark(
+        "cdc-poc-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries()
     names = [n for n in BENCH_QUERIES if n in reg]
@@ -116,19 +121,38 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     stream = stream_throughput(spark, sf_dir)
     gen = generator_throughput(spark)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stream": stream,
-                "generator": gen,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Contract: EXACTLY ONE JSON line on stdout, short enough that a
+    # tail-buffered capture can never cut it mid-line (round 1's ~2.1 kB
+    # line was truncated upstream and parsed as null). Full per-query
+    # timings go to stderr + bench_full.json; stdout keeps the slowest
+    # queries until the line fits the budget.
+    payload = {
+        "metric": "total_wall_clock_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])
+        ),
+        "n_queries": len(timings),
+        "stream": stream,
+        "generator": gen,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full = json.dumps(payload, separators=(",", ":"))
+    print(full, file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    line = full
+    q = payload["queries"]
+    while len(line) > 1500 and len(q) > 10:
+        q.pop(next(reversed(q)))  # drop the fastest remaining query
+        line = json.dumps(payload, separators=(",", ":"))
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

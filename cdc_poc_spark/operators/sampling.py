@@ -116,7 +116,12 @@ def weighted_sample(
     ) / F.lit(float(_WSAMPLE_MOD))
     key = F.log(u) / F.col(weight_col)
     return (
-        docs.select("doc_id", F.col(weight_col).alias("weight"), key.alias("_k"))
+        # weight <= 0 rows are excluded EXPLICITLY (a zero-weight row has no
+        # inclusion odds anyway): ln(u)/0 is an engine-dependent ±inf/null,
+        # so both this operator and its DuckDB oracle must filter, not rely
+        # on inf/null sort position agreeing by accident.
+        docs.filter(F.col(weight_col) > 0)
+        .select("doc_id", F.col(weight_col).alias("weight"), key.alias("_k"))
         .orderBy(F.desc("_k"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "weight", F.round(F.col("_k"), 6).alias("sample_key"))

@@ -19,15 +19,27 @@ from pyspark.sql import functions as F
 
 
 def sessionize(
-    df: DataFrame, key: str, ts_col: str, gap_minutes: int
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: int,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Assign events to sessions: a new session starts when the gap since
     the previous event of the same ``key`` exceeds ``gap_minutes``.
 
     Returns per-session rows: key, session_seq (0-based per key),
     session_start, session_end, n_events.
+
+    Determinism contract (shared with the DuckDB oracle in
+    plans/oracles.py): NULL timestamps are dropped (a NULL ts belongs to
+    no session, and engines disagree on NULL sort position), and when
+    ``tiebreak`` is given, both window passes order by (ts, tiebreak) so
+    the lag/running-sum row order is engine-stable even with duplicate
+    timestamps.
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
+    order = [ts_col, tiebreak] if tiebreak else [ts_col]
+    w = Window.partitionBy(key).orderBy(*order)
     gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
     new_session = F.when(
         F.col(ts_col) - F.lag(ts_col).over(w) > gap, F.lit(1)
@@ -35,10 +47,12 @@ def sessionize(
     seq = (
         F.sum(new_session)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
         .alias("session_seq")
     )
     return (
-        df.select(F.col(key), F.col(ts_col), seq)
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key), F.col(ts_col), seq)
         .groupBy(key, "session_seq")
         .agg(
             F.min(ts_col).alias("session_start"),

@@ -37,6 +37,11 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 # (Spark) and RE2 (DuckDB) agree.
 BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 PUNCT_PATTERN = r"[^a-zA-Z0-9\s]"
+# Non-whitespace as an EXPLICIT class, shared verbatim with the DuckDB
+# oracles: Java's \s includes vertical tab \x0B but RE2's does not, so a
+# bare [^\s] silently diverges on any document containing \x0B. Both
+# engines parse \t \n \x0B \f \r escapes identically inside a class.
+NONWS_PATTERN = r"[^ \t\n\x0B\f\r]"
 
 
 def tokens(text: Column) -> Column:
@@ -242,7 +247,7 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     fold runs over the sorted distinct-char list, so doubles are
     oracle-bit-identical.
     """
-    cs = F.regexp_extract_all(F.col("text"), F.lit(r"[^\s]"), 0)
+    cs = F.regexp_extract_all(F.col("text"), F.lit(NONWS_PATTERN), 0)
     n = F.size(cs).cast("double")
 
     def _plogp(c: Column) -> Column:
@@ -297,7 +302,7 @@ def filter_audit(docs: DataFrame) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(PUNCT_PATTERN)).cast("double")
         / n_chars,
     )
-    cs = F.regexp_extract_all(F.col("text"), F.lit(r"[^\s]"), 0)
+    cs = F.regexp_extract_all(F.col("text"), F.lit(NONWS_PATTERN), 0)
     ncs = F.size(cs).cast("double")
 
     def _plogp(c: Column) -> Column:

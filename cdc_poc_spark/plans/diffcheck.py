@@ -28,13 +28,30 @@ class DiffResult:
     mismatches: list = field(default_factory=list)
 
 
+def _is_na(v):
+    """Scalar NA check that is safe on list/array cells (pd.isna on those
+    returns an array, which we treat as not-NA)."""
+    if v is None:
+        return True
+    try:
+        import pandas as pd
+
+        res = pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+    return res is True or (getattr(res, "shape", None) == () and bool(res))
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # repr(float(v)) — not repr(v) — so numpy float64 (whose repr is
+        # "np.float64(x)" under numpy>=2) normalizes identically to a
+        # plain Python float from the fetchall path.
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, bool):
         return str(v)
     return str(v)
@@ -55,7 +72,20 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def compare_one(spark: SparkSession, con, name: str, sf_dir: str) -> DiffResult:
+def compare_one(
+    spark: SparkSession, con, name: str, sf_dir: str, via_pandas: bool = False
+) -> DiffResult:
+    """Compare one registry query against its DuckDB oracle.
+
+    ``via_pandas=True`` fetches the oracle result through ``.df()`` (the
+    pandas/Arrow path) instead of ``fetchall()``. The two paths differ in
+    dtype fidelity — e.g. DuckDB's ``sum(INTEGER)`` yields HUGEINT, which
+    ``fetchall()`` surfaces as a Python int but ``.df()`` coerces to
+    float64, turning ``9`` into ``9.0`` and breaking a string-normalized
+    hash. The driver's harness uses a pandas-like path, so local parity
+    must hold under BOTH fetch modes; oracles must CAST integer aggregates
+    explicitly (``CAST(sum(x) AS BIGINT)``) to be dtype-stable.
+    """
     qfn = queries()[name]
     sql = oracle_sql().get(name)
     sdf = qfn(spark, sf_dir)
@@ -63,9 +93,30 @@ def compare_one(spark: SparkSession, con, name: str, sf_dir: str) -> DiffResult:
     s_rows = [tuple(r) for r in sdf.collect()]
     if sql is None:
         return DiffResult(name, ok=len(s_rows) >= 0, spark_rows=len(s_rows), detail="rows-only (no oracle)")
+    # dtype-stability guard: an oracle output column must never be a type
+    # Spark lacks (HUGEINT/UHUGEINT from integer sums) — such columns hash
+    # differently depending on the harness' fetch path (int via fetchall,
+    # float64 via pandas). Oracles must CAST integer aggregates to BIGINT.
+    rel = con.sql(sql)
+    hug = [
+        c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)
+    ]
+    if hug:
+        return DiffResult(
+            name,
+            ok=False,
+            detail=f"oracle emits HUGEINT column(s) {hug} — CAST to BIGINT",
+        )
     res = con.execute(sql)
     o_cols = [d[0] for d in res.description]
-    o_rows = res.fetchall()
+    if via_pandas:
+        pdf = res.df()
+        o_rows = [
+            tuple(None if _is_na(v) else v for v in row)
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+    else:
+        o_rows = res.fetchall()
     r = DiffResult(name, ok=True, spark_rows=len(s_rows), oracle_rows=len(o_rows))
     if sorted(s_cols) != sorted(o_cols):
         r.ok = False
@@ -85,12 +136,17 @@ def compare_one(spark: SparkSession, con, name: str, sf_dir: str) -> DiffResult:
     return r
 
 
-def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[DiffResult]:
+def run_all(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    via_pandas: bool = False,
+) -> list[DiffResult]:
     con = duckdb_connection(sf_dir)
     out = []
     for name in names or list(queries().keys()):
         try:
-            out.append(compare_one(spark, con, name, sf_dir))
+            out.append(compare_one(spark, con, name, sf_dir, via_pandas=via_pandas))
         except Exception as e:  # noqa: BLE001 — harness must report, not die
             out.append(DiffResult(name, ok=False, detail=f"{type(e).__name__}: {e}"))
     return out

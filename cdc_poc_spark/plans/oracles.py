@@ -423,22 +423,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN content c ON e.content_id = c.id"""
     )
 
-    sqls["wh_sessions"] = """
-        WITH flagged AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+    # ONE shared gap-and-islands CTE chain for BOTH session oracles (batch
+    # wh_sessions and the streaming session_window twin) so they cannot
+    # drift. Determinism/dtype contract, mirrored by operators/sessions.py:
+    #  - base rows CAST ts to micros TIMESTAMP and drop NULL ts, so the
+    #    oracle is stable whether the driver wrote MICROS or NANOS parquet
+    #    (Spark floors NANOS->MICROS in the loader; DuckDB must match);
+    #  - windows ORDER BY ts, event_id — a full tie-break, engine-stable;
+    #  - session_seq is CAST(... AS BIGINT): DuckDB's sum(INTEGER) is
+    #    HUGEINT, which the pandas fetch path coerces to float64 ("9.0"),
+    #    breaking the value hash against Spark's bigint ("9").
+    _sessions_cte = """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events WHERE ts IS NOT NULL
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM ev
         ),
         seq AS (
             SELECT user_id, ts,
-                   sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM flagged
-        )
+        )"""
+
+    sqls["wh_sessions"] = _sessions_cte + """
         SELECT user_id, session_seq,
                min(ts) AS session_start,
                max(ts) AS session_end,
@@ -446,25 +463,7 @@ def oracle_sql() -> dict[str, str]:
         FROM seq
         GROUP BY user_id, session_seq"""
 
-    # the streaming session_window twin must produce the SAME sessions as
-    # the batch gap-and-islands plan — identical CTE chain, projected to the
-    # streaming output columns
-    sqls["stream_sessions_native"] = """
-        WITH flagged AS (
-            SELECT user_id, ts,
-                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             > INTERVAL 30 MINUTE
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-        ),
-        seq AS (
-            SELECT user_id, ts,
-                   sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
-            FROM flagged
-        )
+    sqls["stream_sessions_native"] = _sessions_cte + """
         SELECT user_id,
                min(ts) AS session_start,
                count(*) AS n_events
@@ -533,9 +532,12 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["pipeline_weighted_sample"] = f"""
         WITH keyed AS (
+            -- weight > 0 filter matches operators/sampling.py: ln(u)/0 is
+            -- an engine-dependent inf/null, so zero-weight rows are
+            -- excluded by contract, not by accidental sort position
             SELECT doc_id, n_chars AS weight,
                    ln({_u}) / n_chars AS _k
-            FROM documents
+            FROM documents WHERE n_chars > 0
         )
         SELECT doc_id, weight, round(_k, 6) AS sample_key
         FROM keyed ORDER BY _k DESC, doc_id LIMIT {WSAMPLE_K}"""
@@ -736,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         AUDIT_MIN_ENTROPY,
         AUDIT_MIN_TOKENS,
         AUDIT_TOKEN_LEN,
+        NONWS_PATTERN as _NONWS,
         PUNCT_PATTERN as _PUNCT,
     )
 
@@ -766,7 +769,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT text,
                        list_filter(string_split(text, ' '), x -> x <> '') AS toks,
-                       regexp_extract_all(text, '[^\\s]') AS cs,
+                       regexp_extract_all(text, '{_NONWS}') AS cs,
                        list_filter(list_transform(string_split(text, chr(10)),
                                                   x -> trim(x)),
                                    x -> x <> '') AS lines
@@ -796,9 +799,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(r_high_dup_lines) AS BIGINT) AS n_high_dup_lines
         FROM flags"""
 
-    sqls["text_char_entropy"] = r"""
+    sqls["text_char_entropy"] = rf"""
         WITH chars AS (
-            SELECT doc_id, regexp_extract_all(text, '[^\s]') AS cs
+            SELECT doc_id, regexp_extract_all(text, '{_NONWS}') AS cs
             FROM documents
         )
         SELECT doc_id,
@@ -1076,7 +1079,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["pipeline_domain_mix"] = """
         WITH per AS (
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens
+                   -- CAST the sum: DuckDB sum over ints is HUGEINT (no
+                   -- Spark analog; float64 via pandas) — keep it BIGINT
+                   CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                        AS BIGINT) AS n_tokens
             FROM documents GROUP BY source
         ),
         tot AS (
@@ -1220,7 +1226,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.lang,
                count(*) AS n_docs,
-               sum(s.n_tokens) AS total_tokens
+               -- DuckDB sum(BIGINT) is HUGEINT, a type Spark lacks and
+               -- pandas coerces to float64 — cast back for a stable hash
+               CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens
         FROM documents d
         JOIN surviving s ON d.doc_id = s.doc_id
         GROUP BY d.lang"""
