@@ -34,6 +34,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = MAX_CC_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node in `edges`, where cluster_id is the
     minimum node id reachable through the undirected edge set.
@@ -42,13 +43,26 @@ def connected_components(
     here. Raises if the fixpoint is not reached in `max_rounds` rounds
     (pointer jumping makes that bound ~log2 of the worst component
     diameter, so 50 covers any realistic graph).
+
+    Checkpoint strategy: by default each round truncates lineage with
+    ``localCheckpoint`` (executor-memory pin — fastest, fine for local and
+    for short-lived jobs). For a long cluster run pass ``checkpoint_dir``
+    (HDFS/S3 path): rounds then use RELIABLE ``checkpoint()`` so the
+    iteration survives executor loss — with localCheckpoint, losing any
+    executor mid-loop kills the job because the pinned blocks have no
+    lineage to recompute from.
     """
+    use_reliable = checkpoint_dir is not None
+    if use_reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if use_reliable else df.localCheckpoint()
+
     # materialize the (possibly expensive) edge lineage ONCE before the
     # union symmetrization — both union branches and every loop round read
     # the pinned rows instead of recomputing the upstream pair pipeline
-    one_dir = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    one_dir = _pin(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     nodes = (
         one_dir.select(F.col("src").alias("node"))
         .union(one_dir.select(F.col("dst").alias("node")))
@@ -64,9 +78,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        "node", F.col("node").alias("cluster_id")
-    ).localCheckpoint()  # truncate lineage at the loop entry
+    labels = _pin(
+        nodes.select("node", F.col("node").alias("cluster_id"))
+    )  # truncate lineage at the loop entry
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_rounds):
         # 1. propagate: label <- min over {self ∪ neighbours}' labels
@@ -80,17 +94,15 @@ def connected_components(
         ptr = propagated.select(
             F.col("node").alias("p_node"), F.col("cluster_id").alias("p_label")
         )
-        labels = (
+        labels = _pin(  # keep the iterative lineage flat every round
             propagated.join(
                 ptr, propagated["cluster_id"] == ptr["p_node"], "left"
-            )
-            .select(
+            ).select(
                 propagated["node"],
                 F.coalesce(F.col("p_label"), propagated["cluster_id"]).alias(
                     "cluster_id"
                 ),
             )
-            .localCheckpoint()  # keep the iterative lineage flat
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:

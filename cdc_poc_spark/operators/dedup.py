@@ -38,6 +38,15 @@ SHINGLE_K = 3
 
 SIMHASH_BITS = 16
 
+# Document-frequency cap for the shingle self-join: a shingle present in
+# more than this fraction of the corpus is a "stop-shingle" (boilerplate,
+# license headers, templated phrases). Without the cap, pairs-sharing-a-
+# shingle is quadratic in that shingle's document frequency — ONE shingle
+# in 1% of a 10B-doc corpus is 10^16 candidate pairs. The cap is part of
+# the operator's CONTRACT (the DuckDB oracle applies it identically):
+# Jaccard is computed over the df-filtered shingle sets.
+MAX_SHINGLE_DF_FRAC = 0.5
+
 
 def exact_dups(docs: DataFrame) -> DataFrame:
     """Exact dedup via content hash: per distinct text, the keeper (min
@@ -88,17 +97,39 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, k: int = SHINGLE_K, cache: bool = True
+    docs: DataFrame,
+    threshold: float,
+    k: int = SHINGLE_K,
+    cache: bool = True,
+    max_df_frac: float | None = MAX_SHINGLE_DF_FRAC,
 ) -> DataFrame:
-    """All doc pairs with shingle-set Jaccard >= threshold.
+    """All doc pairs with shingle-set Jaccard >= threshold, where the
+    shingle sets exclude stop-shingles (document frequency > ``max_df_frac``
+    of the corpus — see MAX_SHINGLE_DF_FRAC; None disables the cap).
 
     Candidates come from the shingle self-join (pairs sharing >= 1 shingle);
     |A ∪ B| = |A| + |B| - |A ∩ B| avoids a second pass over the sets.
     The exploded shingle table feeds three subtrees (sizes + both join
     sides), so it is persisted rather than recomputed — at cluster scale
     this is the materialize-the-shingle-index step every dedup pipeline has.
+
+    The df cap is the worst-case guard: without it, one shingle shared by
+    m documents contributes m^2/2 join rows. The hot-shingle set is tiny by
+    construction (few distinct shingles can each exceed a corpus fraction),
+    so it broadcasts, and the exclusion is a broadcast anti-join — no extra
+    shuffle beyond the one df-count aggregate over the shingle index.
     """
     sh = doc_shingles(docs, k)
+    if max_df_frac is not None:
+        tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("_df") > F.col("_n_docs") * F.lit(float(max_df_frac)))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if cache:
         sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

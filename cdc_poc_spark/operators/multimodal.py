@@ -14,6 +14,8 @@ any byte is decoded.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from wave import Error as wave_error
+from zlib import error as zlib_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -72,8 +74,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(media_type: str, content: bytes) -> tuple[int, int, int]:
     """Deterministic fake decoder: derives (width, height, n_frames) from
-    the byte stream without any codec library. Swap for PIL/librosa/pyav
-    when available (see decode_features)."""
+    the byte stream without any codec library — the fallback for byte
+    streams no real decoder claims (and for video, which has no
+    stdlib-decodable container)."""
     n = len(content)
     width = 16 + n % 1024
     height = 16 + (n * 7) % 768
@@ -81,14 +84,44 @@ def _decode_stub(media_type: str, content: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _decode_real(media_type: str, content: bytes) -> tuple[int, int, int]:
+    """Real decode where the format allows: PNG (pure-Python chunk walk +
+    inflate + unfilter, functions/media_codecs.py) and PCM WAV (stdlib
+    ``wave``). Anything else falls back to the deterministic stub, so the
+    operator's output stays total over arbitrary bytes.
+
+    Feature mapping into the (width, height, n_frames) triple:
+      image/PNG -> (pixel width, pixel height, 1)
+      audio/WAV -> (sample_rate, n_channels, n_audio_frames)
+    """
+    from ..functions import media_codecs as mc
+
+    b = bytes(content)
+    if mc.is_png(b):
+        try:
+            w, h, _c, _px = mc.png_decode(b)
+            return w, h, 1
+        except (ValueError, zlib_error):
+            pass
+    if mc.is_wav(b):
+        try:
+            nch, rate, nframes = mc.wav_info(b)
+            return rate, nch, nframes
+        except (wave_error, EOFError):
+            pass
+    return _decode_stub(media_type, b)
+
+
 def decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary media columns.
 
     Real pattern: mapInPandas streams record batches through Python, so
     per-batch codec state (decoder instances, GPU handles) amortizes across
-    rows. Here the codec is `_decode_stub`; a real build imports PIL/pyav
-    inside the generator (import-per-executor, not per-row) and replaces
-    the stub call.
+    rows. The codec is `_decode_real`: genuine PNG/WAV decoding via
+    functions/media_codecs.py (stdlib-only), stub fallback for byte
+    streams neither format claims; a richer build imports PIL/pyav inside
+    the generator (import-per-executor, not per-row) behind the same
+    signature.
     """
     import hashlib
 
@@ -102,7 +135,7 @@ def decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 }
             )
             dims = [
-                _decode_stub(t, c)
+                _decode_real(t, c)
                 for t, c in zip(pdf["media_type"], pdf["content"])
             ]
             out["width"] = pd.Series([d[0] for d in dims], dtype="int32")
@@ -139,15 +172,29 @@ def resize_images(
     media: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
     """Resize stage for image rows (mapInPandas): bytes in, resized bytes
-    out. Stub codec: output is the input truncated to the resized byte
-    budget (w*h*3, an RGB frame) — deterministic and oracle-checkable; a
-    real build decodes with PIL inside the generator and re-encodes."""
+    out. Genuine PNG inputs are decoded (functions/media_codecs.py),
+    nearest-neighbor resampled to (target_w, target_h), and re-encoded as
+    PNG; non-PNG bytes take the deterministic stub path (input truncated to
+    the resized byte budget w*h*3, an RGB frame) so the stage stays total
+    and oracle-checkable over arbitrary binary columns."""
     budget = target_w * target_h * 3
+
+    def _resize_one(b: bytes) -> bytes:
+        from ..functions import media_codecs as mc
+
+        b = bytes(b)
+        if mc.is_png(b):
+            try:
+                _w, _h, _c, px = mc.png_decode(b)
+                return mc.png_encode(mc.resize_nearest(px, target_w, target_h))
+            except (ValueError, zlib_error):
+                pass
+        return b[:budget]
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             imgs = pdf[pdf["media_type"] == "image"]
-            out_bytes = imgs["content"].map(lambda b: bytes(b[:budget]))
+            out_bytes = imgs["content"].map(_resize_one)
             yield pd.DataFrame(
                 {
                     "media_id": imgs["media_id"],

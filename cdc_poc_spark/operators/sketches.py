@@ -29,6 +29,11 @@ CMS_EPS = 0.001
 CMS_CONFIDENCE = 0.99
 CMS_SEED = 42
 
+# heavy_hitters_over_candidates collects the candidate key set to the
+# driver to probe the sketch; this cap turns "caller accidentally passed
+# the full key domain" into a loud error instead of a driver OOM.
+MAX_CANDIDATE_KEYS = 100_000
+
 
 def cms_sketch(
     df: DataFrame,
@@ -71,6 +76,7 @@ def heavy_hitters_over_candidates(
     eps: float = CMS_EPS,
     confidence: float = CMS_CONFIDENCE,
     seed: int = CMS_SEED,
+    max_keys: int = MAX_CANDIDATE_KEYS,
 ) -> DataFrame:
     """Estimated total occurrence count in `facts` for every key in
     `candidates[col]`, highest first.
@@ -78,11 +84,21 @@ def heavy_hitters_over_candidates(
     `facts` is scanned exactly once (the sketch aggregate); `candidates`
     must be driver-sized (it is collected to probe the sketch) — in the
     intended pattern it is the output of a selective filter, e.g. "keys
-    active in the most recent slice", never the full key domain.
+    active in the most recent slice", never the full key domain. The
+    ``max_keys`` bound ENFORCES that contract: the collect is capped at
+    max_keys + 1 rows, and exceeding the cap raises instead of silently
+    pulling an unbounded key set onto the driver.
     """
     spark = facts.sparkSession
     sketch = cms_sketch(facts, col, eps, confidence, seed)
-    keys = [r[0] for r in candidates.select(col).distinct().collect()]
+    distinct_keys = candidates.select(col).distinct()
+    keys = [r[0] for r in distinct_keys.limit(max_keys + 1).collect()]
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"heavy_hitters_over_candidates: candidate key set exceeds "
+            f"max_keys={max_keys}; pass a selective candidate set (or raise "
+            f"max_keys explicitly if the driver can hold it)"
+        )
     est = estimate_counts(spark, sketch, keys)
     out = spark.createDataFrame(
         sorted(est.items(), key=lambda kv: (-kv[1], kv[0])),

@@ -17,6 +17,7 @@ from ..functions.hashing import (
 )
 from ..operators.dedup import (
     MINHASH_BANDS,
+    MAX_SHINGLE_DF_FRAC,
     MINHASH_HASHES,
     SHINGLE_K,
     SIMHASH_BITS,
@@ -61,11 +62,41 @@ SHINGLES_CTE = (
 )
 EXPLODED_CTE = "ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"
 
-_JACCARD_PAIRS = f"""
+# uncapped pair Jaccard — used by the MinHash-LSH oracles, whose verify
+# step is TRUE Jaccard over the full shingle sets (LSH candidate cost is
+# bounded by banding, so no df cap applies there)
+_JACCARD_PAIRS_RAW = """
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
     FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b, n_common,
+           n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)"""
+
+# stop-shingle document-frequency cap — MUST stay identical to the Spark
+# operator (operators.dedup.MAX_SHINGLE_DF_FRAC): Jaccard is computed over
+# the df-filtered shingle sets on both engines. Used by every oracle whose
+# Spark twin goes through the shingle SELF-JOIN (ngram_jaccard_pairs).
+_JACCARD_PAIRS = f"""
+hot AS (
+    SELECT shingle FROM ex GROUP BY shingle
+    HAVING count(*) > (SELECT count(*) FROM documents) * {MAX_SHINGLE_DF_FRAC}
+),
+exf AS (
+    SELECT ex.doc_id, ex.shingle FROM ex
+    ANTI JOIN hot ON ex.shingle = hot.shingle
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM exf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 jac AS (
@@ -892,7 +923,7 @@ def oracle_sql() -> dict[str, str]:
         for b in range(MINHASH_BANDS)
     )
     sqls["dedup_minhash_lsh"] = f"""
-        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()},
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS_RAW.strip()},
         hashed AS (SELECT doc_id,
                           list_transform(shingles, s -> {md5_long_sql('s')}) AS hs
                    FROM sh),
@@ -915,7 +946,7 @@ def oracle_sql() -> dict[str, str]:
     # same signature/banding chain as dedup_minhash_lsh; candidates are
     # (batch probes index) pairs only — corpus-internal pairs not re-emitted
     sqls["dedup_minhash_incremental"] = f"""
-        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()},
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS_RAW.strip()},
         hashed AS (SELECT doc_id,
                           list_transform(shingles, s -> {md5_long_sql('s')}) AS hs
                    FROM sh),

@@ -1,0 +1,111 @@
+"""Scale-hardening guards: the stop-shingle document-frequency cap, the
+reliable-checkpoint path for iterative connected components, and the
+bounded-candidates contract on driver-side sketch probing.
+
+Each guard exists for the 100 TB posture: the df cap bounds the shingle
+self-join's worst case (one ubiquitous shingle otherwise makes candidate
+generation quadratic), reliable checkpoints let the CC loop survive
+executor loss, and the candidate cap turns an accidental full-domain
+collect into a loud error instead of a driver OOM.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.operators import dedup, sketches
+from cdc_poc_spark.operators.clustering import connected_components
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# one 3-token stop-shingle every document shares, plus per-pair rare text
+_STOP = "all rights reserved"
+
+
+def test_df_cap_drops_stop_shingle_pairs(spark):
+    # Docs 1/2 share ONLY the ubiquitous boilerplate shingle; docs 3/4
+    # share their full rare text. With the cap, the boilerplate shingle is
+    # excluded from every shingle set, so 1/2 must NOT pair while 3/4 must.
+    rows = [
+        (1, f"{_STOP} alpha beta gamma delta"),
+        (2, f"{_STOP} epsilon zeta eta theta"),
+        (3, f"{_STOP} iota kappa lambda mu"),
+        (4, f"{_STOP} iota kappa lambda mu"),
+        (5, f"{_STOP} nu xi omicron pi"),
+    ]
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, rows), threshold=0.2, cache=False
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(3, 4)}
+    # and the surviving pair's Jaccard is over the FILTERED sets: identical
+    # filtered shingle sets -> exactly 1.0
+    j = pairs.filter((F.col("doc_a") == 3) & (F.col("doc_b") == 4)).first()
+    assert j["jaccard"] == 1.0
+
+
+def test_df_cap_disabled_restores_raw_candidates(spark):
+    rows = [
+        (1, f"{_STOP} alpha beta gamma delta"),
+        (2, f"{_STOP} epsilon zeta eta theta"),
+        (3, f"{_STOP} iota kappa lambda mu"),
+    ]
+    raw = dedup.ngram_jaccard_pairs(
+        _docs(spark, rows), threshold=0.01, cache=False, max_df_frac=None
+    )
+    # every pair shares the boilerplate shingle -> all 3 pairs are
+    # candidates and clear the tiny threshold
+    assert raw.count() == 3
+
+
+def test_df_cap_keeps_sub_threshold_shingles(spark):
+    # a shingle in exactly half the corpus (not MORE than half) survives
+    rows = [
+        (1, "shared common phrase one two three"),
+        (2, "shared common phrase four five six"),
+        (3, "unrelated text body seven eight nine"),
+        (4, "another unrelated body ten eleven twelve"),
+    ]
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, rows), threshold=0.1, cache=False
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_cc_reliable_checkpoint_path(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 10)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    with tempfile.TemporaryDirectory(prefix="cc_ckpt_") as d:
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges, checkpoint_dir=d).collect()
+        }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 10, 31: 10, 32: 10}
+
+
+def test_heavy_hitters_candidate_cap_raises(spark):
+    facts = spark.range(0, 1000).select(F.col("id").alias("k"))
+    candidates = spark.range(0, 50).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="max_keys"):
+        sketches.heavy_hitters_over_candidates(
+            facts, candidates, "k", max_keys=10
+        )
+
+
+def test_heavy_hitters_within_cap_still_works(spark):
+    facts = spark.range(0, 100).select((F.col("id") % 5).alias("k"))
+    candidates = spark.range(0, 3).select(F.col("id").alias("k"))
+    out = sketches.heavy_hitters_over_candidates(
+        facts, candidates, "k", max_keys=10
+    )
+    rows = {r["k"]: r["est_count"] for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    # CMS overestimates only; exact here because the domain is tiny
+    assert all(v >= 20 for v in rows.values())
