@@ -247,3 +247,182 @@ def media_stats(features: DataFrame) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection over REAL encoded pixels: render -> decode ->
+# perceptual hash (aHash) -> banded Hamming candidate join. The render stage
+# exists because the sandbox has no image corpus; the decode/hash/join stages
+# are exactly what runs over a real one.
+# ---------------------------------------------------------------------------
+
+PNG_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_png_corpus(docs: DataFrame, side: int = 16) -> DataFrame:
+    """Render each document's text into a real ``side`` x ``side`` grayscale
+    PNG: the pixel grid is the normalized histogram of crc32-hashed token
+    trigrams (the doc's shingle profile as pixels). Deterministic, content-
+    discriminative (different docs light up different cells), and textual
+    near-duplicates — sharing almost all shingles — map to near-identical
+    images, so the corpus' dup structure carries over to the image domain,
+    which is what the downstream perceptual-hash join must find."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from ..functions import media_codecs as mc
+
+    n_cells = side * side
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = text.split()
+                cells = np.array(
+                    [
+                        _zlib.crc32(" ".join(toks[i : i + 3]).encode("utf-8"))
+                        % n_cells
+                        for i in range(max(0, len(toks) - 2))
+                    ],
+                    dtype=np.int64,
+                )
+                grid = np.bincount(cells, minlength=n_cells).reshape(side, side)
+                peak = grid.max()
+                px = (
+                    (grid * 255 // peak).astype(np.uint8)
+                    if peak > 0
+                    else grid.astype(np.uint8)
+                )
+                out.append(mc.png_encode(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": pd.Series(out, dtype="object", index=pdf.index),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(render, PNG_CORPUS_SCHEMA)
+
+
+def ahash64(media: DataFrame) -> DataFrame:
+    """64-bit average-hash per image: decode PNG -> gray (channel mean) ->
+    8x8 nearest-neighbor downsample -> threshold at the mean. Arrow-batched;
+    non-PNG rows hash to NULL and drop out of the dup join."""
+    import numpy as np
+
+    from ..functions import media_codecs as mc
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for content in pdf["content"]:
+                b = bytes(content)
+                h = None
+                if mc.is_png(b):
+                    try:
+                        _w, _h, _c, px = mc.png_decode(b)
+                        gray = px.astype(np.float64).mean(axis=2)
+                        small = mc.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+                        bits = (small > small.mean()).flatten()
+                        # int64 via two 32-bit halves to dodge uint64 overflow
+                        val = 0
+                        for i, bit in enumerate(bits):
+                            if bit:
+                                val |= 1 << i
+                        h = val - (1 << 64) if val >= (1 << 63) else val
+                    except (ValueError, zlib_error):
+                        h = None
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "ahash": pd.Series(hashes, dtype="Int64", index=pdf.index),
+                }
+            )
+
+    return media.mapInPandas(hash_batch, AHASH_SCHEMA)
+
+
+IMG_DUP_MAX_HAMMING = 4
+IMG_DUP_BANDS = 4
+IMG_DUP_BUCKET_CAP = 200
+
+
+def image_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = IMG_DUP_MAX_HAMMING,
+    bands: int = IMG_DUP_BANDS,
+    bucket_cap: int = IMG_DUP_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join on the 64-bit
+    aHash: split the hash into ``bands`` 16-bit keys — two hashes within
+    ``max_hamming`` (< bands) bits of each other must agree on >= one full
+    band (pigeonhole), so the (band, key) equi-join generates a candidate
+    superset, then ``bit_count(xor)`` verifies. Same blocked-join shape as
+    MinHash-LSH banding; never all-pairs.
+
+    ``bucket_cap`` drops degenerate buckets (e.g. the all-zero hash of blank
+    frames) before the self-join — the image-domain twin of the stop-shingle
+    document-frequency cap in ngram_jaccard_pairs, bounding the worst-case
+    quadratic bucket at cluster scale. Capped buckets are dropped whole
+    (documented recall trade at the extreme); raise the cap to keep them.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashed.filter(F.col("ahash").isNotNull())
+    banded = h.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    banded = banded.join(
+        F.broadcast(counts.filter(F.col("n") <= bucket_cap).select("band", "key")),
+        ["band", "key"],
+    )
+    a = banded.select(
+        "band", "key", F.col("media_id").alias("id_a"), F.col("ahash").alias("h_a")
+    )
+    b = banded.select(
+        "band", "key", F.col("media_id").alias("id_b"), F.col("ahash").alias("h_b")
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -508,6 +508,21 @@ def oracle_sql() -> dict[str, str]:
         "        SELECT id, content_id, event_ts FROM engagement_events"
     )
 
+    # stream_interval_join_native: the watermarked stream-stream interval
+    # join emits exactly the batch self-join result (inner join, single
+    # micro-batch), so the oracle is the plain bounded self-join
+    sqls["stream_interval_join_native"] = """
+        WITH e AS (
+            SELECT event_id AS id, user_id, ts FROM events WHERE ts IS NOT NULL
+        )
+        SELECT a.id AS a_id, b.id AS b_id,
+               CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+        FROM e a
+        JOIN e b ON a.user_id = b.user_id
+               AND a.id < b.id
+               AND b.ts >= a.ts
+               AND b.ts <= a.ts + INTERVAL 5 MINUTE"""
+
     sqls["wh_cohort_retention"] = """
         WITH ud AS (
             SELECT DISTINCT user_id, cohort_day, day FROM (
@@ -1296,6 +1311,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
+
+    # SemDeDup (operators/similarity.py:semantic_dedup): seed-IVF coarse
+    # quantizer (same assign CTE shape as sim_ann_ivf), then in-cluster
+    # lower-id-wins near-dup drops
+    sqls["sim_semantic_dedup"] = f"""
+        WITH cent AS (
+            SELECT vec_id AS cell, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        normed AS (
+            SELECT e.vec_id, a.cell, e.embedding,
+                   sqrt({dot_sql("e.embedding", "e.embedding")}) AS norm
+            FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        ),
+        sims AS (
+            SELECT d.cell, d.vec_id AS drop_id,
+                   {dot_sql("d.embedding", "k.embedding")} / (d.norm * k.norm) AS cos
+            FROM normed d
+            JOIN normed k ON d.cell = k.cell AND k.vec_id < d.vec_id
+        )
+        SELECT drop_id, cell,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_of,
+               ROUND(MAX(cos), 6) AS max_cos
+        FROM sims
+        WHERE cos >= {COSINE_TAU}
+        GROUP BY drop_id, cell"""
 
     # norms folded once per vector (same IEEE ops as the Spark _normed path:
     # sqrt of the sequential-fold self-dot, multiplied per pair)

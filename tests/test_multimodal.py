@@ -38,3 +38,103 @@ def test_media_stats_covers_all_types(spark):
     got = {r.media_type: r.n_media for r in stats.collect()}
     assert set(got) == {"image", "audio", "video"}
     assert sum(got.values()) == load_table(spark, SF, "documents").count()
+
+
+# --- image near-dup pipeline (render -> aHash -> banded Hamming join) ---
+
+
+def _png_media(spark, rows):
+    """rows: list of (media_id, np_uint8_2d_array)."""
+    from cdc_poc_spark.functions import media_codecs as mc
+
+    data = [(int(i), bytearray(mc.png_encode(px))) for i, px in rows]
+    return spark.createDataFrame(data, "media_id long, content binary")
+
+
+def _grad(seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return (rng.rand(16, 16) * 255).astype(np.uint8)
+
+
+def test_ahash_identical_images_equal(spark):
+    px = _grad(1)
+    hashed = multimodal.ahash64(_png_media(spark, [(0, px), (1, px.copy())]))
+    got = {r.media_id: r.ahash for r in hashed.collect()}
+    assert got[0] == got[1]
+
+
+def test_ahash_perturbed_image_close_distinct_far(spark):
+    import numpy as np
+
+    px = _grad(2)
+    near = px.copy()
+    near[0, 0] ^= 0xFF  # one pixel flipped
+    far = 255 - px  # inverted image
+    hashed = multimodal.ahash64(
+        _png_media(spark, [(0, px), (1, near), (2, far)])
+    )
+    got = {r.media_id: r.ahash for r in hashed.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) <= 4
+    assert ham(got[0], got[2]) > 16
+
+
+def test_ahash_non_png_bytes_null(spark):
+    media = spark.createDataFrame(
+        [(0, bytearray(b"not a png"))], "media_id long, content binary"
+    )
+    assert multimodal.ahash64(media).collect()[0].ahash is None
+
+
+def test_image_dup_pairs_finds_dups_not_distincts(spark):
+    px = _grad(3)
+    near = px.copy()
+    near[3, 3] ^= 0x80
+    media = _png_media(
+        spark, [(0, px), (1, px.copy()), (2, near), (3, _grad(99)), (4, 255 - px)]
+    )
+    pairs = multimodal.image_dup_pairs(multimodal.ahash64(media))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got or (1, 2) in got  # one-pixel perturbation
+    assert not any(3 in p or 4 in p for p in got)  # distinct/inverted images
+
+
+def test_image_dup_bucket_cap_drops_degenerate_bucket(spark):
+    import numpy as np
+
+    blank = np.zeros((16, 16), dtype=np.uint8)
+    media = _png_media(spark, [(i, blank.copy()) for i in range(10)])
+    # 10 identical blanks = 45 pairs uncapped; cap of 5 drops the bucket whole
+    assert multimodal.image_dup_pairs(multimodal.ahash64(media)).count() == 45
+    capped = multimodal.image_dup_pairs(multimodal.ahash64(media), bucket_cap=5)
+    assert capped.count() == 0
+
+
+def test_png_corpus_real_decodable_and_dup_structure(spark):
+    from cdc_poc_spark.functions import media_codecs as mc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+            (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+            (2, "completely different words about spark catalyst optimizer plans", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    media = multimodal.synthesize_png_corpus(docs)
+    rows = {r.media_id: bytes(r.content) for r in media.collect()}
+    for b in rows.values():
+        w, h, c, px = mc.png_decode(b)
+        assert (w, h, c) == (16, 16, 1)
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    pairs = multimodal.image_dup_pairs(multimodal.ahash64(media))
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert (0, 1, 0) in got
+    assert not any(2 in (a, b) for a, b, _ in got)
