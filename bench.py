@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "mm_media_stats",
     "pipeline_clean_corpus",
     "pipeline_filter_audit",
+    "sim_semantic_dedup",
+    "mm_image_dedup",
+    "pipeline_chunk_documents",
+    "wh_recursive_spine",
+    # stream_* queries are deliberately absent: streaming is measured by the
+    # dedicated end-to-end stream section below, not the batch list
 ]
 
 

@@ -119,7 +119,13 @@ def ngram_jaccard_pairs(
     so it broadcasts, and the exclusion is a broadcast anti-join — no extra
     shuffle beyond the one df-count aggregate over the shingle index.
     """
+    # persist the RAW exploded index first: the df-count (hot-shingle
+    # guard), the sizes aggregate, and both self-join sides all read it, and
+    # the explode+md5 pass is the expensive part — computing it once is the
+    # materialize-the-shingle-index step, the guard then rescans the cache
     sh = doc_shingles(docs, k)
+    if cache:
+        sh = sh.persist()
     if max_df_frac is not None:
         tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
         hot = (
@@ -130,8 +136,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    if cache:
-        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

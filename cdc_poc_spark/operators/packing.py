@@ -70,3 +70,36 @@ def pack_summary(packed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 96
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step of a
+    pretraining pipeline: each document becomes ceil(n_tokens / stride)
+    overlapping chunks of up to ``window`` tokens, starting every ``stride``
+    tokens (window > stride => the standard overlap so no boundary context
+    is lost). Pure narrow expressions: tokenize, explode the start-offset
+    sequence, slice — no shuffle at all; at 100 TB this is a map-only stage
+    whose output feeds pack_sequences.
+
+    Deterministic: chunk ids are (doc_id, start // stride)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    with_toks = docs.select("doc_id", toks.alias("toks"), n.alias("n")).filter(
+        F.col("n") > 0
+    )
+    start = F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(int(stride))))
+    exploded = with_toks.select("doc_id", "toks", start.alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, int(window))
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / int(stride)).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

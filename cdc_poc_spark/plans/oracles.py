@@ -672,6 +672,28 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY bucket"""
 
+    sqls["wh_recursive_spine"] = """
+        WITH RECURSIVE spine AS (
+            SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d,
+                   CAST(MAX(CAST(ts AS DATE)) AS DATE) AS mx
+            FROM events
+            UNION ALL
+            SELECT d + 1, mx FROM spine WHERE d < mx
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE extract(day FROM ts) % 7 <> 3
+            GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(spine.d AS TIMESTAMP) AS day,
+               COALESCE(daily.n_events, CAST(0 AS BIGINT)) AS n_events,
+               COALESCE(daily.sum_value, 0.0) AS sum_value,
+               (daily.n_events IS NULL) AS is_gap
+        FROM spine LEFT JOIN daily ON spine.d = daily.d"""
+
     sqls["wh_hourly_events"] = """
         SELECT date_trunc('hour', ts) AS event_hour,
                event_type,
@@ -1996,6 +2018,28 @@ def oracle_sql() -> dict[str, str]:
                token_offset // {PACK_BUDGET} AS pack_id,
                token_offset % {PACK_BUDGET} AS offset_in_pack
         FROM cum"""
+
+    from ..operators.packing import CHUNK_STRIDE, CHUNK_WINDOW
+
+    sqls["pipeline_chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(start AS BIGINT) AS start_tok,
+               CAST(len(list_slice(toks, start + 1, start + {CHUNK_WINDOW}))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + {CHUNK_WINDOW}),
+                               ' ') AS chunk_text
+        FROM s"""
 
     sqls["wh_forecast_revenue"] = """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -1020,6 +1020,48 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_wh_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup via a RECURSIVE CTE date spine (Spark 4
+    recursive CTEs): the spine walks day-by-day across the events range,
+    left-joined to per-day aggregates; deterministic holes (day-of-month
+    % 7 == 3 filtered out of the aggregate side only) prove the gap-fill.
+    The recursion is driver-deep but row-thin (one row per day) — the spine
+    is a few KB at any corpus scale; the heavy side stays one hash
+    aggregate over the scan."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine AS (
+            SELECT MIN(CAST(ts AS DATE)) AS d, MAX(CAST(ts AS DATE)) AS mx
+            FROM events_rcte
+            UNION ALL
+            SELECT date_add(d, 1), mx FROM spine WHERE d < mx
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events_rcte
+            WHERE day(ts) % 7 <> 3
+            GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(spine.d AS TIMESTAMP_NTZ) AS day,
+               COALESCE(daily.n_events, 0L) AS n_events,
+               COALESCE(daily.sum_value, 0.0D) AS sum_value,
+               (daily.n_events IS NULL) AS is_gap
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        """
+    )
+
+
+def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 128, stride 96): map-only explode of
+    per-doc start offsets + slice — the context-window prep stage feeding
+    pack_sequences."""
+    return packing.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k BM25 keyword retrieval over ``documents`` — one column-pruned
     scan, a single 1-row corpus-stats aggregate broadcast back, codegen'd
@@ -2284,4 +2326,6 @@ def queries() -> dict[str, QueryFn]:
         "wh_excess_shipments": q_wh_excess_shipments,
         "sim_ivf_refined": q_sim_ivf_refined,
         "mm_image_dedup": q_mm_image_dedup,  # rows-only (codec round-trip)
+        "pipeline_chunk_documents": q_pipeline_chunk_documents,
+        "wh_recursive_spine": q_wh_recursive_spine,
     }

@@ -40,13 +40,21 @@ def with_hour_partition(df: DataFrame, ts_col: str = "event_ts") -> DataFrame:
 
 def write_warehouse(enriched: DataFrame, path: str, mode: str = "append") -> None:
     """Append enriched events to the hour-partitioned, cluster-sorted fact
-    table. repartition on the partition column keeps one writer per
-    partition (no small-file explosion at scale); sortWithinPartitions on
+    table. Hash-repartitioning on the partition column keeps one writer per
+    hour value (no small-file explosion at scale); sortWithinPartitions on
     the clustering keys makes parquet row-group stats selective for the
-    (content_type, event_type) predicates — the W2 clustering analog."""
+    (content_type, event_type) predicates — the W2 clustering analog.
+
+    The shuffle partition count is EXPLICIT (defaultParallelism): a bare
+    repartition(col) is AQE-coalescible, and on a small micro-batch AQE
+    folds the write onto one task that then opens every hour-partition's
+    parquet writer sequentially — serializing the whole sink. Pinning the
+    count keeps all writer slots busy; each task still writes whole hour
+    groups (hash-partitioned), so the file count is unchanged."""
     out = with_hour_partition(enriched)
+    n = enriched.sparkSession.sparkContext.defaultParallelism
     (
-        out.repartition(F.col(HOUR_PARTITION_COL))
+        out.repartition(n, F.col(HOUR_PARTITION_COL))
         .sortWithinPartitions(*CLUSTER_COLS)
         .write.partitionBy(HOUR_PARTITION_COL)
         .mode(mode)
@@ -68,8 +76,9 @@ def write_batch_idempotent(batch_df: DataFrame, path: str, batch_id: int) -> Non
     The per-batch directory overwrite only touches that batch's partition
     (static overwrite of the explicit path), never neighbours."""
     out = with_hour_partition(batch_df)
+    n = batch_df.sparkSession.sparkContext.defaultParallelism
     (
-        out.repartition(F.col(HOUR_PARTITION_COL))
+        out.repartition(n, F.col(HOUR_PARTITION_COL))
         .sortWithinPartitions(*CLUSTER_COLS)
         .write.partitionBy(HOUR_PARTITION_COL)
         .mode("overwrite")

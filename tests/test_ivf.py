@@ -49,3 +49,35 @@ def test_pandas_udf_cosine_matches_fold(spark):
     assert [r["vec_id"] for r in fold] == [r["vec_id"] for r in vec]
     for a, b in zip(fold, vec):
         assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-9
+
+
+def test_semantic_dedup_drops_in_cluster_near_dups(spark):
+    """SemDeDup contract: a vector with a high-cosine LOWER-id neighbour in
+    its cluster is dropped; the lowest-id member of a dup group survives;
+    dissimilar vectors survive. Built on a constructed corpus where cluster
+    assignment is forced by construction (two far-apart directions)."""
+    from cdc_poc_spark.operators.similarity import semantic_dedup
+
+    def v(direction, eps):
+        base = [0.0] * 8
+        base[direction] = 1.0
+        base[(direction + 1) % 8] = eps
+        return base
+
+    rows = [
+        # cell A (near e0): 0 is the centroid seed (id%2==0 with mod=2 -> use mod big)
+        (0, v(0, 0.00), "a"),
+        (2, v(0, 0.01), "a"),   # near-dup of 0 -> dropped
+        (4, v(0, 0.02), "a"),   # near-dup of 0 and 2 -> dropped, n_dup_of 2
+        (5, v(4, 0.00), "b"),   # other direction, own cluster
+        (7, v(4, 0.01), "b"),   # near-dup of 5 -> dropped
+        (9, v(2, 0.0), "c"),    # orthogonal, no lower-id neighbour above tau
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r.drop_id: r for r in semantic_dedup(emb, tau=0.95, centroid_mod=5).collect()}
+    assert set(out) == {2, 4, 7}
+    assert out[4].n_dup_of == 2
+    assert out[2].n_dup_of == 1
+    # survivors: 0 (lowest id of group A), 5 (lowest of B), 9 (unique)

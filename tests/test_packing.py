@@ -65,3 +65,35 @@ def test_clean_text_goldens(spark):
     assert got[2].n_emails == 1
     assert got[3].clean_text == "plain text"
     assert got[4].n_urls == 2 and got[4].clean_text == "c"
+
+
+def test_chunk_documents_window_stride(spark):
+    from cdc_poc_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, text, "en"), (2, "a b", "en"), (3, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = chunk_documents(docs, window=128, stride=96).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 300 tokens, stride 96 -> starts 0,96,192,288 -> 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.start_tok for r in c1] == [0, 96, 192, 288]
+    assert [r.n_tokens for r in c1] == [128, 128, 108, 12]
+    # overlap: chunk k starts mid-chunk k-1 (window > stride)
+    assert c1[0].chunk_text.split()[96] == c1[1].chunk_text.split()[0] == "t96"
+    # short doc -> one chunk with all tokens; empty doc -> no chunks
+    assert [(r.n_tokens, r.chunk_text) for r in by_doc[2]] == [(2, "a b")]
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from cdc_poc_spark.operators.packing import chunk_documents
+    from cdc_poc_spark.sources.testdata import load_table
+
+    df = chunk_documents(load_table(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only stage

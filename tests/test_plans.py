@@ -28,6 +28,7 @@ PLAN_SKIP = {
     "stream_dedup_native",
     "stream_minute_window_native",
     "stream_leaderboard_native",
+    "stream_interval_join_native",
 }
 
 
@@ -342,3 +343,34 @@ def test_funnel_single_shuffle(spark):
     plan = _plan(queries()["wh_funnel"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """With broadcast disabled (forcing a shuffle join), the optimizer must
+    inject a bloom filter built from the selective dimension side into the
+    fact-side scan (runtime row-level filtering / semi-join reduction) —
+    the 100 TB knob that keeps non-matching fact rows out of the shuffle.
+    Size thresholds are lowered to make the tiny local tables eligible."""
+    from cdc_poc_spark.sources.testdata import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = load_table(spark, SF_DIR, "lineitem")
+        dim = load_table(spark, SF_DIR, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _plan(j).lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

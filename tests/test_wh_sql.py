@@ -106,3 +106,16 @@ def test_heavy_hitters_cms_bound(spark):
     for uid, e in est.items():
         true = exact[uid]
         assert true <= e <= true + slack, (uid, e, true, slack)
+
+
+def test_recursive_spine_gapfill(spark):
+    """The recursive date spine must cover every day in the range and mark
+    the deterministically-holed days (day-of-month % 7 == 3) as gaps."""
+    from cdc_poc_spark.plans.registry import q_wh_recursive_spine
+
+    rows = q_wh_recursive_spine(spark, SF_DIR).collect()
+    assert len(rows) == 30  # events span 2024-01-01..2024-01-30
+    gaps = {r.day.day for r in rows if r.is_gap}
+    assert gaps == {3, 10, 17, 24}
+    for r in rows:
+        assert r.is_gap == (r.n_events == 0)
