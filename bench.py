@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "pipeline_pack_sequences",
     "dedup_exact",
+    "dedup_substring",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",

@@ -424,3 +424,111 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
     )
+
+
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the
+# MOSS algorithm): content-defined sampling of char k-gram hashes such that
+# any two documents sharing a substring of length >= WINNOW_K + WINNOW_G - 1
+# are GUARANTEED to share at least one selected fingerprint, regardless of
+# where the substring sits in each document (stride sampling has no such
+# alignment guarantee). This is the exact-substring-level dedup complement
+# to the token-shingle Jaccard path (Lee et al. 2021, arXiv:2107.06499,
+# motivate removing long exact substrings specifically).
+WINNOW_K = 20  # char window hashed
+WINNOW_G = 8   # winnow window: min-hash of each G consecutive k-grams kept
+WINNOW_MAX_DF_FRAC = 0.10  # hot-fingerprint cap (boilerplate guard)
+WINNOW_MIN_DF_CAP = 4  # floor: a fingerprint in <= this many docs is never hot
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, g: int = WINNOW_G
+) -> DataFrame:
+    """(doc_id, fingerprint) — the winnowed k-gram hash sample of each doc.
+
+    The k-gram hash array MUST materialize before the per-position
+    ``array_min(slice(...))`` selection reads it: two adjacent projections
+    would be collapsed by Catalyst (CollapseProject), inlining the md5-array
+    expression into every element reference inside the selection lambda —
+    re-evaluating the whole array per position, an O(len^2) md5 blowup
+    (measured 11s -> 1.5s at sf0.1). The round-robin exchange between the
+    projections is the collapse barrier; it also spreads the md5 work, and
+    ships only (doc_id, wins) — a few hundred longs per doc.
+    Selection keeps every position whose hash is the minimum of its G-window
+    ("robust winnowing" superset — deterministic, alignment-independent).
+    Documents shorter than k contribute no fingerprints (dedup_exact owns
+    the tiny-doc case)."""
+    text = F.col("text")
+    n_w = F.length(text) - k + 1
+    wins = F.transform(
+        F.sequence(F.lit(1), n_w),
+        lambda i: md5_long(F.substr(text, i, F.lit(k))),
+    )
+    w = _spread(docs.filter(F.length(text) >= k)).select(
+        "doc_id", wins.alias("wins")
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    w = w.repartition(parallelism, "doc_id")
+    n = F.size(F.col("wins"))
+    n_sel = n - g + 1
+    selected = F.when(
+        n >= g,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_sel, F.lit(1))),
+                    lambda j: F.when(
+                        F.element_at(F.col("wins"), j)
+                        == F.array_min(F.slice(F.col("wins"), j, g)),
+                        F.element_at(F.col("wins"), j),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(F.col("wins"))))
+    return w.select("doc_id", F.explode(selected).alias("fingerprint"))
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = WINNOW_K,
+    g: int = WINNOW_G,
+    max_df_frac: float | None = WINNOW_MAX_DF_FRAC,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowed substring fingerprints —
+    the distributed form of exact-substring dedup: candidates come from the
+    fingerprint equi-self-join (same blocked shape as the shingle join, cost
+    sum-over-fingerprints of df^2, never all-pairs), with boilerplate
+    fingerprints (df > ``max_df_frac`` of the corpus) dropped before the
+    join exactly like the stop-shingle cap."""
+    fp = winnow_fingerprints(docs, k, g)
+    if max_df_frac is not None:
+        tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+        # the fractional cap has an ABSOLUTE floor (WINNOW_MIN_DF_CAP): on a
+        # small corpus frac * n rounds below 1 and would mark every
+        # fingerprint hot; a fingerprint shared by a handful of docs is
+        # genuine dup signal, not boilerplate
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("_df")
+                > F.greatest(
+                    F.col("_n_docs") * F.lit(float(max_df_frac)),
+                    F.lit(float(WINNOW_MIN_DF_CAP)),
+                )
+            )
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= int(min_shared))
+    )

@@ -1009,6 +1009,52 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
+    from ..operators.dedup import (
+        WINNOW_G,
+        WINNOW_K,
+        WINNOW_MAX_DF_FRAC,
+        WINNOW_MIN_DF_CAP,
+    )
+
+    _win_md5 = md5_long_sql(f"substr(text, i, {WINNOW_K})")
+    sqls["dedup_substring"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(text) - {WINNOW_K} + 2),
+                                  i -> {_win_md5}) AS wins
+            FROM documents WHERE len(text) >= {WINNOW_K}
+        ),
+        sel AS (
+            SELECT doc_id,
+                   CASE WHEN len(wins) >= {WINNOW_G} THEN
+                       list_distinct(list_filter(
+                           list_transform(range(1, len(wins) - {WINNOW_G} + 2),
+                               j -> CASE WHEN wins[j] = list_min(
+                                             list_slice(wins, j, j + {WINNOW_G} - 1))
+                                    THEN wins[j] END),
+                           x -> x IS NOT NULL))
+                   ELSE [list_min(wins)] END AS fps
+            FROM w
+        ),
+        fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel),
+        tot AS (SELECT count(*) AS n_docs FROM documents),
+        hot AS (
+            SELECT fingerprint FROM fp, tot
+            GROUP BY fingerprint, n_docs
+            HAVING count(*) > greatest(n_docs * {WINNOW_MAX_DF_FRAC},
+                                       {WINNOW_MIN_DF_CAP})
+        ),
+        fpc AS (
+            SELECT doc_id, fingerprint FROM fp
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_fp
+        FROM fpc a JOIN fpc b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2"""
+
     sqls["dedup_simhash"] = f"""
         WITH {TOKS_CTE},
         hashes AS (

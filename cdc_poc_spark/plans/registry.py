@@ -1115,6 +1115,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-level near-dup pairs via winnowing fingerprints
+    (Schleimer et al. 2003): alignment-independent sampled char-20-gram
+    hashes, fingerprint equi-self-join, hot-fingerprint cap — pairs sharing
+    >= 2 sampled fingerprints (guaranteed for any shared substring of
+    length >= 27)."""
+    return dedup.substring_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a stored query vector."""
     return similarity.brute_force_topk(
@@ -2328,4 +2337,5 @@ def queries() -> dict[str, QueryFn]:
         "mm_image_dedup": q_mm_image_dedup,  # rows-only (codec round-trip)
         "pipeline_chunk_documents": q_pipeline_chunk_documents,
         "wh_recursive_spine": q_wh_recursive_spine,
+        "dedup_substring": q_dedup_substring,
     }

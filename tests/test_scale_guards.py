@@ -109,3 +109,49 @@ def test_heavy_hitters_within_cap_still_works(spark):
     assert set(rows) == {0, 1, 2}
     # CMS overestimates only; exact here because the domain is tiny
     assert all(v >= 20 for v in rows.values())
+
+
+# --- winnowing substring dedup (Schleimer et al. 2003) ---
+
+
+def test_winnow_guarantee_alignment_independent(spark):
+    """Any two docs sharing a substring of length >= K + G - 1 (27) must
+    share a winnowed fingerprint REGARDLESS of where the substring sits in
+    each document — the property stride-sampling lacks."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB", "en"),
+            (2, "a completely different long prefix text here wow " + shared, "en"),
+            (3, "no overlap with the others at all, none whatsoever here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_fp
+        for r in dedup.substring_dup_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """A fingerprint present in most of the corpus (shared boilerplate) is
+    dropped before the self-join, exactly like the stop-shingle cap."""
+    boiler = "this exact same boilerplate sentence appears in every document"
+    docs = spark.createDataFrame(
+        [(i, boiler, "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    # every doc identical -> every fingerprint has df=10 > 10% cap -> no pairs
+    assert dedup.substring_dup_pairs(docs).count() == 0
+    # cap disabled -> all 45 pairs
+    assert dedup.substring_dup_pairs(docs, max_df_frac=None).count() == 45
+
+
+def test_winnow_short_docs_no_fingerprints(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny", "en"), (2, "tiny", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert dedup.winnow_fingerprints(docs).count() == 0
