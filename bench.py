@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "sim_semantic_dedup",
     "mm_image_dedup",
     "pipeline_chunk_documents",
+    "pipeline_chunk_pack",
+    "text_dedup_lines",
     "wh_recursive_spine",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list

@@ -350,3 +350,33 @@ def filter_audit(docs: DataFrame) -> DataFrame:
         F.sum("kept").alias("n_kept"),
         *[F.sum(f"r_{k}").alias(f"n_{k}") for k in reasons],
     )
+
+
+def dedup_lines(docs: DataFrame) -> DataFrame:
+    """Within-document duplicate-line removal — the boilerplate strip step
+    of a web-corpus cleaning pipeline (nav bars, cookie banners, repeated
+    headers): keep the FIRST occurrence of every line, preserving order.
+
+    Pure array expressions (split -> first-occurrence filter -> rejoin), no
+    shuffle; O(lines^2) per document via first-index lookup, which is fine
+    at real line counts (the quadratic is per-row and tiny, not cross-row).
+    Emits the removal audit (line counts) next to the cleaned text."""
+    text = F.col("text")
+    lines = F.split(text, "\n")
+    idx = F.sequence(F.lit(1), F.size(lines))
+    kept = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.when(
+                F.array_position(lines, F.element_at(lines, i.cast("int"))) == i,
+                F.element_at(lines, i.cast("int")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("dedup_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_dup_lines_removed"),
+    )

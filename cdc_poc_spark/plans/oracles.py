@@ -1009,6 +1009,52 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
+    from ..operators.packing import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        PACK_BUDGET,
+        PACK_SEED,
+        PACK_SHARDS,
+    )
+
+    sqls["pipeline_chunk_pack"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+            FROM t WHERE len(toks) > 0
+        ),
+        chunks AS (
+            SELECT doc_id * 1000 + start // {CHUNK_STRIDE} AS chunk_id,
+                   array_to_string(list_slice(toks, start + 1,
+                                              start + {CHUNK_WINDOW}), ' ') AS text
+            FROM s
+        ),
+        ctoks AS (
+            SELECT chunk_id,
+                   CAST(({md5_long_seeded_sql("chunk_id", PACK_SEED)})
+                        % {PACK_SHARDS} AS INT) AS shard,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM chunks
+        ),
+        cum AS (
+            SELECT chunk_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS token_offset
+            FROM ctoks
+        )
+        SELECT chunk_id, shard, n_tokens, token_offset,
+               token_offset // {PACK_BUDGET} AS pack_id,
+               token_offset % {PACK_BUDGET} AS offset_in_pack
+        FROM cum"""
+
     from ..operators.dedup import (
         WINNOW_G,
         WINNOW_K,
@@ -1017,6 +1063,25 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _win_md5 = md5_long_sql(f"substr(text, i, {WINNOW_K})")
+    sqls["text_dedup_lines"] = """
+        WITH l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+        ),
+        k AS (
+            SELECT doc_id, lines,
+                   list_filter(
+                       list_transform(range(1, len(lines) + 1),
+                           i -> CASE WHEN list_position(lines, lines[i]) = i
+                                THEN lines[i] END),
+                       x -> x IS NOT NULL) AS kept
+            FROM l
+        )
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS dedup_text,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(lines) - len(kept) AS BIGINT) AS n_dup_lines_removed
+        FROM k"""
+
     sqls["dedup_substring"] = f"""
         WITH w AS (
             SELECT doc_id,

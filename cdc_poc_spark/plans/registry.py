@@ -1020,6 +1020,19 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: sliding-window chunking -> token-budget sequence packing
+    over the CHUNKS (the full context-window prep path of a pretraining
+    pipeline). Chunk ids are doc_id * 1000 + chunk_idx, so pack assignment
+    stays a pure function of the corpus."""
+    chunks = packing.chunk_documents(load_table(spark, sf_dir, "documents"))
+    with_id = chunks.select(
+        (F.col("doc_id") * F.lit(1000) + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    return packing.pack_sequences(with_id, id_col="chunk_id")
+
+
 def q_wh_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily rollup via a RECURSIVE CTE date spine (Spark 4
     recursive CTEs): the spine walks day-by-day across the events range,
@@ -1278,6 +1291,13 @@ def q_mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py against constructed duplicate images."""
     media = multimodal.synthesize_png_corpus(load_table(spark, sf_dir, "documents"))
     return multimodal.image_dup_pairs(multimodal.ahash64(media))
+
+
+def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-line removal (first occurrence kept, order
+    preserved) with the removal audit — pure array expressions, no
+    shuffle."""
+    return text_analysis.dedup_lines(load_table(spark, sf_dir, "documents"))
 
 
 def q_pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2338,4 +2358,6 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_chunk_documents": q_pipeline_chunk_documents,
         "wh_recursive_spine": q_wh_recursive_spine,
         "dedup_substring": q_dedup_substring,
+        "text_dedup_lines": q_text_dedup_lines,
+        "pipeline_chunk_pack": q_pipeline_chunk_pack,
     }

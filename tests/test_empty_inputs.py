@@ -91,3 +91,36 @@ def test_incremental_empty_delta(spark):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in base.collect()}
     assert got == want
+
+
+def test_round2_operators_empty(spark):
+    """chunking, winnowing substring dedup, SemDeDup, and the image hash
+    pipeline on zero rows: empty result, stable schema, no throw."""
+    from cdc_poc_spark.operators import multimodal, similarity
+
+    docs = _empty_like(load_table(spark, SF, "documents"))
+    emb = _empty_like(load_table(spark, SF, "embeddings"))
+    assert packing.chunk_documents(docs).count() == 0
+    assert dedup.winnow_fingerprints(docs).count() == 0
+    assert dedup.substring_dup_pairs(docs).count() == 0
+    assert similarity.semantic_dedup(emb).count() == 0
+    media = multimodal.synthesize_png_corpus(docs)
+    assert media.count() == 0
+    assert multimodal.image_dup_pairs(multimodal.ahash64(media)).count() == 0
+
+
+def test_dedup_lines_removes_repeats_preserves_order(spark):
+    from cdc_poc_spark.operators.text_analysis import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar", "en"),
+            (2, "only\nunique\nlines", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert got[1].dedup_text == "nav bar\nreal content one\nreal content two"
+    assert got[1].n_lines == 5 and got[1].n_dup_lines_removed == 2
+    assert got[2].dedup_text == "only\nunique\nlines"
+    assert got[2].n_dup_lines_removed == 0
