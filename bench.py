@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "pipeline_decontaminate",
     "profile_documents",
+    "profile_embeddings",
     "pipeline_pack_sequences",
     "dedup_exact",
     "dedup_substring",
@@ -92,6 +93,7 @@ BENCH_QUERIES = [
     "pipeline_filter_audit",
     "sim_semantic_dedup",
     "mm_image_dedup",
+    "mm_audio_dedup",
     "pipeline_chunk_documents",
     "pipeline_chunk_pack",
     "text_dedup_lines",

@@ -64,3 +64,31 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 __all__ = ["profile", "METRICS"]
+
+
+def profile_vectors(embeddings: DataFrame) -> DataFrame:
+    """Single-pass profile of a vector column — the embedding-table ingest
+    gate (dimension drift, NaN poisoning, zero vectors and norm range all
+    break ANN indexes silently). One aggregate over one scan; norms are the
+    same sequential-fold dot as the similarity operators, summed in DECIMAL
+    for partition-order-independent totals."""
+    emb = F.col("embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(emb, emb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    has_nan = F.exists(emb, lambda x: F.isnan(x.cast("double")))
+    return embeddings.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(emb.isNull(), 1).otherwise(0)).cast("long").alias("n_null_vec"),
+        F.min(F.size(emb)).cast("long").alias("dim_min"),
+        F.max(F.size(emb)).cast("long").alias("dim_max"),
+        F.sum(F.when(has_nan, 1).otherwise(0)).cast("long").alias("n_nan_vec"),
+        F.sum(F.when(norm == 0.0, 1).otherwise(0)).cast("long").alias("n_zero_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+        F.sum(norm.cast("decimal(25,6)")).cast("double").alias("sum_norm"),
+    )

@@ -1957,6 +1957,28 @@ def oracle_sql() -> dict[str, str]:
 
     from .registry import PROFILE_COLUMNS
 
+    sqls["profile_embeddings"] = f"""
+        WITH n AS (
+            SELECT embedding,
+                   sqrt({dot_sql("embedding", "embedding")}) AS norm,
+                   len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                       AS has_nan
+            FROM embeddings
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_vec,
+               CAST(MIN(len(embedding)) AS BIGINT) AS dim_min,
+               CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
+               CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nan_vec,
+               CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_norm,
+               ROUND(MIN(norm), 6) AS min_norm,
+               ROUND(MAX(norm), 6) AS max_norm,
+               CAST(SUM(CAST(norm AS DECIMAL(25,6))) AS DOUBLE) AS sum_norm
+        FROM n"""
+
     sqls["profile_documents"] = "\n        UNION ALL\n".join(
         f"""
         SELECT '{c}' AS "column", COUNT(*) AS n_rows,

@@ -1300,6 +1300,16 @@ def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.dedup_lines(load_table(spark, sf_dir, "documents"))
 
 
+def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup over real PCM WAV bytes: render each document as a
+    waveform (token-derived segments), decode samples + 64-bit
+    energy-envelope fingerprint (Arrow mapInPandas), then the same banded
+    Hamming self-join as the image path. Rows-only (codec round-trip);
+    fingerprint behavior unit-tested on constructed waveforms."""
+    media = multimodal.synthesize_wav_corpus(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_dup_pairs(multimodal.audio_fingerprints(media))
+
+
 def q_pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-reason rejection counts for the corpus quality gates — one scan,
     one 1-row aggregate (operators/text_analysis.py::filter_audit)."""
@@ -1676,6 +1686,14 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import profile
 
     return profile(load_table(spark, sf_dir, "documents"), PROFILE_COLUMNS)
+
+
+def q_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column ingest gate: dims, NaN/zero-vector counts, norm range
+    — one aggregate over one scan (operators/profiling.py)."""
+    from ..operators.profiling import profile_vectors
+
+    return profile_vectors(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_gen_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,4 +2378,6 @@ def queries() -> dict[str, QueryFn]:
         "dedup_substring": q_dedup_substring,
         "text_dedup_lines": q_text_dedup_lines,
         "pipeline_chunk_pack": q_pipeline_chunk_pack,
+        "mm_audio_dedup": q_mm_audio_dedup,  # rows-only (codec round-trip)
+        "profile_embeddings": q_profile_embeddings,
     }

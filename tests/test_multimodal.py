@@ -138,3 +138,40 @@ def test_png_corpus_real_decodable_and_dup_structure(spark):
     got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
     assert (0, 1, 0) in got
     assert not any(2 in (a, b) for a, b, _ in got)
+
+
+# --- audio near-dup pipeline (render WAV -> energy fingerprint -> join) ---
+
+
+def test_audio_fingerprint_dup_structure(spark):
+    from cdc_poc_spark.functions import media_codecs as mc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+            (2, "totally different tokens that sound nothing alike at all", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    media = multimodal.synthesize_wav_corpus(docs)
+    rows = {r.media_id: bytes(r.content) for r in media.collect()}
+    for b in rows.values():
+        nch, rate, nframes = mc.wav_info(b)
+        assert (nch, rate) == (1, 16000) and nframes > 0
+    assert rows[0] == rows[1] and rows[0] != rows[2]
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.image_dup_pairs(
+            multimodal.audio_fingerprints(media)
+        ).collect()
+    }
+    assert (0, 1, 0) in pairs
+    assert not any(2 in (a, b) for a, b, _ in pairs)
+
+
+def test_audio_fingerprint_non_wav_null(spark):
+    media = spark.createDataFrame(
+        [(0, bytearray(b"not audio at all"))], "media_id long, content binary"
+    )
+    assert multimodal.audio_fingerprints(media).collect()[0].ahash is None

@@ -32,6 +32,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "wh_heavy_hitters",
         "sim_ivf_refined",
         "mm_image_dedup",
+        "mm_audio_dedup",
     }
     assert set(missing) <= allowed_rows_only
 

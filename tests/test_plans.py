@@ -374,3 +374,31 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_dedup_centroids_broadcast(spark):
+    """SemDeDup's n x C assignment must broadcast the centroid side (never
+    shuffle the corpus against it), and the in-cluster pair join must be a
+    hash join on cell — no cartesian anywhere."""
+    plan = _plan(queries()["sim_semantic_dedup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    plan = _plan(queries()["pipeline_chunk_documents"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_winnow_substring_no_cartesian(spark):
+    """The winnowed-fingerprint self-join must stay an equi hash join
+    (blocked candidate generation), and the hot-fingerprint guard a
+    broadcast anti-join."""
+    plan = _plan(queries()["dedup_substring"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_image_dedup_band_join_not_cartesian(spark):
+    plan = _plan(queries()["mm_image_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
