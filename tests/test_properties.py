@@ -143,3 +143,60 @@ def test_envelope_roundtrip_arbitrary_payloads(spark, texts):
     parsed = debezium.good_rows(debezium.parse_envelope(wire, schema))
     got = {r["id"]: r["raw_payload"] for r in parsed.collect()}
     assert got == dict(rows)
+
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=400
+)
+
+
+@given(_words)
+@settings(**_SETTINGS)
+def test_chunking_reconstructs_document(spark, toks):
+    """Property: at any token count, the chunk starts tile the doc at the
+    stride, every token index is covered by >= 1 chunk, and concatenating
+    the NON-overlapping prefix of each chunk (stride tokens, all of the
+    last) reconstructs the document exactly."""
+    from cdc_poc_spark.operators.packing import chunk_documents
+
+    text = " ".join(toks)
+    docs = spark.createDataFrame([(1, text, "en")], "doc_id long, text string, lang string")
+    chunks = sorted(
+        chunk_documents(docs, window=128, stride=96).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    n = len([t for t in toks if t])
+    if n == 0:
+        assert chunks == []
+        return
+    assert [c.start_tok for c in chunks] == list(range(0, n, 96))
+    rebuilt = []
+    for c in chunks[:-1]:
+        rebuilt.extend(c.chunk_text.split(" ")[:96])
+    rebuilt.extend(chunks[-1].chunk_text.split(" "))
+    assert rebuilt == [t for t in toks if t]
+    assert all(c.n_tokens <= 128 for c in chunks)
+
+
+@given(
+    st.text(alphabet="xyzw ", min_size=40, max_size=120),
+    st.text(alphabet="qrst ", min_size=40, max_size=120),
+    st.text(alphabet="mnop", min_size=27, max_size=60),
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(**_SETTINGS)
+def test_winnow_guarantee_property(spark, pre_a, pre_b, shared, off_a, off_b):
+    """Winnowing guarantee on arbitrary strings: two docs sharing ANY
+    substring of length >= K + G - 1 = 27 share >= 1 fingerprint, wherever
+    the substring is placed (disjoint alphabets keep the docs otherwise
+    unrelated)."""
+    from cdc_poc_spark.operators import dedup
+
+    a = pre_a[:off_a] + shared + pre_a[off_a:]
+    b = pre_b[:off_b] + shared + pre_b[off_b:]
+    docs = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en")], "doc_id long, text string, lang string"
+    )
+    pairs = dedup.substring_dup_pairs(docs, min_shared=1, max_df_frac=None).collect()
+    assert any((r.doc_a, r.doc_b) == (1, 2) for r in pairs)

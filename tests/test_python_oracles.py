@@ -1,0 +1,105 @@
+"""Python-oracle differentials for the rows-only (non-SQL-expressible)
+codec pipelines: an independent pure numpy/pandas reimplementation of the
+full render -> decode -> fingerprint -> banded-join pipeline, compared
+against the Spark result over the real sf0.001 corpus. The DuckDB harness
+cannot check these (no codec in SQL); this is the equivalent-strength
+differential for them."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from cdc_poc_spark.operators import multimodal
+from cdc_poc_spark.functions import media_codecs as mc
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+def _banded_pairs(hashes: dict[int, int], max_hamming=4, bands=4, cap=200):
+    """Reference banded Hamming join in pure python."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for mid, h in hashes.items():
+        u = h & ((1 << 64) - 1)
+        for b in range(bands):
+            buckets.setdefault((b, (u >> (b * width)) & mask), []).append(mid)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > cap:
+            continue  # degenerate bucket dropped whole
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                if bin((hashes[lo] ^ hashes[hi]) & ((1 << 64) - 1)).count("1") <= max_hamming:
+                    pairs.add((lo, hi))
+    return pairs
+
+
+def _to_u64_bits(bits) -> int:
+    val = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def test_image_dedup_matches_python_oracle(spark):
+    pdf = pd.read_parquet(DOCS)
+    hashes = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = text.split()
+        cells = np.array(
+            [zlib.crc32(" ".join(toks[i:i + 3]).encode()) % 256
+             for i in range(max(0, len(toks) - 2))], dtype=np.int64)
+        grid = np.bincount(cells, minlength=256).reshape(16, 16)
+        peak = grid.max()
+        px = (grid * 255 // peak).astype(np.uint8) if peak else grid.astype(np.uint8)
+        # round-trip through the real PNG codec, as the operator does
+        _w, _h, _c, dec = mc.png_decode(mc.png_encode(px))
+        gray = dec.astype(np.float64).mean(axis=2)
+        small = mc.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+        hashes[int(doc_id)] = _to_u64_bits((small > small.mean()).flatten())
+    expected = _banded_pairs(hashes)
+    media = multimodal.synthesize_png_corpus(spark.read.parquet(DOCS))
+    got = {
+        (r.id_a, r.id_b)
+        for r in multimodal.image_dup_pairs(multimodal.ahash64(media)).collect()
+    }
+    assert got == expected
+
+
+def test_audio_dedup_matches_python_oracle(spark):
+    import io
+    import wave
+
+    pdf = pd.read_parquet(DOCS)
+    hashes = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = text.split() or [""]
+        amps = np.array(
+            [(zlib.crc32(t.encode()) % 20000) - 10000 for t in toks], dtype=np.int16)
+        samples = np.repeat(amps, 16)
+        # round-trip through the real WAV codec, as the operator does
+        with wave.open(io.BytesIO(mc.wav_encode(samples)), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        n_sl = 65
+        if len(s) < n_sl:
+            continue
+        cuts = (np.arange(n_sl + 1) * len(s)) // n_sl
+        energy = np.array([np.abs(s[cuts[i]:cuts[i + 1]]).mean() for i in range(n_sl)])
+        hashes[int(doc_id)] = _to_u64_bits(energy[:-1] > energy[1:])
+    expected = _banded_pairs(hashes)
+    media = multimodal.synthesize_wav_corpus(spark.read.parquet(DOCS))
+    got = {
+        (r.id_a, r.id_b)
+        for r in multimodal.image_dup_pairs(
+            multimodal.audio_fingerprints(media)
+        ).collect()
+    }
+    assert got == expected
