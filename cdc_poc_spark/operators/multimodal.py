@@ -501,12 +501,8 @@ def audio_fingerprints(media: DataFrame, windows: int = 64) -> DataFrame:
                         n_sl = windows + 1
                         if len(samples) >= n_sl:
                             cuts = (np.arange(n_sl + 1) * len(samples)) // n_sl
-                            energy = np.array(
-                                [
-                                    np.abs(samples[cuts[i] : cuts[i + 1]]).mean()
-                                    for i in range(n_sl)
-                                ]
-                            )
+                            sums = np.add.reduceat(np.abs(samples), cuts[:-1])
+                            energy = sums / np.diff(cuts)
                             bits = energy[:-1] > energy[1:]
                             val = 0
                             for i, bit in enumerate(bits):

@@ -2295,18 +2295,24 @@ def queries() -> dict[str, QueryFn]:
         "mm_frame_sample": q_mm_frame_sample,
         "profile_documents": q_profile_documents,
         "gen_workload": q_gen_workload,
+        "dedup_substring": q_dedup_substring,              # new in r2
+        "text_dedup_lines": q_text_dedup_lines,            # new in r2
+        "pipeline_chunk_documents": q_pipeline_chunk_documents,  # new in r2
+        "pipeline_chunk_pack": q_pipeline_chunk_pack,      # new in r2
+        "wh_recursive_spine": q_wh_recursive_spine,        # new in r2
+        "profile_embeddings": q_profile_embeddings,        # new in r2
+        "cdc_scd2_dim": q_cdc_scd2_dim,
+        "stream_interval_join_native": q_stream_interval_join_native,  # new in r2
+        # ---- end of driver 50-slot verification window ----
+        # (r2 rotation: the plain-SQL warehouse twins below — locally
+        # parity-verified, lowest-risk — handed their slots to the r2
+        # operators above, which carry genuinely new engine code)
         "wh_scalar_subquery": q_wh_scalar_subquery,
         "wh_range_join": q_wh_range_join,
         "wh_market_share": q_wh_market_share,
         "wh_min_cost_supplier": q_wh_min_cost_supplier,
         "wh_topn_per_group": q_wh_topn_per_group,
         "wh_disjunctive_join": q_wh_disjunctive_join,
-        "cdc_scd2_dim": q_cdc_scd2_dim,
-        "stream_interval_join_native": q_stream_interval_join_native,  # new in r2
-        # ---- end of driver 50-slot verification window ----
-        # (r2 rotation: wh_customer_quantiles / wh_late_suppliers — plain SQL
-        # twins, locally parity-verified — moved below to hand their slots to
-        # the new sim_semantic_dedup and stream_interval_join_native)
         "wh_customer_quantiles": q_wh_customer_quantiles,
         "wh_late_suppliers": q_wh_late_suppliers,
         "cdc_enriched_valid": q_cdc_enriched_valid,
@@ -2373,11 +2379,5 @@ def queries() -> dict[str, QueryFn]:
         "wh_excess_shipments": q_wh_excess_shipments,
         "sim_ivf_refined": q_sim_ivf_refined,
         "mm_image_dedup": q_mm_image_dedup,  # rows-only (codec round-trip)
-        "pipeline_chunk_documents": q_pipeline_chunk_documents,
-        "wh_recursive_spine": q_wh_recursive_spine,
-        "dedup_substring": q_dedup_substring,
-        "text_dedup_lines": q_text_dedup_lines,
-        "pipeline_chunk_pack": q_pipeline_chunk_pack,
         "mm_audio_dedup": q_mm_audio_dedup,  # rows-only (codec round-trip)
-        "profile_embeddings": q_profile_embeddings,
     }
