@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "sim_ann_lsh_multiprobe",
     "sim_ann_recall",
     "pipeline_domain_mix",
+    "pipeline_domain_cap",
+    "pipeline_snapshot_diff",
     "sim_embedding_dups_lsh",
     "sim_pq_encode",
     "sim_pq_adc_topk",

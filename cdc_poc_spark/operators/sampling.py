@@ -17,7 +17,7 @@ H(seed || id) mod 100, split by bucket range. Properties that matter at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long_seeded
@@ -125,4 +125,38 @@ def weighted_sample(
         .orderBy(F.desc("_k"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "weight", F.round(F.col("_k"), 6).alias("sample_key"))
+    )
+
+
+DOMAIN_CAP = 15
+DOMAIN_CAP_SEED = "domcap-v1"
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = DOMAIN_CAP,
+    key: str = "source",
+    seed: str = DOMAIN_CAP_SEED,
+) -> DataFrame:
+    """Per-domain quota capping — the curation step that stops one crawl
+    source from dominating the mix: within each domain, rank documents by a
+    seeded hash (a deterministic uniform shuffle, reproducible across
+    engines and reruns) and keep the first ``cap``.
+
+    One shuffle on the domain key; the per-domain sort is local. At 100 TB
+    a single hot domain concentrates on one task — the mitigation is a
+    hash-threshold pre-prune (keep rows whose rank KEY is below a
+    per-domain quantile estimated from a broadcast count, a strict superset
+    of the final top-cap) before this exact window; the pre-prune is an
+    optimization that cannot change the result, so the operator contract —
+    and the oracle — stay this exact formulation."""
+    h = md5_long_seeded(F.col("doc_id"), seed)
+    w = Window.partitionBy("domain").orderBy(F.asc("_h"), F.asc("doc_id"))
+    ranked = (
+        docs.select("doc_id", F.col(key).alias("domain"), h.alias("_h"))
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= int(cap))
+    )
+    return ranked.select(
+        "doc_id", "domain", F.col("rank_in_domain").cast("long").alias("rank_in_domain")
     )

@@ -2227,6 +2227,40 @@ def oracle_sql() -> dict[str, str]:
             HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {EXCESS_SHIP_QTY})
         ORDER BY s_suppkey"""
 
+    sqls["pipeline_snapshot_diff"] = f"""
+        WITH v1 AS (
+            SELECT doc_id, {md5_long_sql("text")} AS h1
+            FROM documents WHERE doc_id % 17 <> 0
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   {md5_long_sql("CASE WHEN doc_id % 13 = 0 THEN 'v2 ' || text ELSE text END")} AS h2
+            FROM documents
+        )
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.h1 IS NULL THEN 'added'
+                    WHEN v2.h2 IS NULL THEN 'removed'
+                    WHEN v1.h1 <> v2.h2 THEN 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE (CASE WHEN v1.h1 IS NULL THEN 'added'
+                    WHEN v2.h2 IS NULL THEN 'removed'
+                    WHEN v1.h1 <> v2.h2 THEN 'changed' END) IS NOT NULL"""
+
+    from ..operators.sampling import DOMAIN_CAP, DOMAIN_CAP_SEED
+
+    sqls["pipeline_domain_cap"] = f"""
+        SELECT doc_id, domain, CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+        FROM (
+            SELECT doc_id, source AS domain,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ({md5_long_seeded_sql("doc_id", DOMAIN_CAP_SEED)}),
+                                doc_id
+                   ) AS rank_in_domain
+            FROM documents
+        )
+        WHERE rank_in_domain <= {DOMAIN_CAP}"""
+
     sqls["pipeline_sample_stratified"] = f"""
         SELECT doc_id, lang, source
         FROM documents

@@ -1020,6 +1020,44 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap: deterministic hash-shuffled rank within each
+    source, keep the first 15 — one shuffle, local per-domain sort."""
+    return sampling.domain_cap(load_table(spark, sf_dir, "documents"))
+
+
+def q_pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit between two
+    releases: full outer join of two deterministic snapshot views of
+    ``documents`` (v1 drops doc_id % 17 == 0; v2 rewrites text for
+    doc_id % 13 == 0) on doc_id, content compared by md5 hash, each doc
+    classified added / removed / changed. Unchanged rows are filtered
+    BEFORE the result materializes — at 100 TB the diff output is
+    delta-sized, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", hashing.md5_long(F.col("text")).alias("h1")
+    )
+    v2 = docs.select(
+        "doc_id",
+        hashing.md5_long(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
 def q_pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: sliding-window chunking -> token-budget sequence packing
     over the CHUNKS (the full context-window prep path of a pretraining
@@ -2380,4 +2418,6 @@ def queries() -> dict[str, QueryFn]:
         "sim_ivf_refined": q_sim_ivf_refined,
         "mm_image_dedup": q_mm_image_dedup,  # rows-only (codec round-trip)
         "mm_audio_dedup": q_mm_audio_dedup,  # rows-only (codec round-trip)
+        "pipeline_domain_cap": q_pipeline_domain_cap,
+        "pipeline_snapshot_diff": q_pipeline_snapshot_diff,
     }
