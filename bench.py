@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "cdc_apply_changelog",
     "cdc_incremental_agg",
     "cdc_asof_enrich",
+    "cdc_schema_evolution",
     "wh_pricing_summary",
     "wh_top_orders",
     "wh_hourly_events",

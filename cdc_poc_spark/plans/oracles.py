@@ -511,6 +511,15 @@ def oracle_sql() -> dict[str, str]:
     # stream_interval_join_native: the watermarked stream-stream interval
     # join emits exactly the batch self-join result (inner join, single
     # micro-batch), so the oracle is the plain bounded self-join
+    sqls["cdc_schema_evolution"] = """
+        SELECT event_id AS id,
+               event_type,
+               CASE WHEN event_id % 2 = 1
+                    THEN 's' || CAST(event_id AS VARCHAR) END AS session_id,
+               event_id % 2 = 1 AS is_v2,
+               CAST(NULL AS VARCHAR) AS consumer_only
+        FROM events"""
+
     sqls["stream_interval_join_native"] = """
         WITH e AS (
             SELECT event_id AS id, user_id, ts FROM events WHERE ts IS NOT NULL

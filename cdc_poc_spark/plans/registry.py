@@ -1652,6 +1652,48 @@ def q_wh_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-compatible wire parsing under producer schema evolution (the
+    CDC reality: producers add fields mid-stream). Half the wire records
+    are v1 (no session_id), half v2 (session_id + a field the consumer
+    schema does not know yet); one permissive ``from_json`` with the
+    consumer schema yields NULLs for fields absent on old records, ignores
+    unknown future fields, and never dead-letters — both directions of
+    schema compatibility in a single parse, no reprocessing."""
+    from pyspark.sql import types as T
+
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    is_v2 = F.col("id") % 2 == 1
+    payload = F.struct(
+        F.col("id"),
+        F.col("event_type"),
+        F.when(is_v2, F.concat(F.lit("s"), F.col("id").cast("string"))).alias(
+            "session_id"
+        ),
+        F.when(is_v2, F.lit("ignored-by-consumer")).alias("future_field"),
+    )
+    wire = ev.select(F.to_json(payload).alias("value"))
+    consumer_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("session_id", T.StringType()),
+            # a field the consumer expects but no producer sends yet
+            T.StructField("consumer_only", T.StringType()),
+        ]
+    )
+    parsed = wire.select(F.from_json("value", consumer_schema).alias("r")).select(
+        "r.*"
+    )
+    return parsed.select(
+        "id",
+        "event_type",
+        "session_id",
+        F.col("session_id").isNotNull().alias("is_v2"),
+        "consumer_only",
+    )
+
+
 def q_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from the version changelog: effective
     ranges [valid_from, valid_to) via lead() per content key, open-ended
@@ -2420,4 +2462,5 @@ def queries() -> dict[str, QueryFn]:
         "mm_audio_dedup": q_mm_audio_dedup,  # rows-only (codec round-trip)
         "pipeline_domain_cap": q_pipeline_domain_cap,
         "pipeline_snapshot_diff": q_pipeline_snapshot_diff,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
     }
