@@ -124,7 +124,14 @@ def weighted_sample(
         .select("doc_id", F.col(weight_col).alias("weight"), key.alias("_k"))
         .orderBy(F.desc("_k"), F.asc("doc_id"))
         .limit(k)
-        .select("doc_id", "weight", F.round(F.col("_k"), 6).alias("sample_key"))
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0: a tiny negative key that
+        # rounds to zero otherwise renders "-0.0" in one engine and "0.0"
+        # in the other (found by the sf0.1 differential sweep)
+        .select(
+            "doc_id",
+            "weight",
+            (F.round(F.col("_k"), 6) + F.lit(0.0)).alias("sample_key"),
+        )
     )
 
 

@@ -51,6 +51,8 @@ def _norm_cell(v):
         # plain Python float from the fetchall path.
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return "0.0"  # canonicalize IEEE -0.0 (engines disagree on sign)
         return repr(float(v))
     if isinstance(v, bool):
         return str(v)

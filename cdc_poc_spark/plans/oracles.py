@@ -594,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
                    ln({_u}) / n_chars AS _k
             FROM documents WHERE n_chars > 0
         )
-        SELECT doc_id, weight, round(_k, 6) AS sample_key
+        SELECT doc_id, weight, round(_k, 6) + 0.0 AS sample_key
         FROM keyed ORDER BY _k DESC, doc_id LIMIT {WSAMPLE_K}"""
 
     sqls["wh_funnel"] = """
