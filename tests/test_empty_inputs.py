@@ -124,3 +124,12 @@ def test_dedup_lines_removes_repeats_preserves_order(spark):
     assert got[1].n_lines == 5 and got[1].n_dup_lines_removed == 2
     assert got[2].dedup_text == "only\nunique\nlines"
     assert got[2].n_dup_lines_removed == 0
+
+
+def test_cli_list_and_unknown_query(capsys):
+    from cdc_poc_spark.__main__ import main
+
+    assert main(["list", "--filter", "dedup_exact"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact" in out and "sql-oracle" in out
+    assert main(["run", "no_such_query"]) == 2
