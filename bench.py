@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "wh_window_frames",
     "wh_sessions",
     "ts_subsequence_search",
+    "ts_autocorr",
     "wh_skew_salted_join",
     "wh_payload_json",
     "wh_scalar_subquery",

@@ -97,3 +97,79 @@ def subsequence_topk(
         .limit(k)
         .select("user_id", "event_id", F.round(F.col("_d"), 6).alias("dist"))
     )
+
+
+AUTOCORR_LAGS = (1, 2, 3, 5, 10)
+
+
+def autocorrelation(events: DataFrame, lags: tuple[int, ...] = AUTOCORR_LAGS) -> DataFrame:
+    """Lag-k autocorrelation of the per-minute value series, per event type
+    — the seasonality/self-similarity diagnostic run before forecasting or
+    anomaly thresholds are chosen.
+
+    Determinism design: a floating-point ``corr`` aggregate is
+    partition-order dependent (different runs of the SAME engine can
+    disagree in the last ulp), so Pearson's r is assembled from EXACT
+    decimal sums instead — minute totals are DECIMAL(18,2); the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in decimal
+    (exact, order-independent), and only the final r is computed in double.
+    Shape: one minute aggregate, one self-join per lag on (type, minute+L)
+    — both shuffles on the same key family; at 100 TB the minute series is
+    ~5 orders of magnitude smaller than the events scanned once."""
+    from ..functions.timeutil import ntz_trunc
+
+    minutes = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            ntz_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    lagged = None
+    for lag in lags:
+        a = minutes.select(
+            "event_type",
+            F.col("minute").alias("m"),
+            F.col("v").alias("x"),
+        )
+        b = minutes.select(
+            "event_type",
+            (F.col("minute") - F.expr(f"INTERVAL {int(lag)} MINUTES")).alias("m"),
+            F.col("v").alias("y"),
+        )
+        pairs = a.join(b, ["event_type", "m"]).select(
+            "event_type",
+            F.lit(int(lag)).alias("lag"),
+            F.col("x"),
+            F.col("y"),
+            (F.col("x") * F.col("y")).alias("xy"),
+            (F.col("x") * F.col("x")).alias("xx"),
+            (F.col("y") * F.col("y")).alias("yy"),
+        )
+        lagged = pairs if lagged is None else lagged.unionAll(pairs)
+    stats = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    den = F.sqrt(
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n)
+        * (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / n)
+    )
+    # zero-variance series (or single-pair groups) have den == 0: r is
+    # undefined there -> NULL, identically on both engines
+    safe_den = F.when(den != 0.0, den)
+    return stats.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.round(num / safe_den, 6) + F.lit(0.0)).alias("autocorr"),
+    )

@@ -779,6 +779,36 @@ def oracle_sql() -> dict[str, str]:
 
     _pat = ", ".join(repr(p) for p in znorm_pattern())
     _w = SUBSEQ_W
+    from ..operators.timeseries import AUTOCORR_LAGS
+
+    _lags = ", ".join(str(l) for l in AUTOCORR_LAGS)
+    sqls["ts_autocorr"] = f"""
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+            FROM m a
+            CROSS JOIN (SELECT unnest([{_lags}]) AS lag) l
+            JOIN m b ON b.event_type = a.event_type
+                    AND b.minute = a.minute + to_minutes(CAST(l.lag AS BIGINT))
+        )
+        SELECT event_type,
+               CAST(lag AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND((CAST(SUM(x * y) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                     / NULLIF(sqrt((CAST(SUM(x * x) AS DOUBLE)
+                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                            * (CAST(SUM(y * y) AS DOUBLE)
+                               - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))), 0.0),
+                     6) + 0.0 AS autocorr
+        FROM pairs
+        GROUP BY 1, 2"""
+
     sqls["ts_subsequence_search"] = f"""
         WITH win AS (
             SELECT user_id, event_id,

@@ -1020,6 +1020,15 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the per-minute value series per event type
+    (lags 1,2,3,5,10) — Pearson's r from EXACT decimal sufficient
+    statistics (order-independent), doubles only in the final formula."""
+    from ..operators.timeseries import autocorrelation
+
+    return autocorrelation(load_table(spark, sf_dir, "events"))
+
+
 def q_pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota cap: deterministic hash-shuffled rank within each
     source, keep the first 15 — one shuffle, local per-domain sort."""
@@ -2463,4 +2472,5 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_domain_cap": q_pipeline_domain_cap,
         "pipeline_snapshot_diff": q_pipeline_snapshot_diff,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "ts_autocorr": q_ts_autocorr,
     }
