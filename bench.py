@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "search_bm25",
     "text_repetition",
+    "text_vocab_encode",
     "text_char_entropy",
     "pipeline_decontaminate",
     "profile_documents",

@@ -13,7 +13,7 @@ pruning (only ``text`` + keys read).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import rolling_fingerprint
@@ -379,4 +379,59 @@ def dedup_lines(docs: DataFrame) -> DataFrame:
         F.array_join(kept, "\n").alias("dedup_text"),
         F.size(lines).cast("long").alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_dup_lines_removed"),
+    )
+
+
+VOCAB_SIZE = 1000
+
+
+def build_vocab(docs: DataFrame, size: int = VOCAB_SIZE) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most frequent tokens, id = frequency
+    rank (0-based; ties broken lexically) — the word-level vocab-build step
+    before encoding. One explode + hash aggregate + top-k; the vocab is
+    dimension-sized and broadcasts downstream."""
+    toks = tokens(F.col("text"))
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(int(size))
+        .withColumn("token_id", F.row_number().over(w).cast("long") - 1)
+        .select("token_id", "token", "freq")
+    )
+
+
+def encode_docs(docs: DataFrame, vocab: DataFrame, unk_id: int | None = None) -> DataFrame:
+    """Encode every document as its token-id sequence against ``vocab``
+    (out-of-vocab -> ``unk_id``, default = vocab size). Explode with
+    position, broadcast-join the vocab, reassemble order-exactly via an
+    (pos, id) array_sort — one shuffle on doc_id, vocab never shuffles."""
+    unk = F.lit(int(unk_id if unk_id is not None else VOCAB_SIZE)).cast("long")
+    toks = tokens(F.col("text"))
+    exploded = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+    joined = exploded.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "doc_id", "pos", F.coalesce(F.col("token_id"), unk).alias("tid")
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+        .select(
+            "doc_id",
+            "ids",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.size(F.filter("ids", lambda i: i == unk)).cast("long").alias("n_unk"),
+        )
     )

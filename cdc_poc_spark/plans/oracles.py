@@ -1102,6 +1102,55 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _win_md5 = md5_long_sql(f"substr(text, i, {WINNOW_K})")
+    from ..operators.text_analysis import VOCAB_SIZE
+
+    _VOCAB_CTE = f"""
+        tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+                        AS BIGINT) AS token_id,
+                   token, freq
+            FROM (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM tok GROUP BY token
+                ORDER BY freq DESC, token ASC
+                LIMIT {VOCAB_SIZE}
+            )
+        )"""
+
+    sqls["text_vocab"] = f"""
+        WITH {_VOCAB_CTE}
+        SELECT token_id, token, freq FROM vocab"""
+
+    sqls["text_vocab_encode"] = f"""
+        WITH {_VOCAB_CTE},
+        pos AS (
+            SELECT doc_id, s.p AS pos, s.t AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           list_filter(string_split(text, ' '), x -> x <> ''),
+                           (t, p) -> {{'p': p, 't': t}})) AS s
+                FROM documents
+            )
+        ),
+        enc AS (
+            SELECT p.doc_id, p.pos,
+                   COALESCE(v.token_id, {VOCAB_SIZE}) AS tid
+            FROM pos p LEFT JOIN vocab v ON p.token = v.token
+        )
+        SELECT doc_id,
+               list(tid ORDER BY pos) AS ids,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tid = {VOCAB_SIZE} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unk
+        FROM enc
+        GROUP BY doc_id"""
+
     sqls["text_dedup_lines"] = """
         WITH l AS (
             SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents

@@ -1340,6 +1340,20 @@ def q_mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_dup_pairs(multimodal.ahash64(media))
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-1000 tokens by frequency with rank ids (the
+    word-level vocab-build step) — explode + hash agg + top-k."""
+    return text_analysis.build_vocab(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded as token-id sequences against the corpus vocab
+    (OOV -> UNK id): posexplode + broadcast vocab join + order-exact
+    (pos, id) reassembly — the tokenize-to-ids step of pretraining prep."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.encode_docs(docs, text_analysis.build_vocab(docs))
+
+
 def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate-line removal (first occurrence kept, order
     preserved) with the removal audit — pure array expressions, no
@@ -2473,4 +2487,6 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_snapshot_diff": q_pipeline_snapshot_diff,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "ts_autocorr": q_ts_autocorr,
+        "text_vocab": q_text_vocab,
+        "text_vocab_encode": q_text_vocab_encode,
     }

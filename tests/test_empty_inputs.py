@@ -133,3 +133,20 @@ def test_cli_list_and_unknown_query(capsys):
     out = capsys.readouterr().out
     assert "dedup_exact" in out and "sql-oracle" in out
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_vocab_encode_oov_and_order(spark):
+    from cdc_poc_spark.operators.text_analysis import build_vocab, encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c b a rare", "en"), (2, "a a a", "en")],
+        "doc_id long, text string, lang string",
+    )
+    vocab = build_vocab(docs, size=3)  # keeps a(4), b(3), c(1)? -> top3 by freq
+    v = {r.token: r.token_id for r in vocab.collect()}
+    assert v["a"] == 0 and v["b"] == 1  # freq rank, lexical tie-break
+    enc = {r.doc_id: r for r in encode_docs(docs, vocab, unk_id=99).collect()}
+    # order-exact: tokens map positionally; 'rare' -> UNK
+    assert enc[1].ids == [v["b"], v["a"], v["b"], v["c"], v["b"], v["a"], 99]
+    assert enc[1].n_unk == 1 and enc[1].n_tokens == 7
+    assert enc[2].ids == [0, 0, 0] and enc[2].n_unk == 0
