@@ -402,3 +402,16 @@ def test_winnow_substring_no_cartesian(spark):
 def test_image_dedup_band_join_not_cartesian(spark):
     plan = _plan(queries()["mm_image_dedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_encode_joins_broadcast(spark):
+    """The vocab (dimension-sized) must broadcast into the encode join —
+    the exploded corpus side never shuffles against it."""
+    plan = _plan(queries()["text_vocab_encode"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_no_cartesian(spark):
+    plan = _plan(queries()["ts_autocorr"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
