@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "search_bm25",
     "text_repetition",
     "text_vocab_encode",
+    "text_lm_score",
     "text_char_entropy",
     "pipeline_decontaminate",
     "profile_documents",

@@ -435,3 +435,79 @@ def encode_docs(docs: DataFrame, vocab: DataFrame, unk_id: int | None = None) ->
             F.size(F.filter("ids", lambda i: i == unk)).cast("long").alias("n_unk"),
         )
     )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Bigram-LM document scoring — the perplexity-filter stand-in of
+    CCNet-style corpus curation: a Laplace-smoothed word-bigram model is
+    fit on the corpus itself, and each document gets its mean token
+    log-likelihood (low score = improbable/gibberish text, the standard
+    quality-filter signal when a real KenLM is unavailable).
+
+      log P(w2 | w1) = ln( (c(w1,w2) + 1) / (c(w1) + V) )
+
+    Scale shape: bigram/unigram count tables are one explode + hash agg
+    each; scoring joins each doc bigram to its counts (shuffle on the
+    bigram key — at 100 TB the model would be count-pruned and broadcast
+    instead, an approximation this exact formulation doesn't need at test
+    scale). Determinism: per-doc log-probs re-assemble in position order
+    (array_sort) and fold sequentially, so the double sum is
+    oracle-bit-identical; V and the counts are exact integers.
+    """
+    # token array materializes behind an exchange before the per-position
+    # gram lambdas read it — adjacent projections would be collapsed by
+    # Catalyst, inlining (and re-evaluating) the tokenizer per element
+    # (the same O(len^2) trap as winnow_fingerprints)
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(parallelism, "doc_id")
+    tcol = F.col("toks")
+    n = F.size(tcol)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tcol, i.cast("int")),
+                F.element_at(tcol, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = base.select("doc_id", F.posexplode(grams).alias("pos", "bigram"))
+    big_counts = doc_grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    uni = base.select(F.explode(tcol).alias("token"))
+    uni_counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = uni.agg(F.countDistinct("token").alias("v"))
+    scored = (
+        doc_grams.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(big_counts, "bigram")
+        .join(uni_counts, F.col("w1") == F.col("token"))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                lambda s: s["logp"],
+            ).alias("_lp")
+        )
+        .select(
+            "doc_id",
+            F.size("_lp").cast("long").alias("n_bigrams"),
+            F.round(
+                F.aggregate(F.col("_lp"), F.lit(0.0), lambda a, x: a + x)
+                / F.size("_lp"),
+                6,
+            ).alias("mean_logp"),
+        )
+    )

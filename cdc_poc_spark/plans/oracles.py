@@ -1151,6 +1151,47 @@ def oracle_sql() -> dict[str, str]:
         FROM enc
         GROUP BY doc_id"""
 
+    sqls["text_lm_score"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        dg AS (
+            SELECT doc_id, s.p AS pos, s.g AS bigram
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> {'p': i - 1, 'g': toks[i] || ' ' || toks[i+1]})
+                       ELSE [] END) AS s
+                FROM t
+            )
+        ),
+        bc AS (SELECT bigram, COUNT(*) AS c12 FROM dg GROUP BY bigram),
+        uni AS (
+            SELECT u.token FROM (SELECT unnest(toks) AS token FROM t) u
+        ),
+        uc AS (SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token),
+        vn AS (SELECT COUNT(DISTINCT token) AS v FROM uni),
+        scored AS (
+            SELECT dg.doc_id, dg.pos,
+                   ln(CAST(bc.c12 + 1 AS DOUBLE)
+                      / CAST(uc.c1 + vn.v AS DOUBLE)) AS logp
+            FROM dg
+            JOIN bc ON dg.bigram = bc.bigram
+            JOIN uc ON string_split(dg.bigram, ' ')[1] = uc.token
+            CROSS JOIN vn
+        )
+        SELECT doc_id,
+               CAST(len(lp) AS BIGINT) AS n_bigrams,
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lp),
+                                 (a, x) -> a + x) / len(lp), 6) AS mean_logp
+        FROM (
+            SELECT doc_id, list(logp ORDER BY pos) AS lp
+            FROM scored GROUP BY doc_id
+        )"""
+
     sqls["text_dedup_lines"] = """
         WITH l AS (
             SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents

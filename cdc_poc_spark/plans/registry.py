@@ -1354,6 +1354,13 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.encode_docs(docs, text_analysis.build_vocab(docs))
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (perplexity-filter stand-in): mean
+    Laplace-smoothed log P(w2|w1) per document, model fit on the corpus
+    itself; position-ordered fold keeps the double sum oracle-exact."""
+    return text_analysis.lm_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate-line removal (first occurrence kept, order
     preserved) with the removal audit — pure array expressions, no
@@ -2489,4 +2496,5 @@ def queries() -> dict[str, QueryFn]:
         "ts_autocorr": q_ts_autocorr,
         "text_vocab": q_text_vocab,
         "text_vocab_encode": q_text_vocab_encode,
+        "text_lm_score": q_text_lm_score,
     }
