@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
+    "dedup_lsh_measure",
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_ann_lsh",

@@ -2397,4 +2397,13 @@ def oracle_sql() -> dict[str, str]:
               (CASE WHEN lang = 'en' THEN {STRAT_RATE_EN}
                     ELSE {STRAT_RATE_OTHER} END)"""
 
+    sqls["dedup_lsh_measure"] = f"""
+        WITH truth AS (SELECT doc_a, doc_b FROM ({sqls["dedup_ngram_jaccard"]})),
+        lsh AS (SELECT doc_a, doc_b, 1 AS _hit FROM ({sqls["dedup_minhash_lsh"]}))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(COALESCE(SUM(_hit), 0) AS BIGINT) AS n_found,
+               ROUND(CAST(COALESCE(SUM(_hit), 0) AS DOUBLE) / COUNT(*), 6)
+                   AS recall
+        FROM truth LEFT JOIN lsh USING (doc_a, doc_b)"""
+
     return sqls

@@ -1175,6 +1175,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_lsh_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of MinHash-LSH dedup against the true shingle-Jaccard
+    pair set at the same threshold (the text-dedup analog of sim_ann_recall
+    — the honest read on the banding dial). LSH verifies exact Jaccard on
+    its candidates, so precision is 1 by construction; what banding can
+    lose is recall, and this measures it."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    lsh = dedup.minhash_lsh_dups(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(1).alias("_hit")
+    )
+    j = truth.join(lsh, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-level near-dup pairs via winnowing fingerprints
     (Schleimer et al. 2003): alignment-independent sampled char-20-gram
@@ -2497,4 +2522,5 @@ def queries() -> dict[str, QueryFn]:
         "text_vocab": q_text_vocab,
         "text_vocab_encode": q_text_vocab_encode,
         "text_lm_score": q_text_lm_score,
+        "dedup_lsh_measure": q_dedup_lsh_measure,
     }
