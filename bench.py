@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_lsh_measure",
+    "pipeline_dedup_report",
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_ann_lsh",

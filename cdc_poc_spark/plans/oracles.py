@@ -2406,4 +2406,21 @@ def oracle_sql() -> dict[str, str]:
                    AS recall
         FROM truth LEFT JOIN lsh USING (doc_a, doc_b)"""
 
+    sqls["pipeline_dedup_report"] = f"""
+        WITH ex AS (SELECT * FROM ({sqls["dedup_exact"]})),
+        exact_losers AS (
+            SELECT d.doc_id
+            FROM documents d
+            JOIN ex ON {md5_long_sql("d.text")} = ex.text_hash
+            WHERE d.doc_id <> ex.keep_doc_id
+        ),
+        near_losers AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM ({sqls["dedup_ngram_jaccard"]})
+        )
+        SELECT doc_id, 'exact' AS reason FROM exact_losers
+        UNION ALL
+        SELECT doc_id, 'near' AS reason FROM near_losers
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)"""
+
     return sqls

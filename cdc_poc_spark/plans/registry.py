@@ -1175,6 +1175,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup disposition — the audit a curation pipeline emits:
+    every DROPPED doc with its reason ('exact' = a lower-id doc has
+    identical content; 'near' = doc_b side of a shingle-Jaccard pair;
+    exact takes precedence). Output is delta-sized (dropped docs only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hashing.md5_long(F.col("text"))
+    ex = dedup.exact_dups(docs)
+    exact_losers = (
+        docs.select("doc_id", h.alias("_h"))
+        .join(ex, F.col("_h") == F.col("text_hash"))
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    near_losers = (
+        dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return exact_losers.select(
+        "doc_id", F.lit("exact").alias("reason")
+    ).unionAll(
+        near_losers.join(exact_losers, "doc_id", "left_anti").select(
+            "doc_id", F.lit("near").alias("reason")
+        )
+    )
+
+
 def q_dedup_lsh_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of MinHash-LSH dedup against the true shingle-Jaccard
     pair set at the same threshold (the text-dedup analog of sim_ann_recall
@@ -2523,4 +2551,5 @@ def queries() -> dict[str, QueryFn]:
         "text_vocab_encode": q_text_vocab_encode,
         "text_lm_score": q_text_lm_score,
         "dedup_lsh_measure": q_dedup_lsh_measure,
+        "pipeline_dedup_report": q_pipeline_dedup_report,
     }
