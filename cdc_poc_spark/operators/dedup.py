@@ -453,10 +453,17 @@ def winnow_fingerprints(
     (measured 11s -> 1.5s at sf0.1). The round-robin exchange between the
     projections is the collapse barrier; it also spreads the md5 work, and
     ships only (doc_id, wins) — a few hundred longs per doc.
-    Selection keeps every position whose hash is the minimum of its G-window
-    ("robust winnowing" superset — deterministic, alignment-independent).
-    Documents shorter than k contribute no fingerprints (dedup_exact owns
-    the tiny-doc case)."""
+    Selection is TRUE winnowing (Schleimer et al. 2003, "Winnowing: Local
+    Algorithms for Document Fingerprinting"): the selected set is exactly the
+    per-window minima — for every window of G consecutive k-gram hashes, the
+    window's minimum hash is kept. Any substring of length >= k + g - 1 spans
+    at least one full window in both documents, and that window's minimum
+    depends only on the shared characters, so the two docs are guaranteed to
+    share that fingerprint regardless of alignment. (An earlier keep-iff-
+    min-of-own-forward-window variant was a strict SUBSET of this set and
+    broke the guarantee — whether a position survived depended on hashes
+    beyond the shared region.) Documents shorter than k contribute no
+    fingerprints (dedup_exact owns the tiny-doc case)."""
     text = F.col("text")
     n_w = F.length(text) - k + 1
     wins = F.transform(
@@ -473,16 +480,9 @@ def winnow_fingerprints(
     selected = F.when(
         n >= g,
         F.array_distinct(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(n_sel, F.lit(1))),
-                    lambda j: F.when(
-                        F.element_at(F.col("wins"), j)
-                        == F.array_min(F.slice(F.col("wins"), j, g)),
-                        F.element_at(F.col("wins"), j),
-                    ),
-                ),
-                lambda x: x.isNotNull(),
+            F.transform(
+                F.sequence(F.lit(1), n_sel),
+                lambda j: F.array_min(F.slice(F.col("wins"), j, g)),
             )
         ),
     ).otherwise(F.array(F.array_min(F.col("wins"))))

@@ -409,7 +409,10 @@ def encode_docs(docs: DataFrame, vocab: DataFrame, unk_id: int | None = None) ->
     """Encode every document as its token-id sequence against ``vocab``
     (out-of-vocab -> ``unk_id``, default = vocab size). Explode with
     position, broadcast-join the vocab, reassemble order-exactly via an
-    (pos, id) array_sort — one shuffle on doc_id, vocab never shuffles."""
+    (pos, id) array_sort — one shuffle on doc_id, vocab never shuffles.
+    ``ids`` is emitted as a '_'-joined string (lossless; top-level array
+    columns break pandas-side canonicalization in differential
+    harnesses)."""
     unk = F.lit(int(unk_id if unk_id is not None else VOCAB_SIZE)).cast("long")
     toks = tokens(F.col("text"))
     exploded = docs.select(
@@ -430,7 +433,9 @@ def encode_docs(docs: DataFrame, vocab: DataFrame, unk_id: int | None = None) ->
         )
         .select(
             "doc_id",
-            "ids",
+            F.concat_ws(
+                "_", F.transform("ids", lambda i: i.cast("string"))
+            ).alias("ids"),
             F.size("ids").cast("long").alias("n_tokens"),
             F.size(F.filter("ids", lambda i: i == unk)).cast("long").alias("n_unk"),
         )

@@ -1144,7 +1144,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pos p LEFT JOIN vocab v ON p.token = v.token
         )
         SELECT doc_id,
-               list(tid ORDER BY pos) AS ids,
+               array_to_string(list(tid ORDER BY pos), '_') AS ids,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                CAST(SUM(CASE WHEN tid = {VOCAB_SIZE} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_unk
@@ -1221,12 +1221,10 @@ def oracle_sql() -> dict[str, str]:
         sel AS (
             SELECT doc_id,
                    CASE WHEN len(wins) >= {WINNOW_G} THEN
-                       list_distinct(list_filter(
+                       list_distinct(
                            list_transform(range(1, len(wins) - {WINNOW_G} + 2),
-                               j -> CASE WHEN wins[j] = list_min(
-                                             list_slice(wins, j, j + {WINNOW_G} - 1))
-                                    THEN wins[j] END),
-                           x -> x IS NOT NULL))
+                               j -> list_min(
+                                        list_slice(wins, j, j + {WINNOW_G} - 1))))
                    ELSE [list_min(wins)] END AS fps
             FROM w
         ),
@@ -2224,10 +2222,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS n_dims,
                scale,
-               CASE WHEN scale > 0
-                    THEN list_transform(embedding,
-                                        x -> CAST(round(x::DOUBLE / scale) AS INT))
-                    ELSE list_transform(embedding, x -> 0) END AS q_codes,
+               array_to_string(
+                   CASE WHEN scale > 0
+                        THEN list_transform(embedding,
+                                            x -> CAST(round(x::DOUBLE / scale) AS INT))
+                        ELSE list_transform(embedding, x -> 0) END,
+                   '_') AS q_codes,
                CASE WHEN scale > 0
                     THEN list_max(list_transform(embedding,
                          x -> abs(round(x::DOUBLE / scale) * scale - x::DOUBLE)))

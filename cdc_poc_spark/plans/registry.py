@@ -1232,8 +1232,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-level near-dup pairs via winnowing fingerprints
     (Schleimer et al. 2003): alignment-independent sampled char-20-gram
     hashes, fingerprint equi-self-join, hot-fingerprint cap — pairs sharing
-    >= 2 sampled fingerprints (guaranteed for any shared substring of
-    length >= 27)."""
+    >= 2 sampled fingerprints. Winnowing guarantees ONE shared fingerprint
+    for any shared substring of length >= k+g-1 = 27; two are only
+    guaranteed around length >= k+2g-1 = 35, so min_shared=2 trades a
+    little recall in [27, 35) for precision against single-hash
+    collisions."""
     return dedup.substring_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -146,7 +146,8 @@ def test_vocab_encode_oov_and_order(spark):
     v = {r.token: r.token_id for r in vocab.collect()}
     assert v["a"] == 0 and v["b"] == 1  # freq rank, lexical tie-break
     enc = {r.doc_id: r for r in encode_docs(docs, vocab, unk_id=99).collect()}
-    # order-exact: tokens map positionally; 'rare' -> UNK
-    assert enc[1].ids == [v["b"], v["a"], v["b"], v["c"], v["b"], v["a"], 99]
+    # order-exact: tokens map positionally; 'rare' -> UNK ('_'-joined string)
+    expected = [v["b"], v["a"], v["b"], v["c"], v["b"], v["a"], 99]
+    assert enc[1].ids == "_".join(str(i) for i in expected)
     assert enc[1].n_unk == 1 and enc[1].n_tokens == 7
-    assert enc[2].ids == [0, 0, 0] and enc[2].n_unk == 0
+    assert enc[2].ids == "0_0_0" and enc[2].n_unk == 0

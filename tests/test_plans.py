@@ -415,3 +415,26 @@ def test_vocab_encode_joins_broadcast(spark):
 def test_autocorr_no_cartesian(spark):
     plan = _plan(queries()["ts_autocorr"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_no_complex_typed_output_columns(spark):
+    """Every SQL-oracle query's result schema must be flat scalar columns.
+
+    The differential harness canonicalizes results via a pandas sort over
+    every column; array/map/struct cells are unhashable there and burn the
+    verification slot with a TypeError instead of a real comparison
+    (sim_quantize_int8, round 2). Sequences must be emitted as joined
+    strings (see pq_encode / quantize_int8 / encode_docs)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from cdc_poc_spark.plans.oracles import oracle_sql
+
+    offenders = []
+    for name in oracle_sql():
+        if name in PLAN_SKIP:
+            continue
+        df = queries()[name](spark, SF_DIR)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
