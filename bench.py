@@ -127,7 +127,12 @@ def main() -> None:
     # numbers reflect steady-state execution, not first-query JIT; cover
     # each expression family (joins/aggs, higher-order hashing, Arrow UDFs)
     warmup = [n for n in (
-        names[0], names[1], "dedup_simhash", "sim_topk_cosine", "mm_decode_features"
+        names[0], names[1], "dedup_simhash", "sim_topk_cosine",
+        "mm_decode_features",
+        # the dedup compositions carry the largest generated-code plans
+        # (higher-order md5 transforms, multi-stage joins); compiling them
+        # once at sf0.001 keeps the measured run steady-state codegen
+        "dedup_ngram_jaccard", "dedup_clusters", "pipeline_clean_corpus",
     ) if n in reg]
     for n in dict.fromkeys(warmup):
         reg[n](spark, "/root/testdata/sf0.001").count()
@@ -138,6 +143,9 @@ def main() -> None:
         df.count()
         timings[n] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    from cdc_poc_spark.session import free_caches
+
+    free_caches(spark)  # batch queries' dead caches must not tax streaming
     stream = stream_throughput(spark, sf_dir)
     gen = generator_throughput(spark)
     # Contract: EXACTLY ONE JSON line on stdout, short enough that a

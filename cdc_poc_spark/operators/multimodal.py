@@ -359,7 +359,11 @@ def ahash64(media: DataFrame) -> DataFrame:
     return media.mapInPandas(hash_batch, AHASH_SCHEMA)
 
 
-IMG_DUP_MAX_HAMMING = 4
+# max_hamming MUST be < bands for the pigeonhole candidate guarantee: with
+# bands=4 over a 64-bit hash, a pair at hamming 4 could put one flipped bit
+# in each 16-bit band, agree on no band key, and never become a candidate.
+# 3 differing bits across 4 bands always leave >= one band untouched.
+IMG_DUP_MAX_HAMMING = 3
 IMG_DUP_BANDS = 4
 IMG_DUP_BUCKET_CAP = 200
 
@@ -383,6 +387,12 @@ def image_dup_pairs(
     quadratic bucket at cluster scale. Capped buckets are dropped whole
     (documented recall trade at the extreme); raise the cap to keep them.
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole candidate guarantee needs at least one band with "
+            "no differing bits"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     h = hashed.filter(F.col("ahash").isNotNull())

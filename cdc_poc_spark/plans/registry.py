@@ -2410,8 +2410,33 @@ def q_wh_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fresh(fn: QueryFn) -> QueryFn:
+    """Prefix a registry query with session cache hygiene.
+
+    Harness sessions (driver verification ~50 queries, bench.py ~85) run
+    registry queries back-to-back in one SparkSession; the persisted
+    shingle/signature indexes and CC localCheckpoint pins each query leaves
+    behind are garbage once its action completes, but accumulated across a
+    session they taxed every later query ~1.5-2x (round-2 bench). By the
+    time the NEXT query is being built the previous one's caches are dead
+    by construction, so each build starts by freeing them."""
+    import functools
+
+    from ..session import free_caches
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        free_caches(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {
+    return {name: _fresh(fn) for name, fn in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES: dict[str, QueryFn] = {
     # DRIVER WINDOW DISCIPLINE: the external harness hash-verifies only the
     # FIRST 50 entries of this dict against their DuckDB oracles each round.
     # Slots 1-50 below are deliberately rotated each round onto the queries

@@ -63,3 +63,41 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def free_caches(spark: SparkSession) -> None:
+    """Drop every cached plan and persisted RDD block in the session.
+
+    The dedup/clustering operators persist intermediate indexes (shingle
+    index, MinHash signatures, CC localCheckpoint pins) that are live only
+    for the duration of one query's action — but a DataFrame-returning
+    operator has no post-action hook to free them, so in a long session
+    that runs many registry queries back-to-back (the verification
+    harness's ~50, bench.py's ~85) the dead blocks accumulate and tax
+    every later query (~1.5-2x uniform slowdown measured over an 85-query
+    session). Called at the start of every registry query build: at that
+    point the previous query's action has completed, so its caches are
+    garbage by construction. Not for general library use — unpersisting a
+    localCheckpointed RDD discards its only copy, so any still-held
+    DataFrame built on one would fail to recompute.
+    """
+    import gc
+
+    # Python GC first: broadcast variables and shuffle dependencies are
+    # reclaimed by the JVM ContextCleaner only after their py4j proxies are
+    # finalized, which needs a Python collection pass — without it an
+    # 85-query session accumulates every query's broadcast blocks
+    gc.collect()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — hygiene must never fail a query
+        pass
+    try:
+        jsc = spark.sparkContext._jsc
+        # force-drop via SparkContext.unpersistRDD: RDD.unpersist refuses
+        # locally-checkpointed RDDs (their blocks are the only copy), but
+        # here that copy is exactly the garbage being freed
+        for rid in jsc.getPersistentRDDs().keySet().toArray():
+            jsc.sc().unpersistRDD(rid, False)
+    except Exception:  # noqa: BLE001
+        pass

@@ -200,3 +200,112 @@ def test_winnow_guarantee_property(spark, pre_a, pre_b, shared, off_a, off_b):
     )
     pairs = dedup.substring_dup_pairs(docs, min_shared=1, max_df_frac=None).collect()
     assert any((r.doc_a, r.doc_b) == (1, 2) for r in pairs)
+
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=60), min_size=2, max_size=5
+)
+
+
+@given(_doc_texts)
+@settings(**_SETTINGS)
+def test_minhash_banding_collision_guarantee(spark, texts):
+    """LSH banding exactness: the candidate set equals EXACTLY the pairs
+    whose MinHash signatures agree on every row of >= 1 band (computed
+    independently from the collected signatures, mirroring the concat_ws
+    bucket key). In particular two docs with identical shingle sets have
+    identical signatures and MUST collide — the recall half of the banding
+    claim that differential parity can't check (a matched pair of banding
+    bugs would still agree)."""
+    from cdc_poc_spark.operators import dedup
+
+    num_hashes, bands = 8, 4
+    rows_per_band = num_hashes // bands
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    sig_rows = dedup.minhash_signatures(docs, num_hashes).collect()
+    keys = {
+        r.doc_id: [
+            "_".join(
+                str(v)
+                for v in (r[f"sig_{b * rows_per_band + j}"] for j in range(rows_per_band))
+                if v is not None
+            )
+            for b in range(bands)
+        ]
+        for r in sig_rows
+    }
+    ids = sorted(keys)
+    expected = {
+        (x, y)
+        for xi, x in enumerate(ids)
+        for y in ids[xi + 1 :]
+        if any(keys[x][b] == keys[y][b] for b in range(bands))
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(docs, num_hashes, bands).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_image_banding_pigeonhole_property(spark, base, flip_bits):
+    """Banded-Hamming pigeonhole: any pair of 64-bit hashes within the
+    default max_hamming (3 < 4 bands) MUST surface as a dup pair — with
+    bands > max_hamming at least one 16-bit band has no flipped bit, so the
+    equi-join on (band, key) always produces the candidate."""
+    from cdc_poc_spark.operators import multimodal
+
+    other = base
+    for b in flip_bits:
+        other ^= 1 << b
+    other = other - (1 << 64) if other >= 2**63 else other
+    hashed = spark.createDataFrame(
+        [(0, base), (1, other)], "media_id long, ahash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.image_dup_pairs(hashed).collect()
+    }
+    assert got == {(0, 1, len(flip_bits))}
+
+
+@given(
+    _words,
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_arbitrary_window_stride(spark, toks, window, stride):
+    """Chunk coverage at ARBITRARY window/stride (the fixed-128/96 test
+    can't catch an off-by-one that only bites at other geometries): starts
+    tile at the stride from 0 past the last token, every token index is
+    inside >= 1 chunk, and no chunk exceeds the window."""
+    from cdc_poc_spark.operators.packing import chunk_documents
+
+    stride = min(stride, window)  # standard overlap regime
+    text = " ".join(toks)
+    docs = spark.createDataFrame(
+        [(1, text, "en")], "doc_id long, text string, lang string"
+    )
+    chunks = sorted(
+        chunk_documents(docs, window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    n = len([t for t in toks if t])
+    if n == 0:
+        assert chunks == []
+        return
+    assert [c.start_tok for c in chunks] == list(range(0, n, stride))
+    covered = set()
+    for c in chunks:
+        assert 1 <= c.n_tokens <= window
+        covered.update(range(c.start_tok, c.start_tok + c.n_tokens))
+    assert covered == set(range(n))
