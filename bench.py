@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "dedup_lsh_measure",
     "pipeline_dedup_report",
     "dedup_simhash",
+    "dedup_containment",
+    "pipeline_importance_weights",
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",

@@ -96,6 +96,49 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
+def _filtered_shingle_arrays(
+    docs: DataFrame, k: int, max_df_frac: float | None, cache: bool
+) -> DataFrame:
+    """(doc_id, shs, n): per-doc df-filtered shingle-hash arrays in global
+    rarest-first (df, shingle) order — the shared substrate of the
+    prefix-filtered similarity self-joins (Jaccard and containment).
+
+    The RAW exploded index persists because the df aggregate and the
+    df-attach join both read it, and the explode+md5 pass is the expensive
+    part — computing it once is the materialize-the-shingle-index step;
+    the inner join drops hot shingles (df cap) while attaching df."""
+    sh = doc_shingles(docs, k)
+    if cache:
+        sh = sh.persist()
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df_frac is not None:
+        tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+        dfs = (
+            dfs.crossJoin(F.broadcast(tot))
+            .filter(F.col("_df") <= F.col("_n_docs") * F.lit(float(max_df_frac)))
+            .select("shingle", "_df")
+        )
+    arrs = (
+        sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_df").alias("df"), F.col("shingle").alias("sh"))
+                )
+            ).alias("srt")
+        )
+        .select(
+            "doc_id",
+            F.transform("srt", lambda s: s["sh"]).alias("shs"),
+            F.size("srt").alias("n"),
+        )
+    )
+    if cache:
+        arrs = arrs.persist()
+    return arrs
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -126,40 +169,7 @@ def ngram_jaccard_pairs(
     inner join on df-filtered shingles, no extra pass.
     """
     t = float(threshold)
-    # persist the RAW exploded index: the df aggregate and the df-attach
-    # join both read it, and the explode+md5 pass is the expensive part —
-    # computing it once is the materialize-the-shingle-index step
-    sh = doc_shingles(docs, k)
-    if cache:
-        sh = sh.persist()
-    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    if max_df_frac is not None:
-        tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
-        dfs = (
-            dfs.crossJoin(F.broadcast(tot))
-            .filter(F.col("_df") <= F.col("_n_docs") * F.lit(float(max_df_frac)))
-            .select("shingle", "_df")
-        )
-    # per-doc shingle arrays in global rarest-first (df, shingle) order;
-    # the inner join drops hot shingles (df cap) while attaching df
-    arrs = (
-        sh.join(dfs, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("_df").alias("df"), F.col("shingle").alias("sh"))
-                )
-            ).alias("srt")
-        )
-        .select(
-            "doc_id",
-            F.transform("srt", lambda s: s["sh"]).alias("shs"),
-            F.size("srt").alias("n"),
-        )
-    )
-    if cache:
-        arrs = arrs.persist()
+    arrs = _filtered_shingle_arrays(docs, k, max_df_frac, cache)
     plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
     pref = arrs.select(
         "doc_id", F.explode(F.slice("shs", 1, plen)).alias("shingle")
@@ -198,6 +208,75 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    k: int = SHINGLE_K,
+    cache: bool = True,
+    max_df_frac: float | None = MAX_SHINGLE_DF_FRAC,
+) -> DataFrame:
+    """Doc pairs where either containment direction clears ``threshold`` —
+    containment(A in B) = |A ∩ B| / |A| over the df-filtered shingle sets
+    (Broder 1997 distinguishes *containment* from *resemblance*/Jaccard):
+    a short document quoted whole inside a long one has containment ~1 but
+    Jaccard ~ |A|/|B|, so a Jaccard-threshold dedup silently keeps the
+    quote-pair. This is the subset-dup complement of ngram_jaccard_pairs.
+
+    Candidate generation stays prefix-filtered and lossless: if
+    max(c_a, c_b) >= t then the higher-containment doc X has
+    |X ∩ Y| >= ceil(t*|X|), which cannot fit entirely in X's suffix of
+    length ceil(t*|X|) - 1 — so X's rarest-first prefix of length
+    n - ceil(t*n) + 1 intersects Y's FULL set, and the prefix ⋈ full-index
+    equi-join finds the pair. Verification reads the per-doc arrays once.
+
+    Output: (doc_a < doc_b, n_common, containment_a, containment_b),
+    filtered on the max direction."""
+    t = float(threshold)
+    arrs = _filtered_shingle_arrays(docs, k, max_df_frac, cache)
+    plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    pref = arrs.select(
+        "doc_id", F.explode(F.slice("shs", 1, plen)).alias("shingle")
+    )
+    full = arrs.select(
+        F.col("doc_id").alias("doc_f"), F.explode("shs").alias("shingle")
+    )
+    cand = (
+        pref.join(full, "shingle")
+        .filter(F.col("doc_id") != F.col("doc_f"))
+        .select(
+            F.least("doc_id", "doc_f").alias("doc_a"),
+            F.greatest("doc_id", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("n_a"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    return (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            (n_common.cast("double") / F.col("n_a")).alias("containment_a"),
+            (n_common.cast("double") / F.col("n_b")).alias("containment_b"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= t)
     )
 
 

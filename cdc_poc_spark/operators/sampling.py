@@ -167,3 +167,76 @@ def domain_cap(
     return ranked.select(
         "doc_id", "domain", F.col("rank_in_domain").cast("long").alias("rank_in_domain")
     )
+
+
+DSIR_TARGET_SOURCE = "src0"
+
+
+def importance_weights(
+    docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): per document,
+
+        log w(x) = sum over tokens [ ln p_tgt(w) - ln p_raw(w) ]
+
+    over Laplace-smoothed unigram models, where the target model is fit on
+    the documents of one source (the "high-quality domain") and the raw
+    model on the whole corpus. High-weight documents are the ones
+    importance resampling up-samples when steering pretraining toward the
+    target domain; the weight doubles as a domain-affinity score.
+
+    Scale shape: two explode + hash-agg count tables; scoring joins each
+    doc token to the counts (token-key shuffle — at 100 TB the pruned
+    models would broadcast instead, an approximation this exact
+    formulation doesn't need at test scale). Determinism: per-doc log
+    ratios re-assemble in position order and fold sequentially, so the
+    double sum is oracle-bit-identical (the lm_score pattern)."""
+    from .text_analysis import tokens
+
+    base = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # exchange barrier: the posexplode lambda must read a materialized
+    # token array, not re-run the tokenizer per position (CollapseProject)
+    base = base.repartition(parallelism, "doc_id")
+    doc_toks = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    )
+    raw_counts = doc_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_toks = base.filter(F.col("source") == target_source).select(
+        F.explode("toks").alias("token")
+    )
+    tgt_counts = tgt_toks.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    stats = raw_counts.agg(
+        F.sum("cr").alias("tot_r"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(F.broadcast(tgt_toks.agg(F.count(F.lit(1)).alias("tot_t"))))
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("tot_t") + F.col("v")).cast("double")
+    ) - F.log(
+        (F.col("cr") + 1).cast("double")
+        / (F.col("tot_r") + F.col("v")).cast("double")
+    )
+    scored = (
+        doc_toks.join(raw_counts, "token")
+        .join(tgt_counts, "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "pos", lr.alias("lr"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lr"))),
+                lambda s: s["lr"],
+            ).alias("_lr")
+        )
+        .select(
+            "doc_id",
+            F.size("_lr").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate("_lr", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("log_weight"),
+        )
+    )

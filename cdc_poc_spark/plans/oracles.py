@@ -983,6 +983,20 @@ def oracle_sql() -> dict[str, str]:
         FROM jac
         WHERE jaccard >= {JACCARD_THRESHOLD}"""
 
+    from ..operators.dedup import CONTAINMENT_THRESHOLD
+
+    sqls["dedup_containment"] = f"""
+        WITH {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE}, {_JACCARD_PAIRS.strip()}
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               i.n_common::DOUBLE / sa.n_shingles AS containment_a,
+               i.n_common::DOUBLE / sb.n_shingles AS containment_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE greatest(i.n_common::DOUBLE / sa.n_shingles,
+                       i.n_common::DOUBLE / sb.n_shingles)
+              >= {CONTAINMENT_THRESHOLD}"""
+
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
     consts = minhash_constants(MINHASH_HASHES)
     sig_exprs = ", ".join(
@@ -1068,7 +1082,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE len(toks) > 0
         ),
         chunks AS (
-            SELECT doc_id * 1000 + start // {CHUNK_STRIDE} AS chunk_id,
+            SELECT doc_id * 1048576 + start // {CHUNK_STRIDE} AS chunk_id,
                    array_to_string(list_slice(toks, start + 1,
                                               start + {CHUNK_WINDOW}), ' ') AS text
             FROM s
@@ -1189,6 +1203,54 @@ def oracle_sql() -> dict[str, str]:
                                  (a, x) -> a + x) / len(lp), 6) AS mean_logp
         FROM (
             SELECT doc_id, list(logp ORDER BY pos) AS lp
+            FROM scored GROUP BY doc_id
+        )"""
+
+    from ..operators.sampling import DSIR_TARGET_SOURCE
+
+    sqls["pipeline_importance_weights"] = f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, s.p AS pos, s.t AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(toks,
+                           (t, p) -> {{'p': p, 't': t}})) AS s
+                FROM t
+            )
+        ),
+        rc AS (SELECT token, COUNT(*) AS cr FROM dt GROUP BY token),
+        tt AS (
+            SELECT unnest(toks) AS token FROM t
+            WHERE source = '{DSIR_TARGET_SOURCE}'
+        ),
+        tc AS (SELECT token, COUNT(*) AS ct FROM tt GROUP BY token),
+        st AS (
+            SELECT (SELECT SUM(cr) FROM rc) AS tot_r,
+                   (SELECT COUNT(*) FROM rc) AS v,
+                   (SELECT COUNT(*) FROM tt) AS tot_t
+        ),
+        scored AS (
+            SELECT dt.doc_id, dt.pos,
+                   ln((COALESCE(tc.ct, 0) + 1)::DOUBLE
+                      / (st.tot_t + st.v)::DOUBLE)
+                 - ln((rc.cr + 1)::DOUBLE
+                      / (st.tot_r + st.v)::DOUBLE) AS lr
+            FROM dt
+            JOIN rc USING (token)
+            LEFT JOIN tc USING (token)
+            CROSS JOIN st
+        )
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                                 (a, x) -> a + x), 6) AS log_weight
+        FROM (
+            SELECT doc_id, list(lr ORDER BY pos) AS l
             FROM scored GROUP BY doc_id
         )"""
 

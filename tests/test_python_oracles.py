@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 DOCS = f"{SF}/documents.parquet"
 
 
-def _banded_pairs(hashes: dict[int, int], max_hamming=4, bands=4, cap=200):
+def _banded_pairs(hashes: dict[int, int], max_hamming=3, bands=4, cap=200):
     """Reference banded Hamming join in pure python."""
     width = 64 // bands
     mask = (1 << width) - 1

@@ -155,3 +155,50 @@ def test_winnow_short_docs_no_fingerprints(spark):
         "doc_id long, text string, lang string",
     )
     assert dedup.winnow_fingerprints(docs).count() == 0
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    # doc 2 is a verbatim quote of a small slice of doc 1: containment of
+    # the quote is 1.0 while Jaccard is far below any dedup threshold
+    big_toks = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(10, 16))  # 6 tokens inside big
+    # 5 docs so the df<=0.5*n cap (2.5) keeps the df=2 shared shingles
+    rows = [
+        (1, big_toks),
+        (2, quote),
+        (3, "totally unrelated text body here now"),
+        (4, "more filler prose with other words"),
+        (5, "yet another disjoint document entirely"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup.containment_pairs(docs, threshold=0.9, cache=False).collect()
+    }
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    assert cb == 1.0 and ca < 0.2  # quote fully contained; big barely overlaps
+    # and the Jaccard path at its own threshold must NOT pair them
+    j = dedup.ngram_jaccard_pairs(docs, threshold=0.8, cache=False)
+    assert not any(
+        (r["doc_a"], r["doc_b"]) == (1, 2) for r in j.collect()
+    )
+
+
+def test_importance_weights_prefer_target_domain(spark):
+    from cdc_poc_spark.operators.sampling import importance_weights
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "tgt"),
+        (2, "alpha beta gamma gamma beta", "en", "tgt"),
+        (3, "delta epsilon zeta eta theta", "en", "other"),
+        (4, "alpha beta gamma beta alpha", "en", "other"),  # target-like text
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    w = {r.doc_id: r.log_weight for r in importance_weights(docs, "tgt").collect()}
+    # target-vocabulary docs outweigh the off-domain doc, wherever they live
+    assert w[1] > w[3] and w[2] > w[3] and w[4] > w[3]
+    n = {r.doc_id: r.n_tokens for r in importance_weights(docs, "tgt").collect()}
+    assert n[1] == 5
