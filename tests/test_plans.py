@@ -438,3 +438,16 @@ def test_no_complex_typed_output_columns(spark):
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{field.name}: {field.dataType}")
     assert not offenders, offenders
+
+
+def test_containment_join_not_cartesian(spark):
+    plan = _plan(queries()["dedup_containment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_weights_stats_broadcast(spark):
+    """The 1-row corpus stats must broadcast into the scoring join; the
+    token-key joins stay hash joins (no cartesian)."""
+    plan = _plan(queries()["pipeline_importance_weights"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -309,3 +309,93 @@ def test_chunking_covers_arbitrary_window_stride(spark, toks, window, stride):
         assert 1 <= c.n_tokens <= window
         covered.update(range(c.start_tok, c.start_tok + c.n_tokens))
     assert covered == set(range(n))
+
+
+_corpus = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=80), min_size=2, max_size=6
+)
+
+
+def _py_shingle_sets(texts, k=3):
+    out = {}
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        out[i] = {
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+    return out
+
+
+@given(_corpus, st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+@settings(**_SETTINGS)
+def test_prefix_filter_jaccard_lossless(spark, texts, t):
+    """The AllPairs prefix-filtered candidate generation must be LOSSLESS:
+    ngram_jaccard_pairs equals the brute-force all-pairs Jaccard over the
+    df-filtered shingle sets, at any threshold. (A candidate-pruning bug
+    would silently drop pairs — the one thing a dedup pipeline must not
+    do; the oracle can't catch it if mirrored, so this is pure Python.)"""
+    from cdc_poc_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, txt, "en") for i, txt in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    sets = _py_shingle_sets(texts)
+    n_docs = len(texts)
+    df = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    filt = {
+        i: {g for g in s if df[g] <= n_docs * dedup.MAX_SHINGLE_DF_FRAC}
+        for i, s in sets.items()
+    }
+    expected = {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(filt[a] & filt[b])
+            union = len(filt[a]) + len(filt[b]) - inter
+            if union and inter / union >= t:
+                expected[(a, b)] = (inter, inter / union)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, t, cache=False).collect()
+    }
+    assert got == expected
+
+
+@given(_corpus, st.sampled_from([0.5, 0.8, 0.9, 1.0]))
+@settings(**_SETTINGS)
+def test_prefix_filter_containment_lossless(spark, texts, t):
+    """Same losslessness bar for the containment direction: the prefix ⋈
+    full-index candidates must reproduce brute-force max-direction
+    containment exactly at any threshold."""
+    from cdc_poc_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, txt, "en") for i, txt in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    sets = _py_shingle_sets(texts)
+    n_docs = len(texts)
+    df = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    filt = {
+        i: {g for g in s if df[g] <= n_docs * dedup.MAX_SHINGLE_DF_FRAC}
+        for i, s in sets.items()
+    }
+    expected = set()
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(filt[a] & filt[b])
+            if not (filt[a] and filt[b]):
+                continue
+            if max(inter / len(filt[a]), inter / len(filt[b])) >= t:
+                expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.containment_pairs(docs, t, cache=False).collect()
+    }
+    assert got == expected
