@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "pipeline_domain_cap",
     "pipeline_snapshot_diff",
     "sim_embedding_dups_lsh",
+    "sim_embedding_dups_ivf",
+    "wh_fuzzy_supplier_names",
     "sim_pq_encode",
     "sim_pq_adc_topk",
     "dedup_clusters",

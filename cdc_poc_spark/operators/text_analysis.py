@@ -516,3 +516,48 @@ def lm_score(docs: DataFrame) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
+
+
+def fuzzy_string_pairs(df: DataFrame, col: str = "name") -> DataFrame:
+    """Distinct value pairs within edit distance 1 via FastSS
+    deletion-neighborhood blocking (Bocek et al. 2007, "Fast Similarity
+    Search in Large Dictionaries") — the entity-resolution primitive for
+    near-identical names/keys (typos, off-by-one ids, OCR slips).
+
+    Two strings within edit distance k share a variant of their k-deletion
+    neighborhoods, so candidates come from an equi-self-join on
+    {value} ∪ {value minus one char} — sub-quadratic blocking (|v|·len
+    index rows, bucket-join) instead of the all-pairs levenshtein scan an
+    engine without it would run; `levenshtein` then verifies exactly.
+
+    Scale shape: one distinct pass, one explode (len+1 variants per
+    value), one equi-join keyed on the variant string, verification on
+    candidates only. Skew guard: a variant shared by many values is the
+    blocking bucket; bucket size is bounded by alphabet size per position
+    (substitutions) + 1, so no df cap is needed."""
+    vals = df.select(F.col(col).alias("val")).distinct()
+    v = F.col("val")
+    # when-guard: Spark's sequence(1, 0) DESCENDS instead of being empty,
+    # so a zero-length value would fabricate variants
+    dels = F.when(
+        F.length(v) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(v)),
+            lambda i: F.concat(
+                v.substr(F.lit(1), i - 1), v.substr(i + 1, F.length(v))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = vals.select(
+        "val", F.explode(F.array_union(F.array(v), dels)).alias("var")
+    )
+    a = variants.select(F.col("val").alias("val_a"), "var")
+    b = variants.select(F.col("val").alias("val_b"), "var")
+    return (
+        a.join(b, "var")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .select("val_a", "val_b")
+        .distinct()
+        .filter(F.levenshtein("val_a", "val_b") == 1)
+        .select("val_a", "val_b", F.lit(1).cast("long").alias("dist"))
+    )

@@ -1206,6 +1206,24 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         )"""
 
+    sqls["wh_fuzzy_supplier_names"] = """
+        WITH vals AS (SELECT DISTINCT s_name AS val FROM supplier),
+        vars AS (
+            SELECT val, unnest(list_append(
+                list_transform(range(1, len(val) + 1),
+                    i -> substr(val, 1, i - 1) || substr(val, i + 1)),
+                val)) AS var
+            FROM vals
+        ),
+        cand AS (
+            SELECT a.val AS val_a, b.val AS val_b
+            FROM vars a JOIN vars b ON a.var = b.var AND a.val < b.val
+            GROUP BY 1, 2
+        )
+        SELECT val_a, val_b, CAST(1 AS BIGINT) AS dist
+        FROM cand
+        WHERE levenshtein(val_a, val_b) = 1"""
+
     from ..operators.sampling import DSIR_TARGET_SOURCE
 
     sqls["pipeline_importance_weights"] = f"""
@@ -1620,17 +1638,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 = 2
         )"""
 
+    # banded multi-table hyperplane LSH (operators/similarity.py:
+    # embedding_dup_pairs_lsh): one SELECT per band, keys from the shared
+    # deterministic hyperplane family, MinHash-banding candidate shape
+    from ..operators.similarity import EMB_LSH_BANDS, EMB_LSH_ROWS
+
+    bw = hyperplane_weights(EMB_LSH_BANDS * EMB_LSH_ROWS)
+    band_selects = []
+    for b in range(EMB_LSH_BANDS):
+        terms = []
+        for r in range(EMB_LSH_ROWS):
+            row = bw[b * EMB_LSH_ROWS + r]
+            arr = "([" + ", ".join(f"{float(x)!r}" for x in row) + "]::DOUBLE[])"
+            terms.append(
+                f"(CASE WHEN {dot_sql('embedding', arr)} > 0"
+                f" THEN {1 << r} ELSE 0 END)"
+            )
+        key = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, {key} AS bkey FROM embeddings"
+        )
+    _emb_banded = " UNION ALL ".join(band_selects)
+    from ..operators.similarity import EMB_LSH_BUCKET_CAP
+
     sqls["sim_embedding_dups_lsh"] = f"""
-        WITH bucketed AS (
-            SELECT vec_id, embedding, {_bucket} AS bucket
-            FROM embeddings
+        WITH banded0 AS ({_emb_banded}),
+        kept AS (
+            SELECT band, bkey FROM banded0 GROUP BY band, bkey
+            HAVING count(*) <= {EMB_LSH_BUCKET_CAP}
+        ),
+        banded AS (
+            SELECT b.* FROM banded0 b
+            JOIN kept k ON b.band = k.band AND b.bkey = k.bkey
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cosine_sim
         FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   {cosine_sql("a.embedding", "b.embedding")} AS cosine_sim
-            FROM bucketed a
-            JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            SELECT c.vec_a, c.vec_b,
+                   {cosine_sql("ea.embedding", "eb.embedding")} AS cosine_sim
+            FROM cands c
+            JOIN embeddings ea ON c.vec_a = ea.vec_id
+            JOIN embeddings eb ON c.vec_b = eb.vec_id
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
@@ -1669,6 +1722,49 @@ def oracle_sql() -> dict[str, str]:
         FROM sims
         WHERE cos >= {COSINE_TAU}
         GROUP BY drop_id, cell"""
+
+    from ..operators.similarity import EMB_IVF_NPROBE
+
+    # 3-probe IVF-blocked near-dup (operators/similarity.py:
+    # embedding_dup_pairs_ivf): same seed quantizer as semantic_dedup,
+    # rn <= nprobe, distinct pairs sharing any probed cell, cosine verify
+    sqls["sim_embedding_dups_ivf"] = f"""
+        WITH cent AS (
+            SELECT vec_id AS cell, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn <= {EMB_IVF_NPROBE}
+        ),
+        normed AS (
+            SELECT e.vec_id, a.cell, e.embedding,
+                   sqrt({dot_sql("e.embedding", "e.embedding")}) AS norm
+            FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM normed a
+            JOIN normed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine_sim
+        FROM (
+            SELECT c.vec_a, c.vec_b,
+                   {dot_sql("ea.embedding", "eb.embedding")}
+                       / (ea.norm * eb.norm) AS cosine_sim
+            FROM cands c
+            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed) ea
+              ON c.vec_a = ea.vec_id
+            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed) eb
+              ON c.vec_b = eb.vec_id
+        )
+        WHERE cosine_sim >= {COSINE_TAU}"""
 
     # norms folded once per vector (same IEEE ops as the Spark _normed path:
     # sqrt of the sequential-fold self-dot, multiplied per pair)

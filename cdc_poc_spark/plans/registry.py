@@ -1245,6 +1245,26 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_sim_embedding_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via 3-probe IVF cluster blocking — the
+    low-tau scale path (cells grow with the corpus, constant occupancy;
+    measured recall 0.78 of the exact baseline at this tau vs 0.21 for
+    fine-bucket LSH), exact-cosine verified."""
+    return similarity.embedding_dup_pairs_ivf(
+        load_table(spark, sf_dir, "embeddings"), COSINE_TAU
+    )
+
+
+def q_wh_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: supplier-name pairs within edit distance 1 via
+    FastSS deletion-neighborhood blocking (sub-quadratic candidate
+    generation + exact levenshtein verify) — near-identical entity keys
+    are how duplicate vendor records surface in a real warehouse."""
+    return text_analysis.fuzzy_string_pairs(
+        load_table(spark, sf_dir, "supplier"), "s_name"
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-containment near-dup pairs (Broder 1997's containment,
     vs Jaccard's resemblance): |A ∩ B| / |A| over df-filtered shingle
@@ -2521,7 +2541,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_interval_join_native": q_stream_interval_join_native,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         "sim_semantic_dedup": q_sim_semantic_dedup,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
         "sim_pq_encode": q_sim_pq_encode,
         # ---- end of driver 50-slot verification window ----
         "dedup_exact": q_dedup_exact,
@@ -2534,7 +2554,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_knn_join": q_sim_knn_join,
         "sim_knn_join_lsh": q_sim_knn_join_lsh,
         "sim_embedding_dups": q_sim_embedding_dups,
-        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -2609,4 +2629,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         # new in r3 (appended after the window per discipline above)
         "dedup_containment": q_dedup_containment,
         "pipeline_importance_weights": q_pipeline_importance_weights,
+        "wh_fuzzy_supplier_names": q_wh_fuzzy_supplier_names,
+        "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
     }

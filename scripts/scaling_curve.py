@@ -1,0 +1,138 @@
+"""Empirical scaling curve for the candidate-generation-heavy operators.
+
+Correctness runs at small SF prove answers; this probe measures how wall
+time GROWS with corpus size — the evidence that the banded/blocked/prefix
+candidate generation is sub-quadratic in practice, not just on paper. The
+corpus is scaled by unioning doc_id-offset replicas whose text gets one
+replica-distinct token appended (so cross-replica pairs are NOT near-dups
+and the dup density per doc stays that of the base corpus — a pure
+duplication would add n^2 cross-replica pairs and measure output size,
+not algorithm). Embeddings replicate with a deterministic per-replica
+dimension nudge for the same reason.
+
+Usage: python scripts/scaling_curve.py [--base /root/testdata/sf0.1]
+Prints a markdown table + per-op scaling exponent alpha where
+t ~ size^alpha (alpha from the 1x->8x endpoints).
+
+(An earlier version nudged every replica dimension by the SAME constant;
+the coherent shift made cross-replica vectors genuinely similar at the
+query tau — quadratic TRUE output, measuring data not algorithm — and,
+as a bonus, collapsed LSH signatures into one mega bucket, which is how
+the bucket-cap guard in embedding_dup_pairs_lsh got added. Replicas now
+get a per-replica CIRCULAR DIMENSION SHIFT: within-replica cosines are
+preserved exactly (so true-pair count grows exactly linearly) while
+cross-replica pairs decorrelate.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdc_poc_spark.operators import dedup, similarity  # noqa: E402
+from cdc_poc_spark.session import free_caches, get_spark  # noqa: E402
+from cdc_poc_spark.sources.testdata import load_table  # noqa: E402
+
+REPLICAS = (1, 2, 4, 8)
+
+
+def scaled_docs(spark, sf_dir: str, m: int):
+    base = load_table(spark, sf_dir, "documents")
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replicatok{i}")).alias("text"),
+            "lang",
+            "source",
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_vecs(spark, sf_dir: str, m: int):
+    base = load_table(spark, sf_dir, "embeddings")
+    n = base.agg(F.max("vec_id")).first()[0] + 1
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, idx: F.element_at(
+                    F.col("embedding"),
+                    ((idx + F.lit(i * 7)) % F.size("embedding") + 1).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+OPS = {
+    "dedup_exact": lambda d, v: dedup.exact_dups(d),
+    "ngram_jaccard (prefix)": lambda d, v: dedup.ngram_jaccard_pairs(d, 0.8),
+    "containment (prefix)": lambda d, v: dedup.containment_pairs(d, 0.9),
+    "minhash_lsh": lambda d, v: dedup.minhash_lsh_dups(d, 0.8),
+    "winnow_substring": lambda d, v: dedup.substring_dup_pairs(d),
+    "simhash": lambda d, v: dedup.simhash(d),
+    "ann_lsh_topk": lambda d, v: similarity.ann_lsh_topk(v, 17, 10),
+    "embedding_dups_lsh (8x8 banded)": lambda d, v: similarity.embedding_dup_pairs_lsh(v, 0.4),
+    "embedding_dups_ivf (3-probe)": lambda d, v: similarity.embedding_dup_pairs_ivf(v, 0.4),
+    "semantic_dedup (IVF)": lambda d, v: similarity.semantic_dedup(v),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    spark = get_spark(
+        "scaling-curve", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen once
+    for fn in OPS.values():
+        fn(scaled_docs(spark, args.base, 1), scaled_vecs(spark, args.base, 1)).count()
+    free_caches(spark)
+    results: dict[str, dict[int, float]] = {k: {} for k in OPS}
+    rows_out: dict[str, dict[int, int]] = {k: {} for k in OPS}
+    for m in REPLICAS:
+        docs = scaled_docs(spark, args.base, m).persist()
+        vecs = scaled_vecs(spark, args.base, m).persist()
+        nd, nv = docs.count(), vecs.count()
+        print(f"--- {m}x: {nd} docs, {nv} vectors", file=sys.stderr)
+        for name, fn in OPS.items():
+            free_caches(spark)
+            docs.persist().count(); vecs.persist().count()  # re-pin inputs
+            t0 = time.perf_counter()
+            rows_out[name][m] = fn(docs, vecs).count()
+            results[name][m] = time.perf_counter() - t0
+    print("| operator | " + " | ".join(f"{m}x" for m in REPLICAS) + " | alpha |")
+    print("|---|" + "---|" * (len(REPLICAS) + 1))
+    for name in OPS:
+        r = results[name]
+        alpha = math.log(r[REPLICAS[-1]] / r[REPLICAS[0]]) / math.log(REPLICAS[-1])
+        cells = " | ".join(f"{r[m]:.2f}s" for m in REPLICAS)
+        print(f"| {name} | {cells} | {alpha:.2f} |")
+    print("\nrows:", {k: v for k, v in rows_out.items()}, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
