@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "sim_embedding_dups_lsh",
     "sim_embedding_dups_ivf",
     "wh_fuzzy_supplier_names",
+    "text_pii_stats",
+    "text_pii_redact",
     "sim_pq_encode",
     "sim_pq_adc_topk",
     "dedup_clusters",

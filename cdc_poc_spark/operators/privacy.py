@@ -1,0 +1,79 @@
+"""PII detection and redaction over text columns — the privacy gate a
+training-data pipeline runs before anything ships (reference scope:
+the LLM-pipeline extension family of SURVEY §2; no reference-engine
+analog — this is net-new capability the 100 TB use case needs).
+
+Design constraints:
+- Pure JVM-side regex (`regexp_count` / `regexp_replace`) — narrow
+  per-row map, no shuffle, whole corpus in one scan. A Python UDF here
+  would put the hottest full-corpus pass on the slow path.
+- Patterns are deliberately restricted to the syntax subset shared by
+  Java regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+  quantifiers, ``\\b`` word boundaries — no lookaround, no backrefs. The
+  same pattern strings drive both engines, so detection is
+  differential-testable, not just eyeballed.
+- Pattern set is ordered: redaction applies patterns in dict order, and
+  the patterns are mutually non-overlapping by construction (an SSN
+  ``\\d{3}-\\d{2}-\\d{4}`` cannot match inside a phone
+  ``\\d{3}-\\d{3}-\\d{4}`` or vice versa — the group widths disagree at
+  the first separator), so apply order cannot change the output; the
+  order still pins determinism if a caller adds overlapping patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared Java/RE2 subset; see module docstring. Insertion order == apply
+# order for redaction.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def _counts(col: Column) -> dict[str, Column]:
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Per-document PII hit counts and a has_pii gate flag.
+
+    One narrow projection over the scan — each pattern is a leftmost
+    non-overlapping regex count (identical scan semantics in Java regex
+    and RE2, which is what makes the count oracle-checkable)."""
+    cnts = _counts(F.col(col))
+    total = None
+    for c in cnts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{kind}") for kind, c in cnts.items()],
+        (total > 0).alias("has_pii"),
+    )
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Redact every PII match with its ``[KIND]`` tag; emits the cleaned
+    text and the total redaction count (counted on the ORIGINAL text —
+    the replacement tags contain no digits or ``@`` so later patterns
+    cannot re-match inside an earlier redaction).
+    """
+    out = F.col(col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    cnts = _counts(F.col(col))
+    total = None
+    for c in cnts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        out.alias("clean_text"),
+        total.alias("n_redactions"),
+    )

@@ -1272,6 +1272,57 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         )"""
 
+    # PII detection/redaction (operators/privacy.py): identical pattern
+    # strings drive Spark (Java regex) and DuckDB (RE2) — the pattern set
+    # is restricted to the shared syntax subset, so leftmost
+    # non-overlapping scans agree. The augmented corpus mirrors
+    # registry._pii_augmented_docs exactly.
+    from ..operators.privacy import PII_PATTERNS
+
+    _pii_aug = """
+        SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN ' from 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST(doc_id * 3 % 256 AS VARCHAR) || '.'
+                || CAST(doc_id * 5 % 256 AS VARCHAR) ELSE '' END
+            AS text
+        FROM documents"""
+    _pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    _pii_total = " + ".join(f"n_{kind}" for kind in PII_PATTERNS)
+
+    sqls["text_pii_stats"] = f"""
+        WITH aug AS ({_pii_aug}),
+        c AS (SELECT doc_id, {_pii_counts} FROM aug)
+        SELECT doc_id, {", ".join("n_" + k for k in PII_PATTERNS)},
+               ({_pii_total}) > 0 AS has_pii
+        FROM c"""
+
+    _redacted = "text"
+    for _kind, _pat in PII_PATTERNS.items():
+        _redacted = (
+            f"regexp_replace({_redacted}, '{_pat}', '[{_kind.upper()}]', 'g')"
+        )
+    sqls["text_pii_redact"] = f"""
+        WITH aug AS ({_pii_aug}),
+        c AS (SELECT doc_id, text, {_pii_counts} FROM aug)
+        SELECT doc_id, {_redacted} AS clean_text,
+               ({_pii_total}) AS n_redactions
+        FROM c"""
+
     sqls["text_dedup_lines"] = """
         WITH l AS (
             SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents

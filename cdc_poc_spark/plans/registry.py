@@ -1470,6 +1470,70 @@ def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.dedup_lines(load_table(spark, sf_dir, "documents"))
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus with deterministic doc_id-derived PII spans
+    appended (email / phone / SSN / IPv4 on residue-class subsets) — the
+    synthetic corpus is PII-free word salad, so the privacy operators
+    need a corpus whose ground truth both engines can construct
+    identically. The augmentation IS part of the query contract; the
+    operators themselves (operators/privacy.py) are generic over any
+    text column."""
+    did = F.col("doc_id")
+
+    def s(c):  # noqa: ANN001 — tiny local shim
+        return c.cast("string")
+
+    email = F.concat(F.lit(" contact user"), s(did), F.lit("@example.com"))
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad(s(did % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s((did * 7) % 10000), 4, "0"),
+    )
+    ssn = F.concat(
+        F.lit(" ssn 123-"),
+        F.lpad(s(did % 100), 2, "0"),
+        F.lit("-"),
+        F.lpad(s((did * 3) % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        s(did % 256),
+        F.lit("."),
+        s((did * 3) % 256),
+        F.lit("."),
+        s((did * 5) % 256),
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, email).otherwise(F.lit("")),
+        F.when(did % 11 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 13 == 0, ssn).otherwise(F.lit("")),
+        F.when(did % 17 == 0, ip).otherwise(F.lit("")),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+
+
+def q_text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection counts (email/phone/SSN/IPv4) + gate
+    flag over the PII-augmented corpus — one narrow regex projection,
+    no shuffle (operators/privacy.py)."""
+    from ..operators import privacy
+
+    return privacy.pii_stats(_pii_augmented_docs(spark, sf_dir))
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: every match replaced with its [KIND] tag, plus the
+    per-doc redaction count — the privacy pass a corpus runs before
+    training export (operators/privacy.py)."""
+    from ..operators import privacy
+
+    return privacy.pii_redact(_pii_augmented_docs(spark, sf_dir))
+
+
 def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over real PCM WAV bytes: render each document as a
     waveform (token-derived segments), decode samples + 64-bit
@@ -2491,8 +2555,11 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     # queries whose RESULTS changed this round (true-winnowing rewrite,
     # array-output stringification, prefix-filtered ngram path and its
     # consumers, the chunk-id re-encoding); 39-41 the never-checked
-    # rows-only trio; 42-50 pad with the highest-risk already-green ones.
-    # APPEND new queries AFTER the window — never insert ahead of it.
+    # rows-only trio; 42-45 are the r3-NEW queries (containment dedup,
+    # DSIR weights, FastSS fuzzy matching, IVF near-dup — never checked,
+    # highest marginal value per slot); 46-50 pad with already-green
+    # re-verifies. APPEND new queries AFTER the window — never insert
+    # ahead of it.
         "wh_scalar_subquery": q_wh_scalar_subquery,
         "wh_range_join": q_wh_range_join,
         "wh_market_share": q_wh_market_share,
@@ -2534,16 +2601,23 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_ivf_refined": q_sim_ivf_refined,
         "mm_image_dedup": q_mm_image_dedup,
         "mm_audio_dedup": q_mm_audio_dedup,
-        "gen_workload": q_gen_workload,
+        "dedup_containment": q_dedup_containment,
+        "pipeline_importance_weights": q_pipeline_importance_weights,
+        "wh_fuzzy_supplier_names": q_wh_fuzzy_supplier_names,
+        "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
         "cdc_enriched": q_cdc_enriched,
-        "wh_sessions": q_wh_sessions,
-        "stream_sessions_native": q_stream_sessions_native,
         "stream_interval_join_native": q_stream_interval_join_native,
-        "cdc_scd2_dim": q_cdc_scd2_dim,
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
         "sim_pq_encode": q_sim_pq_encode,
         # ---- end of driver 50-slot verification window ----
+        "gen_workload": q_gen_workload,
+        "wh_sessions": q_wh_sessions,
+        "stream_sessions_native": q_stream_sessions_native,
+        "cdc_scd2_dim": q_cdc_scd2_dim,
+        # new in r3 (appended after the window per discipline above)
+        "text_pii_stats": q_text_pii_stats,
+        "text_pii_redact": q_text_pii_redact,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_cosine": q_sim_topk_cosine,
@@ -2626,9 +2700,4 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_unpivot": q_wh_unpivot,
         "wh_percentiles": q_wh_percentiles,
         "wh_explode_tokens": q_wh_explode_tokens,
-        # new in r3 (appended after the window per discipline above)
-        "dedup_containment": q_dedup_containment,
-        "pipeline_importance_weights": q_pipeline_importance_weights,
-        "wh_fuzzy_supplier_names": q_wh_fuzzy_supplier_names,
-        "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
     }

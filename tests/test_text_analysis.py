@@ -16,3 +16,33 @@ def test_fuzzy_string_pairs_fastss(spark):
     assert not any("zebra" in p for p in got)
     assert ("", "a") in got  # empty vs 1-char is a legit distance-1 pair
     assert ("kitte", "kittens") not in got  # distance 2 excluded
+
+
+def test_pii_stats_and_redact(spark):
+    from cdc_poc_spark.operators.privacy import pii_redact, pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or ssn 123-45-6789"),
+            (3, "host 192.168.1.254 up"),
+            (4, "clean text with no pii at all"),
+            (5, "a@b.io and c_d%e@f-g.museum twice"),
+            (6, "not-a-phone 55-123-4567 and 5551234567"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert stats[1].n_email == 1 and stats[1].has_pii
+    assert stats[2].n_phone == 1 and stats[2].n_ssn == 1
+    assert stats[3].n_ipv4 == 1
+    assert not stats[4].has_pii
+    assert stats[5].n_email == 2
+    assert not stats[6].has_pii  # wrong group widths / no separators
+    red = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert red[1].clean_text == "mail [EMAIL] now"
+    assert red[2].clean_text == "call [PHONE] or ssn [SSN]"
+    assert red[2].n_redactions == 2
+    assert red[3].clean_text == "host [IPV4] up"
+    assert red[4].clean_text == "clean text with no pii at all"
+    assert red[4].n_redactions == 0
