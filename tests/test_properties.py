@@ -399,3 +399,45 @@ def test_prefix_filter_containment_lossless(spark, texts, t):
         for r in dedup.containment_pairs(docs, t, cache=False).collect()
     }
     assert got == expected
+
+
+_names = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=6),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(_names)
+@settings(**_SETTINGS)
+def test_fastss_fuzzy_pairs_complete(spark, names):
+    """FastSS deletion-neighborhood blocking must be COMPLETE for edit
+    distance 1: fuzzy_string_pairs equals the brute-force all-pairs
+    levenshtein==1 set on any dictionary. (The blocking claim — two
+    strings within distance 1 always share a 1-deletion variant — is the
+    kind of candidate-pruning invariant a mirrored oracle cannot check;
+    small alphabet + short strings makes distance-1 pairs dense.)"""
+    from cdc_poc_spark.operators.text_analysis import fuzzy_string_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev(a, b) == 1
+        for a, b in [(min(a, b), max(a, b))]
+    }
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {(r.val_a, r.val_b) for r in fuzzy_string_pairs(df, "name").collect()}
+    assert got == expected
