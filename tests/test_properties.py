@@ -441,3 +441,74 @@ def test_fastss_fuzzy_pairs_complete(spark, names):
     df = spark.createDataFrame([(n,) for n in names], "name string")
     got = {(r.val_a, r.val_b) for r in fuzzy_string_pairs(df, "name").collect()}
     assert got == expected
+
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-8, max_value=8).map(float),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=3,
+    max_size=20,
+)
+
+
+@given(_vecs, st.sampled_from([0.3, 0.7, 0.95]))
+@settings(**_SETTINGS)
+def test_banded_hyperplane_lsh_matches_python(spark, vecs, tau):
+    """Banded hyperplane LSH end-to-end differential against an
+    independent pure-Python implementation: the output pair set must
+    equal {pairs sharing >= 1 full band key} ∩ {cosine >= tau}, with
+    band keys and cosines recomputed from the same md5-derived
+    hyperplanes via plain Python floats (IEEE doubles, sequential sums —
+    the same fold order as the Spark expression). The SQL oracle mirrors
+    the Spark construction, so only an independent reimplementation can
+    catch a matched candidate-generation bug (the winnowing lesson)."""
+    from cdc_poc_spark.operators import similarity as S
+
+    dim, bands, rows = 8, 4, 4
+    w = S.hyperplane_weights(bands * rows, dim)
+    keys = {}
+    for vid, v in enumerate(vecs):
+        ks = []
+        for b in range(bands):
+            key = 0
+            for j in range(rows):
+                proj = 0.0
+                for x, wx in zip(v, w[b * rows + j]):
+                    proj += x * float(wx)
+                if proj > 0:
+                    key += 1 << j
+            ks.append(key)
+        keys[vid] = ks
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return num / (na**0.5 * nb**0.5) if na and nb else float("nan")
+
+    expected = set()
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if any(keys[a][i] == keys[b][i] for i in range(bands)):
+                c = cos(vecs[a], vecs[b])
+                if c >= tau:
+                    expected.add((a, b))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_dup_pairs_lsh(
+            df, tau, bands=bands, rows=rows, dim=dim
+        ).collect()
+    }
+    assert got == expected
