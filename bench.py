@@ -139,6 +139,9 @@ def main() -> None:
         # (higher-order md5 transforms, multi-stage joins); compiling them
         # once at sf0.001 keeps the measured run steady-state codegen
         "dedup_ngram_jaccard", "dedup_clusters", "pipeline_clean_corpus",
+        # the 64-projection banded-LSH plan and the prefix⋈full containment
+        # join are the other two largest generated-code plans
+        "sim_embedding_dups_lsh", "dedup_containment",
     ) if n in reg]
     for n in dict.fromkeys(warmup):
         reg[n](spark, "/root/testdata/sf0.001").count()

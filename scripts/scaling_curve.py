@@ -4,11 +4,15 @@ Correctness runs at small SF prove answers; this probe measures how wall
 time GROWS with corpus size — the evidence that the banded/blocked/prefix
 candidate generation is sub-quadratic in practice, not just on paper. The
 corpus is scaled by unioning doc_id-offset replicas whose text gets one
-replica-distinct token appended (so cross-replica pairs are NOT near-dups
-and the dup density per doc stays that of the base corpus — a pure
-duplication would add n^2 cross-replica pairs and measure output size,
-not algorithm). Embeddings replicate with a deterministic per-replica
-dimension nudge for the same reason.
+replica-distinct token appended. CAVEAT on reading the alphas: one
+appended token barely moves a multi-hundred-shingle Jaccard, so replica
+SIBLINGS of the same base doc remain genuine near-dups — the TRUE output
+of the text pair ops grows ~m^2 (verified in the rows printout), and
+their measured alphas are therefore upper bounds that include
+output-size growth, not pure algorithm cost. The embedding replicas get
+a per-replica circular dimension shift, which decorrelates more but not
+fully at a permissive tau. Ops whose output grows linearly (dedup_exact,
+simhash, topk) isolate the algorithmic exponent cleanly.
 
 Usage: python scripts/scaling_curve.py [--base /root/testdata/sf0.1]
 Prints a markdown table + per-op scaling exponent alpha where
