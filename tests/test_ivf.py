@@ -81,3 +81,28 @@ def test_semantic_dedup_drops_in_cluster_near_dups(spark):
     assert out[4].n_dup_of == 2
     assert out[2].n_dup_of == 1
     # survivors: 0 (lowest id of group A), 5 (lowest of B), 9 (unique)
+
+
+def test_ivf_centroids_max_cells_cap(spark):
+    """The capped quantizer keeps exactly the first max_cells seeds by
+    vec_id (deterministic), and assignment stays total — every vector
+    still lands in nprobe cells drawn from the capped set."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.col("id") % 13 + i).cast("double"),
+        ).alias("embedding"),
+    )
+    capped = ivf_centroids(emb, centroid_mod=10, max_cells=3)
+    assert [r.cell for r in capped.orderBy("cell").collect()] == [0, 10, 20]
+    assign = ivf_assign(emb, capped, nprobe=2)
+    rows = assign.collect()
+    assert len(rows) == 200  # 100 vectors x nprobe, none dropped
+    assert {r.cell for r in rows} <= {0, 10, 20}
+    per_vec = assign.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_vec)
