@@ -23,7 +23,7 @@ the portable md5-based hash family keeps the DuckDB oracle bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_seeded, minhash_constants
@@ -103,24 +103,27 @@ def _filtered_shingle_arrays(
     rarest-first (df, shingle) order — the shared substrate of the
     prefix-filtered similarity self-joins (Jaccard and containment).
 
-    The RAW exploded index persists because the df aggregate and the
-    df-attach join both read it, and the explode+md5 pass is the expensive
-    part — computing it once is the materialize-the-shingle-index step;
-    the inner join drops hot shingles (df cap) while attaching df."""
+    Document frequency is attached with a window count over ``shingle``
+    rather than a groupBy+re-join: the exploded index is shuffled ONCE
+    (the window exchange) instead of twice plus a distinct-shingle join
+    side, and the expensive explode+md5 pass runs once in the same
+    lineage — so the raw index no longer needs its own persist. The
+    window's per-partition sort is over narrow (shingle, doc_id) rows,
+    a cheap price for a whole saved pass (~25% at sf0.1; fewer shuffles
+    at any scale). The df cap still drops hot shingles before the
+    per-doc collect."""
     sh = doc_shingles(docs, k)
-    if cache:
-        sh = sh.persist()
-    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    win = Window.partitionBy("shingle")
+    shd = sh.withColumn("_df", F.count(F.lit(1)).over(win))
     if max_df_frac is not None:
         tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
-        dfs = (
-            dfs.crossJoin(F.broadcast(tot))
+        shd = (
+            shd.crossJoin(F.broadcast(tot))
             .filter(F.col("_df") <= F.col("_n_docs") * F.lit(float(max_df_frac)))
-            .select("shingle", "_df")
+            .select("doc_id", "shingle", "_df")
         )
     arrs = (
-        sh.join(dfs, "shingle")
-        .groupBy("doc_id")
+        shd.groupBy("doc_id")
         .agg(
             F.array_sort(
                 F.collect_list(
