@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "pipeline_snapshot_diff",
     "sim_embedding_dups_lsh",
     "sim_embedding_dups_ivf",
+    "sim_embedding_dups_incremental",
     "wh_fuzzy_supplier_names",
     "text_pii_stats",
     "text_pii_redact",

@@ -1738,6 +1738,37 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
+    # incremental banded near-dup (operators/similarity.py:
+    # embedding_dup_batch_lsh): batch (vec_id % 5 = 4) probes the capped
+    # standing index of the rest; corpus- and batch-internal pairs not
+    # emitted
+    sqls["sim_embedding_dups_incremental"] = f"""
+        WITH banded0 AS ({_emb_banded}),
+        idx0 AS (SELECT * FROM banded0 WHERE vec_id % 5 <> 4),
+        kept AS (
+            SELECT band, bkey FROM idx0 GROUP BY band, bkey
+            HAVING count(*) <= {EMB_LSH_BUCKET_CAP}
+        ),
+        idx AS (
+            SELECT i.* FROM idx0 i
+            JOIN kept k ON i.band = k.band AND i.bkey = k.bkey
+        ),
+        bat AS (SELECT * FROM banded0 WHERE vec_id % 5 = 4),
+        cands AS (
+            SELECT DISTINCT b.vec_id AS vec_batch, i.vec_id AS vec_index
+            FROM bat b
+            JOIN idx i ON b.band = i.band AND b.bkey = i.bkey
+        )
+        SELECT vec_batch, vec_index, cosine_sim
+        FROM (
+            SELECT c.vec_batch, c.vec_index,
+                   {cosine_sql("eb.embedding", "ei.embedding")} AS cosine_sim
+            FROM cands c
+            JOIN embeddings eb ON c.vec_batch = eb.vec_id
+            JOIN embeddings ei ON c.vec_index = ei.vec_id
+        )
+        WHERE cosine_sim >= {COSINE_TAU}"""
+
     # SemDeDup (operators/similarity.py:semantic_dedup): seed-IVF coarse
     # quantizer (same assign CTE shape as sim_ann_ivf), then in-cluster
     # lower-id-wins near-dup drops

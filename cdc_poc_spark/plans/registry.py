@@ -1366,6 +1366,23 @@ def q_sim_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_BATCH_MOD = 5
+
+
+def q_sim_embedding_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: a new vector batch (every 5th
+    vec_id) probes the standing banded hyperplane index of the rest of
+    the corpus — O(batch + candidates) per batch, corpus-internal pairs
+    deliberately not re-emitted (operators/similarity.py, the embedding
+    twin of dedup_minhash_incremental)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_batch_lsh(
+        emb.filter(F.col("vec_id") % EMB_BATCH_MOD != EMB_BATCH_MOD - 1),
+        emb.filter(F.col("vec_id") % EMB_BATCH_MOD == EMB_BATCH_MOD - 1),
+        COSINE_TAU,
+    )
+
+
 def q_sim_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations refining the IVF coarse quantizer, then the
     per-cell assignment counts — a genuinely ITERATIVE distributed
@@ -2618,6 +2635,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         # new in r3 (appended after the window per discipline above)
         "text_pii_stats": q_text_pii_stats,
         "text_pii_redact": q_text_pii_redact,
+        "sim_embedding_dups_incremental": q_sim_embedding_dups_incremental,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_cosine": q_sim_topk_cosine,

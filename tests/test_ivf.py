@@ -106,3 +106,34 @@ def test_ivf_centroids_max_cells_cap(spark):
     assert {r.cell for r in rows} <= {0, 10, 20}
     per_vec = assign.groupBy("vec_id").count().collect()
     assert all(r["count"] == 2 for r in per_vec)
+
+
+def test_embedding_dup_batch_lsh_cross_side_only(spark):
+    """Incremental embedding dedup emits ONLY batch-vs-index pairs: a
+    batch vector identical to an index vector is found; identical pairs
+    entirely within the index (or within the batch) are not re-emitted."""
+    from cdc_poc_spark.operators.similarity import embedding_dup_batch_lsh
+
+    def v(seed, eps=0.0):
+        base = [float((seed * 31 + i * 7) % 11 - 5) for i in range(8)]
+        base[0] += eps
+        return base
+
+    index = spark.createDataFrame(
+        [(0, v(1)), (1, v(1)), (2, v(2)), (3, v(3))],  # 0~1 internal dup
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100, v(2, 0.001)), (101, v(9)), (102, v(9, 0.001))],  # 101~102 internal
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_batch, r.vec_index)
+        for r in embedding_dup_batch_lsh(
+            index, batch, 0.999, bands=4, rows=4, dim=8
+        ).collect()
+    }
+    assert (100, 2) in got                      # cross-side near-dup found
+    assert all(b >= 100 and i < 100 for b, i in got)  # only cross-side
+    assert (0, 1) not in got and (1, 0) not in got
+    assert not any({a, b} == {101, 102} for a, b in got)
