@@ -151,3 +151,23 @@ def test_vocab_encode_oov_and_order(spark):
     assert enc[1].ids == "_".join(str(i) for i in expected)
     assert enc[1].n_unk == 1 and enc[1].n_tokens == 7
     assert enc[2].ids == "0_0_0" and enc[2].n_unk == 0
+
+
+def test_r3_operators_empty(spark):
+    """Round-3 additions on zero rows: fuzzy matching, containment,
+    PII, banded/IVF/incremental embedding dedup."""
+    from cdc_poc_spark.operators import privacy, similarity, text_analysis
+
+    docs = _empty_like(load_table(spark, SF, "documents"))
+    emb = _empty_like(load_table(spark, SF, "embeddings"))
+    sup = _empty_like(load_table(spark, SF, "supplier"))
+    assert text_analysis.fuzzy_string_pairs(sup, "s_name").count() == 0
+    assert dedup.containment_pairs(docs).count() == 0
+    assert privacy.pii_stats(docs).count() == 0
+    assert privacy.pii_redact(docs).count() == 0
+    assert similarity.embedding_dup_pairs_lsh(emb, 0.4).count() == 0
+    assert similarity.embedding_dup_pairs_ivf(emb, 0.4).count() == 0
+    full = load_table(spark, SF, "embeddings")
+    # empty batch against a full index AND full batch against empty index
+    assert similarity.embedding_dup_batch_lsh(full, emb, 0.4).count() == 0
+    assert similarity.embedding_dup_batch_lsh(emb, full, 0.4).count() == 0
