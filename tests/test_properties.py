@@ -431,13 +431,11 @@ def test_fastss_fuzzy_pairs_complete(spark, names):
             prev = cur
         return prev[-1]
 
-    expected = {
-        (a, b)
-        for i, a in enumerate(names)
-        for b in names[i + 1 :]
-        if lev(a, b) == 1
-        for a, b in [(min(a, b), max(a, b))]
-    }
+    expected = set()
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            if lev(x, y) == 1:
+                expected.add((min(x, y), max(x, y)))
     df = spark.createDataFrame([(n,) for n in names], "name string")
     got = {(r.val_a, r.val_b) for r in fuzzy_string_pairs(df, "name").collect()}
     assert got == expected
