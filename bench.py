@@ -143,6 +143,7 @@ def main() -> None:
         # the 64-projection banded-LSH plan and the prefix⋈full containment
         # join are the other two largest generated-code plans
         "sim_embedding_dups_lsh", "dedup_containment",
+        "sim_embedding_dups_incremental",
     ) if n in reg]
     for n in dict.fromkeys(warmup):
         reg[n](spark, "/root/testdata/sf0.001").count()
