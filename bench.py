@@ -128,7 +128,9 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    reg = queries()
+    # raw queries: bench owns cache hygiene itself, freeing OUTSIDE the
+    # timed region (the _fresh prologue would put a gc inside it)
+    reg = queries(fresh=False)
     names = [n for n in BENCH_QUERIES if n in reg]
     # warm the JVM/codegen paths once on the smallest SF so the measured
     # numbers reflect steady-state execution, not first-query JIT; cover
@@ -147,8 +149,15 @@ def main() -> None:
     ) if n in reg]
     for n in dict.fromkeys(warmup):
         reg[n](spark, "/root/testdata/sf0.001").count()
+    from cdc_poc_spark.session import free_caches as _free
+
     timings: dict[str, float] = {}
     for n in names:
+        # free the PREVIOUS query's dead caches/broadcasts outside the
+        # timed region — gc + JVM unpersist round-trips would otherwise
+        # charge one query's cleanup to the next (the registry's own
+        # _fresh prologue then finds nothing left to free)
+        _free(spark)
         t0 = time.perf_counter()
         df = reg[n](spark, sf_dir)
         df.count()

@@ -12,12 +12,14 @@ Design constraints:
   quantifiers, ``\\b`` word boundaries — no lookaround, no backrefs. The
   same pattern strings drive both engines, so detection is
   differential-testable, not just eyeballed.
-- Pattern set is ordered: redaction applies patterns in dict order, and
-  the patterns are mutually non-overlapping by construction (an SSN
-  ``\\d{3}-\\d{2}-\\d{4}`` cannot match inside a phone
-  ``\\d{3}-\\d{3}-\\d{4}`` or vice versa — the group widths disagree at
-  the first separator), so apply order cannot change the output; the
-  order still pins determinism if a caller adds overlapping patterns.
+- Pattern set is ordered: redaction applies patterns in dict order.
+  phone and SSN cannot match the same span (group widths disagree at the
+  first separator), but the email pattern CAN subsume digit/dash/dot
+  sequences (``555-123-4567@relay.example.com`` is one email whose local
+  part is phone-shaped) — so apply order is part of the contract
+  (email first), and the redaction count is computed per stage on the
+  progressively-redacted text so it equals the number of replacements
+  actually made, never a double count of one span.
 """
 
 from __future__ import annotations
@@ -47,7 +49,12 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
 
     One narrow projection over the scan — each pattern is a leftmost
     non-overlapping regex count (identical scan semantics in Java regex
-    and RE2, which is what makes the count oracle-checkable)."""
+    and RE2, which is what makes the count oracle-checkable). Counts are
+    per-kind INDEPENDENT scans of the raw text: one span may count under
+    two kinds (a phone-shaped local part inside an email) — the right
+    semantics for detection stats ("does this doc contain something
+    phone-shaped"), distinct from :func:`pii_redact`'s replacement
+    count."""
     cnts = _counts(F.col(col))
     total = None
     for c in cnts.values():
@@ -61,17 +68,17 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataF
 
 def pii_redact(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
     """Redact every PII match with its ``[KIND]`` tag; emits the cleaned
-    text and the total redaction count (counted on the ORIGINAL text —
-    the replacement tags contain no digits or ``@`` so later patterns
-    cannot re-match inside an earlier redaction).
-    """
+    text and the total redaction count. Each pattern's count is taken on
+    the text AFTER the previous patterns' replacements (the replacement
+    tags contain no digits or ``@``, so they can't re-match), which
+    makes ``n_redactions`` exactly the number of replacements performed —
+    a span consumed by an earlier pattern (phone-shaped text inside an
+    email) is not double-counted."""
     out = F.col(col)
+    total = F.lit(0).cast("long")
     for kind, pat in PII_PATTERNS.items():
+        total = total + F.regexp_count(out, F.lit(pat)).cast("long")
         out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
-    cnts = _counts(F.col(col))
-    total = None
-    for c in cnts.values():
-        total = c if total is None else total + c
     return df.select(
         F.col(id_col),
         out.alias("clean_text"),

@@ -1311,17 +1311,22 @@ def oracle_sql() -> dict[str, str]:
                ({_pii_total}) > 0 AS has_pii
         FROM c"""
 
-    _redacted = "text"
-    for _kind, _pat in PII_PATTERNS.items():
-        _redacted = (
-            f"regexp_replace({_redacted}, '{_pat}', '[{_kind.upper()}]', 'g')"
+    # chained stages mirror pii_redact exactly: each pattern counts on
+    # the text AFTER the previous replacements (n_redactions = number of
+    # replacements actually made, no double count of subsumed spans)
+    _stages = ["s0 AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS n FROM aug)"]
+    for _i, (_kind, _pat) in enumerate(PII_PATTERNS.items()):
+        _stages.append(
+            f"s{_i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(text, '{_pat}', '[{_kind.upper()}]', 'g') AS text, "
+            f"n + CAST(len(regexp_extract_all(text, '{_pat}')) AS BIGINT) AS n "
+            f"FROM s{_i})"
         )
     sqls["text_pii_redact"] = f"""
         WITH aug AS ({_pii_aug}),
-        c AS (SELECT doc_id, text, {_pii_counts} FROM aug)
-        SELECT doc_id, {_redacted} AS clean_text,
-               ({_pii_total}) AS n_redactions
-        FROM c"""
+        {", ".join(_stages)}
+        SELECT doc_id, text AS clean_text, n AS n_redactions
+        FROM s{len(PII_PATTERNS)}"""
 
     sqls["text_dedup_lines"] = """
         WITH l AS (
@@ -1727,14 +1732,18 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a
             JOIN banded b
               ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+        ),
+        nz AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE {dot_sql("embedding", "embedding")} > 0
         )
         SELECT vec_a, vec_b, cosine_sim
         FROM (
             SELECT c.vec_a, c.vec_b,
                    {cosine_sql("ea.embedding", "eb.embedding")} AS cosine_sim
             FROM cands c
-            JOIN embeddings ea ON c.vec_a = ea.vec_id
-            JOIN embeddings eb ON c.vec_b = eb.vec_id
+            JOIN nz ea ON c.vec_a = ea.vec_id
+            JOIN nz eb ON c.vec_b = eb.vec_id
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
@@ -1758,14 +1767,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT b.vec_id AS vec_batch, i.vec_id AS vec_index
             FROM bat b
             JOIN idx i ON b.band = i.band AND b.bkey = i.bkey
+        ),
+        nz AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE {dot_sql("embedding", "embedding")} > 0
         )
         SELECT vec_batch, vec_index, cosine_sim
         FROM (
             SELECT c.vec_batch, c.vec_index,
                    {cosine_sql("eb.embedding", "ei.embedding")} AS cosine_sim
             FROM cands c
-            JOIN embeddings eb ON c.vec_batch = eb.vec_id
-            JOIN embeddings ei ON c.vec_index = ei.vec_id
+            JOIN nz eb ON c.vec_batch = eb.vec_id
+            JOIN nz ei ON c.vec_index = ei.vec_id
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
@@ -1841,9 +1854,11 @@ def oracle_sql() -> dict[str, str]:
                    {dot_sql("ea.embedding", "eb.embedding")}
                        / (ea.norm * eb.norm) AS cosine_sim
             FROM cands c
-            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed) ea
+            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed
+                  WHERE norm > 0) ea
               ON c.vec_a = ea.vec_id
-            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed) eb
+            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed
+                  WHERE norm > 0) eb
               ON c.vec_b = eb.vec_id
         )
         WHERE cosine_sim >= {COSINE_TAU}"""

@@ -2546,7 +2546,15 @@ def _fresh(fn: QueryFn) -> QueryFn:
     behind are garbage once its action completes, but accumulated across a
     session they taxed every later query ~1.5-2x (round-2 bench). By the
     time the NEXT query is being built the previous one's caches are dead
-    by construction, so each build starts by freeing them."""
+    by construction, so each build starts by freeing them.
+
+    CONTRACT for callers: build-and-consume one query at a time. The
+    prologue unpersists ALL session caches and localCheckpoint pins —
+    building query B while still holding an unconsumed DataFrame from
+    query A drops A's checkpoint blocks (their only copy; lineage is
+    truncated) and A's later action fails. The driver, diffcheck, and
+    bench all follow this pattern; compose raw operators from
+    `cdc_poc_spark.operators` directly if you need concurrent plans."""
     import functools
 
     from ..session import free_caches
@@ -2559,7 +2567,15 @@ def _fresh(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-def queries() -> dict[str, QueryFn]:
+def queries(fresh: bool = True) -> dict[str, QueryFn]:
+    """The registry. ``fresh=True`` (the driver contract) wraps every
+    query with the cache-hygiene prologue (see :func:`_fresh`, including
+    its one-at-a-time caller contract); ``fresh=False`` returns the raw
+    query functions for callers that own session hygiene themselves —
+    bench.py frees caches OUTSIDE its timed region so a query's measured
+    time never includes gc or the previous query's unpersist traffic."""
+    if not fresh:
+        return dict(_RAW_QUERIES)
     return {name: _fresh(fn) for name, fn in _RAW_QUERIES.items()}
 
 

@@ -100,6 +100,14 @@ def test_ivf_centroids_max_cells_cap(spark):
     )
     capped = ivf_centroids(emb, centroid_mod=10, max_cells=3)
     assert [r.cell for r in capped.orderBy("cell").collect()] == [0, 10, 20]
+    # sparse/offset id space must still yield max_cells centroids
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    capped_off = ivf_centroids(shifted, centroid_mod=10, max_cells=3)
+    assert [r.cell for r in capped_off.orderBy("cell").collect()] == [
+        1_000_000, 1_000_010, 1_000_020,
+    ]
     assign = ivf_assign(emb, capped, nprobe=2)
     rows = assign.collect()
     assert len(rows) == 200  # 100 vectors x nprobe, none dropped

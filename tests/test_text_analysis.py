@@ -29,6 +29,7 @@ def test_pii_stats_and_redact(spark):
             (4, "clean text with no pii at all"),
             (5, "a@b.io and c_d%e@f-g.museum twice"),
             (6, "not-a-phone 55-123-4567 and 5551234567"),
+            (7, "reach 555-123-4567@relay.example.com now"),
         ],
         "doc_id long, text string",
     )
@@ -46,3 +47,8 @@ def test_pii_stats_and_redact(spark):
     assert red[3].clean_text == "host [IPV4] up"
     assert red[4].clean_text == "clean text with no pii at all"
     assert red[4].n_redactions == 0
+    # overlap: the email subsumes the phone-shaped local part — stats
+    # count both kinds independently, but redaction makes ONE replacement
+    assert stats[7].n_email == 1 and stats[7].n_phone == 1
+    assert red[7].clean_text == "reach [EMAIL] now"
+    assert red[7].n_redactions == 1
