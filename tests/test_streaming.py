@@ -330,3 +330,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert _rows(got) == _rows(batch)
     assert batch.count() > 0
+
+
+def test_streaming_incremental_embedding_dedup(spark, tmp_path):
+    """Streaming vector ingestion driving incremental near-dup: each
+    micro-batch (one file, forced by maxFilesPerTrigger=1) probes the
+    standing index via embedding_dup_batch_lsh in foreachBatch, then
+    joins the index. The streamed pair set must equal applying the
+    incremental operator to the same batches sequentially — the
+    composition a continuously-ingesting vector pipeline runs."""
+    from cdc_poc_spark.operators.similarity import embedding_dup_batch_lsh
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 == 0)       # standing index
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == 1),
+        emb.filter(F.col("vec_id") % 3 == 2),
+    ]
+    ind = str(tmp_path / "vec_in")
+    for i, b in enumerate(batches):
+        # one file per batch => one micro-batch per file
+        b.coalesce(1).write.parquet(f"{ind}/b{i}", mode="overwrite")
+
+    # expected: sequential application, index growing between batches
+    tau = 0.4
+    # compare unordered pairs: the file-source batch ORDER is an
+    # implementation detail, and a pair found later is emitted with the
+    # roles swapped
+    expected = set()
+    index_df = base
+    for b in batches:
+        for r in embedding_dup_batch_lsh(index_df, b, tau).collect():
+            expected.add(frozenset((r.vec_batch, r.vec_index)))
+        index_df = index_df.unionByName(b)
+
+    state = {"index": base, "pairs": set()}
+
+    def on_batch(batch_df, _bid):
+        batch = batch_df.persist()
+        if batch.count() == 0:
+            return
+        for r in embedding_dup_batch_lsh(state["index"], batch, tau).collect():
+            state["pairs"].add(frozenset((r.vec_batch, r.vec_index)))
+        state["index"] = state["index"].unionByName(batch)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ind}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["pairs"] == expected and expected
