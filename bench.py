@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "profile_embeddings",
     "pipeline_pack_sequences",
+    "pipeline_shuffle_export",
     "dedup_exact",
     "dedup_substring",
     "dedup_ngram_jaccard",

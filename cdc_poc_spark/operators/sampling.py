@@ -240,3 +240,37 @@ def importance_weights(
             ).alias("log_weight"),
         )
     )
+
+
+SHUFFLE_EXPORT_SEED = "shufexp"
+SHUFFLE_EXPORT_SHARDS = 32
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = SHUFFLE_EXPORT_SHARDS,
+    seed: str = SHUFFLE_EXPORT_SEED,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the export step before
+    writing training shards: every row draws a pseudorandom 60-bit key
+    from the portable seeded-md5 family, lands in shard ``key % n_shards``
+    and at the key's rank within that shard. The ordering is as good as a
+    true uniform permutation (md5 keys are uniform and id-unique) while
+    staying reproducible across engines and reruns — re-seeding gives an
+    independent epoch order.
+
+    Scale shape: ONE shuffle (the per-shard window), never a global sort;
+    a shard's rows fit one writer task, so the downstream
+    ``partitionBy(shard) ORDER BY pos`` write streams without a driver
+    bottleneck. Ties in the key (astronomically rare) break on id."""
+    key = md5_long_seeded(F.col(id_col), seed)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"))
+        .withColumn(
+            "shard", (F.col("shuffle_key") % int(n_shards)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos", "shuffle_key")
+    )

@@ -1926,6 +1926,27 @@ def oracle_sql() -> dict[str, str]:
                (doc_id = cluster_id) AS is_keeper
         FROM cc"""
 
+    from ..operators.sampling import SHUFFLE_EXPORT_SEED, SHUFFLE_EXPORT_SHARDS
+
+    # deterministic shuffle-to-shards export
+    # (operators/sampling.py::shuffle_to_shards): same seeded-md5 key,
+    # shard = key % N, per-shard rank with id tiebreak
+    sqls["pipeline_shuffle_export"] = f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   {md5_long_seeded_sql("CAST(doc_id AS VARCHAR)", SHUFFLE_EXPORT_SEED)}
+                       AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(shuffle_key % {SHUFFLE_EXPORT_SHARDS} AS INTEGER) AS shard,
+               row_number() OVER (
+                   PARTITION BY shuffle_key % {SHUFFLE_EXPORT_SHARDS}
+                   ORDER BY shuffle_key, doc_id
+               ) AS pos,
+               shuffle_key
+        FROM keyed"""
+
     sqls["pipeline_split_assign"] = f"""
         WITH b AS (
             SELECT doc_id, lang,

@@ -1551,6 +1551,15 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return privacy.pii_redact(_pii_augmented_docs(spark, sf_dir))
 
 
+def q_pipeline_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export:
+    seeded-md5 permutation key, shard = key % 32, per-shard rank — one
+    shuffle, no global sort (operators/sampling.py::shuffle_to_shards)."""
+    from ..operators import sampling
+
+    return sampling.shuffle_to_shards(load_table(spark, sf_dir, "documents"))
+
+
 def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup over real PCM WAV bytes: render each document as a
     waveform (token-derived segments), decode samples + 64-bit
@@ -2652,6 +2661,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "text_pii_stats": q_text_pii_stats,
         "text_pii_redact": q_text_pii_redact,
         "sim_embedding_dups_incremental": q_sim_embedding_dups_incremental,
+        "pipeline_shuffle_export": q_pipeline_shuffle_export,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_cosine": q_sim_topk_cosine,

@@ -97,3 +97,30 @@ def test_chunk_documents_no_shuffle(spark):
     df = chunk_documents(load_table(spark, SF, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only stage
+
+
+def test_shuffle_to_shards_is_permutation(spark):
+    """Shuffle export is a complete deterministic permutation: every id
+    exactly once, dense per-shard positions, shard within range, and
+    bit-identical across reruns; a different seed reorders."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.sampling import shuffle_to_shards
+    from cdc_poc_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = shuffle_to_shards(docs, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.doc_id for r in rows} == {r.doc_id for r in docs.collect()}
+    assert all(0 <= r.shard < 8 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    again = {(r.doc_id, r.shard, r.pos) for r in shuffle_to_shards(docs, n_shards=8).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    other = {(r.doc_id, r.shard, r.pos) for r in shuffle_to_shards(docs, n_shards=8, seed="epoch2").collect()}
+    assert other != again
