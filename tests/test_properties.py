@@ -510,3 +510,59 @@ def test_banded_hyperplane_lsh_matches_python(spark, vecs, tau):
         ).collect()
     }
     assert got == expected
+
+
+_hostile_floats = st.floats(
+    min_value=-1e30,
+    max_value=1e30,
+    allow_nan=False,
+    allow_infinity=False,
+)
+_hostile_vecs = st.lists(
+    st.lists(_hostile_floats, min_size=6, max_size=6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(_hostile_vecs)
+@settings(**_SETTINGS)
+def test_fold_kernels_bit_identical(spark, vecs):
+    """The Arrow kernels (functions/veckernels.py) must produce the SAME
+    doubles as the interpreted zip_with+aggregate folds they replace —
+    not approximately equal: the banded signature keys feed equi-joins,
+    so a single rounding divergence near a zero projection silently
+    changes the candidate set AND breaks DuckDB-oracle parity. Hostile
+    magnitudes (up to 1e30) make any fold-order or pairwise-summation
+    deviation visible; equality is checked with <=> on the raw doubles
+    and == on the packed keys."""
+    from cdc_poc_spark.functions import veckernels as VK
+    from cdc_poc_spark.operators import similarity as S
+
+    dim, bands, rows = 6, 3, 4
+    w = S.hyperplane_weights(bands * rows, dim)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    expr = df.select(
+        "vec_id",
+        *[
+            S.lsh_bucket(
+                F.col("embedding"), w[b * rows : (b + 1) * rows]
+            ).alias(f"k{b}")
+            for b in range(bands)
+        ],
+        S.dot(F.col("embedding"), F.col("embedding")).alias("d_expr"),
+    )
+    kern = df.select(
+        "vec_id",
+        VK.banded_keys(F.col("embedding"), w, rows).alias("keys"),
+        VK.fold_dot(
+            F.col("embedding"), F.col("embedding"), dim
+        ).alias("d_kern"),
+    )
+    joined = expr.join(kern, "vec_id")
+    key_ok = " AND ".join(f"k{b} = keys[{b}]" for b in range(bands))
+    bad = joined.filter(~F.expr(f"({key_ok}) AND d_expr <=> d_kern"))
+    assert bad.count() == 0, bad.collect()
