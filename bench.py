@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "search_bm25",
     "text_repetition",
     "text_vocab_encode",
+    "text_bpe_train",
+    "text_bpe_encode",
     "text_lm_score",
     "text_char_entropy",
     "pipeline_decontaminate",

@@ -24,6 +24,7 @@ from ..functions.timeutil import format_wire_ntz, ntz_trunc
 from ..operators import (
     aggregates,
     asof,
+    bpe,
     clustering,
     dedup,
     multimodal,
@@ -1473,6 +1474,27 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.encode_docs(docs, text_analysis.build_vocab(docs))
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table training (operators/bpe.py): one
+    corpus-sized word-count aggregate, then ``BPE_NUM_MERGES`` argmax +
+    fold-merge rounds over the vocabulary-sized distinct-word table.
+    Genuinely iterative (each merge depends on all previous), so
+    rows-only for the driver; exactness is held by the pure-Python
+    reference differential in tests/test_bpe.py."""
+    merges, merges_df = bpe.train_merges(load_table(spark, sf_dir, "documents"))
+    return merges_df
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-encode the corpus with merges learned from it: the merge
+    chain folds over DISTINCT words only, pieces join back to token
+    positions (the word-cache trick). Output pieces are space-joined
+    (pieces are substrings of whitespace tokens, so lossless)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe.train_merges(docs)
+    return bpe.encode(docs, merges)
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (perplexity-filter stand-in): mean
     Laplace-smoothed log P(w2|w1) per document, model fit on the corpus
@@ -2647,12 +2669,14 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_importance_weights": q_pipeline_importance_weights,
         "wh_fuzzy_supplier_names": q_wh_fuzzy_supplier_names,
         "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
-        "cdc_enriched": q_cdc_enriched,
-        "stream_interval_join_native": q_stream_interval_join_native,
+        "text_bpe_train": q_text_bpe_train,  # new in r3, rows-only (iterative)
+        "text_bpe_encode": q_text_bpe_encode,  # new in r3, rows-only (iterative)
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
         "sim_pq_encode": q_sim_pq_encode,
         # ---- end of driver 50-slot verification window ----
+        "cdc_enriched": q_cdc_enriched,  # driver-green r1+r2, rotated out
+        "stream_interval_join_native": q_stream_interval_join_native,  # green r2
         "gen_workload": q_gen_workload,
         "wh_sessions": q_wh_sessions,
         "stream_sessions_native": q_stream_sessions_native,

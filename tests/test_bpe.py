@@ -1,0 +1,144 @@
+"""Distributed BPE (operators/bpe.py) vs an independent pure-Python
+reference implementation of Sennrich-style byte-pair encoding.
+
+The registry entries are rows-only for the driver (iterative algorithm,
+no single-pass SQL oracle), so this differential IS the correctness
+gate: merge tables and encodings must match the reference EXACTLY —
+same argmax tie-break (count desc, then (a, b) lexical), same leftmost-
+first overlap resolution, same early stop on hapax pairs."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_poc_spark.operators import bpe
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _ref_apply(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def ref_train(texts: list[str], num_merges: int):
+    words: Counter[str] = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pc: Counter[tuple[str, str]] = Counter()
+        for w, syms in vocab.items():
+            c = words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for w in vocab:
+            vocab[w] = _ref_apply(vocab[w], a, b)
+    return merges
+
+
+def ref_encode(text: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    pieces: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b, _ in merges:
+            syms = _ref_apply(syms, a, b)
+        pieces.extend(syms)
+    return pieces
+
+
+def _check_corpus(spark, texts: list[str], num_merges: int = 6) -> None:
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected_merges = ref_train(texts, num_merges)
+    got_merges, merges_df = bpe.train_merges(docs, num_merges)
+    assert got_merges == expected_merges
+    assert [
+        (r.rank, r.a, r.b, r.pair_count)
+        for r in merges_df.orderBy("rank").collect()
+    ] == [(i, a, b, c) for i, (a, b, c) in enumerate(expected_merges)]
+    got_enc = {
+        r.doc_id: (r.pieces, r.n_pieces, r.n_chars)
+        for r in bpe.encode(docs, got_merges).collect()
+    }
+    for i, t in enumerate(texts):
+        ref_pieces = ref_encode(t, expected_merges)
+        if not ref_pieces:  # zero-token docs drop out of the encode join
+            assert i not in got_enc
+            continue
+        assert got_enc[i] == (
+            " ".join(ref_pieces),
+            len(ref_pieces),
+            sum(len(p) for p in ref_pieces),
+        ), f"doc {i}: {got_enc[i]} != {ref_pieces}"
+
+
+def test_bpe_matches_python_reference_fixed(spark):
+    """Hand-built corpus covering the tricky cases: overlap runs
+    ("aaaa"), merges that compose ("par" from "p"+"ar"), ties, repeated
+    words, single-char and empty documents."""
+    _check_corpus(
+        spark,
+        [
+            "the quick brown fox the quick",
+            "aaaa aaa aa a",
+            "part park parse sparse",
+            "x y z",
+            "",
+            "  double  spaced  ",
+            "the the the",
+        ],
+        num_merges=8,
+    )
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abcéz "),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_texts)
+@settings(**_SETTINGS)
+def test_bpe_matches_python_reference_property(spark, texts):
+    """Arbitrary tiny corpora over a skewed alphabet (incl. a non-ASCII
+    char): merge table and every encoding must match the reference —
+    this is where tie-break or overlap divergence would surface."""
+    _check_corpus(spark, texts, num_merges=4)
+
+
+def test_bpe_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    merges, merges_df = bpe.train_merges(docs, 4)
+    assert merges == [] and merges_df.count() == 0
+    assert bpe.encode(docs, merges).count() == 0
