@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "text_vocab_encode",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_nb_lang",
     "text_lm_score",
     "text_char_entropy",
     "pipeline_decontaminate",

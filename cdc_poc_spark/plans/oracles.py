@@ -1206,6 +1206,76 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         )"""
 
+    # mirrors operators/classify.py::nb_confusion step for step: the model
+    # pivots to a (token -> class-ordered logp list), each document folds
+    # the per-position lists elementwise starting FROM the log-prior list
+    # (same per-class add order as the Spark zip_with fold), and argmax is
+    # the first position of the list max — bit-identical log-likelihoods,
+    # bit-identical tie-break toward the lexically smallest class
+    sqls["text_nb_lang"] = """
+        WITH t AS (
+            SELECT doc_id, lang AS label,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, label, s.p AS pos, s.tok AS token
+            FROM (
+                SELECT doc_id, label,
+                       unnest(list_transform(range(1, len(toks) + 1),
+                           i -> {'p': i - 1, 'tok': toks[i]})) AS s
+                FROM t
+            )
+        ),
+        ctk AS (SELECT label, token, COUNT(*) AS c FROM dt GROUP BY label, token),
+        cls AS (SELECT label, COUNT(*) AS n_tok FROM dt GROUP BY label),
+        voc AS (SELECT COUNT(DISTINCT token) AS v FROM dt),
+        hdr AS (
+            SELECT list(label ORDER BY label) AS class_names,
+                   list(ln(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE))
+                        ORDER BY label) AS log_priors
+            FROM (
+                SELECT label, COUNT(*) AS n_docs,
+                       SUM(COUNT(*)) OVER () AS n_all
+                FROM t GROUP BY label
+            )
+        ),
+        grid AS (
+            SELECT d.token, c2.label AS cand,
+                   ln(CAST(COALESCE(k.c, 0) + 1 AS DOUBLE)
+                      / CAST(c2.n_tok + 1 * voc.v AS DOUBLE)) AS logp
+            FROM (SELECT DISTINCT token FROM dt) d
+            CROSS JOIN cls c2
+            LEFT JOIN ctk k ON k.label = c2.label AND k.token = d.token
+            CROSS JOIN voc
+        ),
+        garr AS (
+            SELECT token, list(logp ORDER BY cand) AS lps
+            FROM grid GROUP BY token
+        ),
+        seqs AS (
+            SELECT dt.doc_id, dt.label, list(g.lps ORDER BY dt.pos) AS seq
+            FROM dt JOIN garr g ON dt.token = g.token
+            GROUP BY dt.doc_id, dt.label
+        ),
+        lls AS (
+            SELECT s.doc_id, s.label, h.class_names,
+                   list_reduce(
+                       list_prepend(h.log_priors, s.seq),
+                       (a, x) -> list_transform(range(1, len(a) + 1),
+                                                j -> a[j] + x[j])) AS ll
+            FROM seqs s CROSS JOIN hdr h
+        ),
+        pred AS (
+            SELECT doc_id, label,
+                   class_names[CAST(list_position(
+                       ll, list_aggregate(ll, 'max')) AS INT)] AS pred
+            FROM lls
+        )
+        SELECT label AS true_label, pred AS pred_label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2"""
+
     sqls["wh_fuzzy_supplier_names"] = """
         WITH vals AS (SELECT DISTINCT s_name AS val FROM supplier),
         vars AS (

@@ -1495,6 +1495,16 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode(docs, merges)
 
 
+def q_text_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification fit on the corpus
+    in closed form (two hash aggregates), scored with position-ordered
+    double folds, evaluated as the resubstitution confusion matrix —
+    the corpus-curation classifier step (operators/classify.py)."""
+    from ..operators import classify
+
+    return classify.nb_confusion(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (perplexity-filter stand-in): mean
     Laplace-smoothed log P(w2|w1) per document, model fit on the corpus
@@ -2673,8 +2683,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "text_bpe_encode": q_text_bpe_encode,  # new in r3, rows-only (iterative)
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
-        "sim_pq_encode": q_sim_pq_encode,
+        "text_nb_lang": q_text_nb_lang,  # new in r3
         # ---- end of driver 50-slot verification window ----
+        "sim_pq_encode": q_sim_pq_encode,  # driver-green r2, rotated out
         "cdc_enriched": q_cdc_enriched,  # driver-green r1+r2, rotated out
         "stream_interval_join_native": q_stream_interval_join_native,  # green r2
         "gen_workload": q_gen_workload,

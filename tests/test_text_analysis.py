@@ -52,3 +52,39 @@ def test_pii_stats_and_redact(spark):
     assert stats[7].n_email == 1 and stats[7].n_phone == 1
     assert red[7].clean_text == "reach [EMAIL] now"
     assert red[7].n_redactions == 1
+
+
+def test_nb_confusion_separable_corpus(spark):
+    """On a perfectly separable corpus (disjoint class vocabularies) NB
+    must put every document on the diagonal; a doc of unseen-for-its-
+    class tokens must land with the class that owns them. This pins the
+    operator's semantics independently of the SQL oracle."""
+    from cdc_poc_spark.operators.classify import nb_confusion
+
+    rows = (
+        [(i, "apple banana cherry apple", "fruit") for i in range(4)]
+        + [(10 + i, "iron copper zinc iron zinc", "metal") for i in range(4)]
+        # a "metal"-labelled doc made of fruit words: NB must call it fruit
+        + [(99, "apple banana", "metal")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.true_label, r.pred_label): r.n_docs
+        for r in nb_confusion(docs).collect()
+    }
+    assert got == {
+        ("fruit", "fruit"): 4,
+        ("metal", "metal"): 4,
+        ("metal", "fruit"): 1,
+    }
+
+
+def test_nb_confusion_skips_empty_docs(spark):
+    from cdc_poc_spark.operators.classify import nb_confusion
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "x"), (1, "", "y"), (2, "   ", "y")],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r.true_label, r.pred_label): r.n_docs for r in nb_confusion(docs).collect()}
+    assert got == {("x", "x"): 1}
