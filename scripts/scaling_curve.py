@@ -39,7 +39,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from cdc_poc_spark.operators import dedup, similarity  # noqa: E402
+from cdc_poc_spark.operators import bpe, classify, dedup, similarity  # noqa: E402
 from cdc_poc_spark.session import free_caches, get_spark  # noqa: E402
 from cdc_poc_spark.sources.testdata import load_table  # noqa: E402
 
@@ -100,6 +100,10 @@ OPS = {
     "embedding_dups_lsh (8x8 banded)": lambda d, v: similarity.embedding_dup_pairs_lsh(v, 0.4),
     "embedding_dups_ivf (3-probe)": lambda d, v: similarity.embedding_dup_pairs_ivf(v, 0.4),
     "semantic_dedup (IVF)": lambda d, v: similarity.semantic_dedup(v),
+    # iterative/closed-form trainers (r3): corpus-sized work only at the
+    # boundary aggregates — expect ~linear-or-flat
+    "bpe_train (10 merges)": lambda d, v: bpe.train_merges(d)[1],
+    "nb_classify": lambda d, v: classify.nb_confusion(d),
 }
 
 

@@ -451,3 +451,37 @@ def test_importance_weights_stats_broadcast(spark):
     plan = _plan(queries()["pipeline_importance_weights"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nb_classify_plan_shape(spark):
+    """NB scoring: the (token -> logp array) grid joins the exploded
+    corpus as a hash join (no cartesian); the 1-row class header and the
+    vocab scalar broadcast; Python never enters the plan."""
+    plan = _plan(queries()["text_nb_lang"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row hdr/voc crossJoins
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_word_cache_join(spark):
+    """BPE encoding folds merges over DISTINCT words and hash-joins the
+    pieces back to token positions — no cartesian, no Python."""
+    from cdc_poc_spark.operators import bpe
+    from cdc_poc_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges, _ = bpe.train_merges(docs, 3)
+    plan = _plan(bpe.encode(docs, merges))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_banded_keys_one_arrow_stage_per_side(spark):
+    """The banded signature kernel enters the plan as exactly one
+    ArrowEvalPython per self-join side (2 total — self-join attribute
+    dedup blocks exchange reuse), never row-at-a-time BatchEvalPython.
+    Catches the posexplode regression where Generate re-evaluated the
+    kernel per output attribute (4 stages = double work per side)."""
+    plan = _plan(queries()["sim_embedding_dups_lsh"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 2
