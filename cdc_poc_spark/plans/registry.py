@@ -2681,10 +2681,15 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
         "text_bpe_train": q_text_bpe_train,  # new in r3, rows-only (iterative)
         "text_bpe_encode": q_text_bpe_encode,  # new in r3, rows-only (iterative)
-        "sim_semantic_dedup": q_sim_semantic_dedup,
-        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
+        "text_pii_stats": q_text_pii_stats,  # new in r3, never driver-checked
+        "text_pii_redact": q_text_pii_redact,  # new in r3, never driver-checked
         "text_nb_lang": q_text_nb_lang,  # new in r3
         # ---- end of driver 50-slot verification window ----
+        # sim_semantic_dedup / sim_embedding_dups_lsh were driver-green in r2;
+        # their r3 banded-kernel rewrite is value-identical (local parity +
+        # sf0.01 diffcheck), so their slots went to the never-checked PII pair.
+        "sim_semantic_dedup": q_sim_semantic_dedup,
+        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
         "sim_pq_encode": q_sim_pq_encode,  # driver-green r2, rotated out
         "cdc_enriched": q_cdc_enriched,  # driver-green r1+r2, rotated out
         "stream_interval_join_native": q_stream_interval_join_native,  # green r2
@@ -2693,8 +2698,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_sessions_native": q_stream_sessions_native,
         "cdc_scd2_dim": q_cdc_scd2_dim,
         # new in r3 (appended after the window per discipline above)
-        "text_pii_stats": q_text_pii_stats,
-        "text_pii_redact": q_text_pii_redact,
         "sim_embedding_dups_incremental": q_sim_embedding_dups_incremental,
         "pipeline_shuffle_export": q_pipeline_shuffle_export,
         "dedup_exact": q_dedup_exact,
