@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "pipeline_chunk_pack",
     "text_dedup_lines",
     "wh_recursive_spine",
+    "text_tfidf_terms",
+    "text_ngram_diversity",
+    "pipeline_lang_balance",
+    "dedup_cdc_report",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

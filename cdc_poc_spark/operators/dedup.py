@@ -655,3 +655,148 @@ def substring_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= int(min_shared))
     )
+
+
+# content-defined chunking: boundary gram width, divisor (expected chunk
+# length ~ CDC_DIVISOR + CDC_GRAM chars), and the cross-doc share gate
+CDC_GRAM = 16
+CDC_DIVISOR = 64
+
+
+def cdc_chunks(
+    docs: DataFrame, k: int = CDC_GRAM, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family): split each
+    document at positions where the rolling k-gram hash satisfies
+    ``hash % divisor == 0``, so chunk boundaries depend only on LOCAL
+    content. An insertion early in a document shifts every fixed-size
+    block but leaves all content-defined boundaries after the edit window
+    intact — which is why storage dedup and incremental corpus diffing
+    chunk this way instead of every-N-chars.
+
+    Semantics (shared verbatim with the DuckDB oracle): a cut falls after
+    the LAST character of each boundary gram (positions i + k - 1 for
+    each gram start i with md5_60(text[i:i+k]) % divisor == 0); the final
+    chunk always runs to end-of-doc. Docs shorter than k (no gram fits)
+    are a single chunk; empty docs contribute none. Production FastCDC
+    adds min/max chunk bounds (which make each boundary depend on the
+    previous accepted one — a sequential fold); this exact stateless form
+    keeps both engines trivially identical and is the textbook LBFS rule.
+
+    Scale shape: the gram-hash scan is a narrow per-row array expression
+    behind an exchange barrier (the winnow_fingerprints CollapseProject
+    trap: the cuts array must materialize before the per-chunk substring
+    lambda reads it, or the md5 scan re-runs per chunk). Output is
+    (doc_id, chunk_idx, chunk_hash, chunk_len) — the chunk travels as its
+    60-bit md5, never the string."""
+    text = F.col("text")
+    n = F.length(text)
+    n_w = n - k + 1
+    cuts_raw = F.when(
+        n_w >= 1,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda i: F.when(
+                    md5_long(F.substr(text, i, F.lit(k))) % divisor == 0,
+                    i + k - 1,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # ascending by construction; append the end-of-doc sentinel unless the
+    # last gram already cut there
+    with_cuts = _spread(docs.filter(n >= 1)).select(
+        "doc_id",
+        text.alias("text"),
+        F.when(
+            (F.size(cuts_raw) == 0) | (F.element_at(cuts_raw, -1) != n),
+            F.concat(cuts_raw, F.array(n)),
+        )
+        .otherwise(cuts_raw)
+        .alias("cuts"),
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    with_cuts = with_cuts.repartition(parallelism, "doc_id")
+    cuts = F.col("cuts")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(cuts)),
+        lambda j: F.struct(
+            (j - 1).cast("long").alias("chunk_idx"),
+            F.substr(
+                F.col("text"),
+                F.when(j == 1, F.lit(1)).otherwise(
+                    F.element_at(cuts, (j - 1).cast("int")) + 1
+                ),
+                F.element_at(cuts, j.cast("int"))
+                - F.when(j == 1, F.lit(0)).otherwise(
+                    F.element_at(cuts, (j - 1).cast("int"))
+                ),
+            ).alias("chunk"),
+        ),
+    )
+    return with_cuts.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        md5_long(F.col("c.chunk")).alias("chunk_hash"),
+        F.length(F.col("c.chunk")).cast("long").alias("chunk_len"),
+    )
+
+
+def cdc_dedup_report(
+    docs: DataFrame, k: int = CDC_GRAM, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Per-document chunk-level dedup accounting over :func:`cdc_chunks`:
+    how many of a doc's chunks (and what fraction of its characters) also
+    appear in at least one OTHER document — the number a storage-dedup /
+    incremental-ingest planner acts on.
+
+    A chunk value is "shared" when its hash occurs in >= 2 distinct docs;
+    all of its occurrences in every doc then count as shared. Scale
+    shape: chunk table -> (hash)-key agg for the shared set (two-level
+    exact distinct-doc count, map-side partials) -> hash-key join back ->
+    per-doc agg. The shared-hash table is duplicate-sized, far smaller
+    than the corpus; dup_ratio divides exact BIGINT char counts as
+    doubles, rounded to 6dp (IEEE-identical in both engines)."""
+    ch = cdc_chunks(docs, k, divisor)
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(
+        shared.withColumn("_shared", F.lit(1)), "chunk_hash", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_shared"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("_shared").isNotNull(), F.col("chunk_len")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("shared_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            "total_chars",
+            "shared_chars",
+            F.round(
+                F.col("shared_chars").cast("double")
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

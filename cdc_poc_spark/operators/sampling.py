@@ -242,6 +242,49 @@ def importance_weights(
     )
 
 
+LANG_BALANCE_SEED = "langbal-v1"
+
+
+def lang_balance(docs: DataFrame, seed: str = LANG_BALANCE_SEED) -> DataFrame:
+    """Language-balanced downsampling — cap every language at the MINORITY
+    language's document count, so a multilingual training mix isn't
+    dominated by the highest-resource language (the uniform-mix limit of
+    temperature sampling, tau -> infinity).
+
+    Selection within a language is by seeded-hash rank (a deterministic
+    uniform shuffle — same primitive as :func:`domain_cap`), so the kept
+    set is reproducible across engines, reruns, and repartitioning, and
+    GROWS MONOTONICALLY only via the cap, never by reshuffling survivors.
+
+    Scale shape: one tiny groupBy(lang) count whose min() broadcasts as a
+    1-row frame, then one window shuffle on the language key. Language is
+    the canonical skewed key (one lang is usually >half the corpus); as
+    with domain_cap, the production mitigation is a hash-threshold
+    pre-prune per language before the exact window — a strict superset of
+    the final top-cap, so the contract and oracle stay this exact
+    formulation.
+
+    Output: (doc_id, lang, rank_in_lang) for the kept documents."""
+    floor_n = F.broadcast(
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.min("_n").alias("floor_n"))
+    )
+    h = md5_long_seeded(F.col("doc_id"), seed)
+    w = Window.partitionBy("lang").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", h.alias("_h"))
+        .withColumn("rank_in_lang", F.row_number().over(w))
+        .crossJoin(floor_n)
+        .filter(F.col("rank_in_lang") <= F.col("floor_n"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rank_in_lang").cast("long").alias("rank_in_lang"),
+        )
+    )
+
+
 SHUFFLE_EXPORT_SEED = "shufexp"
 SHUFFLE_EXPORT_SHARDS = 32
 

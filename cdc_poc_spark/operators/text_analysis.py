@@ -561,3 +561,125 @@ def fuzzy_string_pairs(df: DataFrame, col: str = "name") -> DataFrame:
         .filter(F.levenshtein("val_a", "val_b") == 1)
         .select("val_a", "val_b", F.lit(1).cast("long").alias("dist"))
     )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    doc-representation step of corpus curation (what you feed a topic
+    clusterer or a per-domain term drift report):
+
+        score(d, t) = tf(d, t) * ln((N + 1) / (df(t) + 1))
+
+    with tf = in-doc term count, df = number of docs containing the term,
+    N = corpus size (add-1 smoothed idf, never negative or div-by-zero).
+
+    Scale shape: tf is one (doc_id, token) hash agg; df folds off tf with
+    a second token-key agg; the df table joins back on the token key
+    (vocab-sized — broadcastable after df-pruning at 100 TB, but the
+    exact contract keeps the shuffle join), then one doc_id window for
+    the top-k. Determinism: tf/df/N are exact integers; the only float is
+    the final ln, rounded to 6dp BEFORE ranking so both engines rank the
+    same values, ties broken by term (the lm_score precedent)."""
+    base = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+DIVERSITY_MAX_N = 3
+
+
+def ngram_diversity(docs: DataFrame, max_n: int = DIVERSITY_MAX_N) -> DataFrame:
+    """Per-source distinct-n diversity (Li et al. 2016's distinct-1/2/3,
+    the standard corpus-degeneracy metric): for each n, the ratio of
+    distinct word n-grams to total n-gram occurrences. A crawl source
+    whose diversity collapses is boilerplate/templated text — this is the
+    corpus-health dashboard number next to repetition_stats' per-doc one.
+
+    Scale shape: one tokenize pass emits all n sizes at once (an array of
+    (n, gram) structs per doc, exploded once), then a single
+    (source, n, gram)-key hash agg to occurrence counts, then a tiny
+    (source, n) re-agg — distinct counting via two-level agg rather than
+    countDistinct keeps partial aggregation map-side. Totals/distincts
+    are exact integers; the ratio divides two BIGINTs as doubles (IEEE
+    exact-rounded in both engines) and rounds to 6dp."""
+    tcol = F.col("toks")
+    base = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # exchange barrier: gram lambdas must read a materialized token array
+    # (CollapseProject would re-run the tokenizer per element)
+    base = base.repartition(parallelism, "doc_id")
+    def _gram_lambda(n: int):
+        # a 2-arg lambda would receive transform's positional index as its
+        # second argument — close over n instead
+        def fn(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(tcol, (i + j).cast("int")) for j in range(n)],
+                ).alias("gram"),
+            )
+
+        return fn
+
+    per_n = [
+        F.when(
+            F.size(tcol) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tcol) - n + 1), _gram_lambda(n)
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in range(1, max_n + 1)
+    ]
+    grams = base.select(
+        "source", F.explode(F.concat(*per_n)).alias("g")
+    ).select("source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    occ = grams.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        occ.groupBy("source", "n")
+        .agg(
+            F.sum("occ").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("diversity"),
+        )
+    )

@@ -2769,4 +2769,147 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'near' AS reason FROM near_losers
         WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)"""
 
+    from ..operators.sampling import LANG_BALANCE_SEED
+    from ..operators.text_analysis import TFIDF_TOP_K
+
+    sqls["text_tfidf_terms"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS term
+            FROM documents
+        ),
+        tfreq AS (
+            SELECT doc_id, term, count(*) AS tf FROM base GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tfreq GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tfreq.doc_id, tfreq.term,
+                   CAST(tfreq.tf AS BIGINT) AS tf,
+                   CAST(dfreq.df AS BIGINT) AS df,
+                   ROUND(CAST(tfreq.tf AS DOUBLE)
+                         * ln(CAST(n_docs + 1 AS DOUBLE)
+                              / CAST(dfreq.df + 1 AS DOUBLE)), 6) AS score
+            FROM tfreq JOIN dfreq USING (term), nd
+        )
+        SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TFIDF_TOP_K}"""
+
+    sqls["text_ngram_diversity"] = """
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT source, 1 AS n, unnest(toks) AS gram FROM t
+            UNION ALL
+            SELECT source, 2,
+                   unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                   ELSE []::VARCHAR[] END)
+            FROM t
+            UNION ALL
+            SELECT source, 3,
+                   unnest(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE []::VARCHAR[] END)
+            FROM t
+        ),
+        occ AS (
+            SELECT source, n, gram, count(*) AS occ FROM g GROUP BY 1, 2, 3
+        )
+        SELECT source, CAST(n AS BIGINT) AS n,
+               CAST(sum(occ) AS BIGINT) AS total_ngrams,
+               CAST(count(*) AS BIGINT) AS distinct_ngrams,
+               ROUND(CAST(count(*) AS DOUBLE) / CAST(sum(occ) AS DOUBLE), 6)
+                   AS diversity
+        FROM occ GROUP BY 1, 2"""
+
+    sqls["pipeline_lang_balance"] = f"""
+        WITH fl AS (
+            SELECT min(cnt) AS floor_n
+            FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ({md5_long_seeded_sql("doc_id", LANG_BALANCE_SEED)}),
+                                doc_id
+                   ) AS rank_in_lang
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rank_in_lang AS BIGINT) AS rank_in_lang
+        FROM r, fl WHERE rank_in_lang <= floor_n"""
+
+    from ..operators.dedup import CDC_DIVISOR, CDC_GRAM
+
+    _cdc_gram_md5 = md5_long_sql(f"substr(text, CAST(i AS INT), {CDC_GRAM})")
+    _cdc_chunks_sql = f"""
+        WITH b AS (
+            SELECT doc_id, text, len(text) AS n,
+                   CASE WHEN len(text) >= {CDC_GRAM} THEN
+                       list_transform(
+                           list_filter(range(1, len(text) - {CDC_GRAM} + 2),
+                                       i -> ({_cdc_gram_md5}) % {CDC_DIVISOR} = 0),
+                           i -> i + {CDC_GRAM} - 1)
+                   ELSE []::BIGINT[] END AS cuts0
+            FROM documents WHERE len(text) >= 1
+        ),
+        c AS (
+            SELECT doc_id, text,
+                   CASE WHEN len(cuts0) = 0 OR cuts0[-1] <> n
+                        THEN list_append(cuts0, n)
+                        ELSE cuts0 END AS cuts
+            FROM b
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(cuts) + 1),
+                       j -> struct_pack(
+                           chunk_idx := j - 1,
+                           chunk := substr(text,
+                               CAST(CASE WHEN j = 1 THEN 1
+                                         ELSE cuts[j-1] + 1 END AS INT),
+                               CAST(cuts[j] - CASE WHEN j = 1 THEN 0
+                                                   ELSE cuts[j-1] END AS INT))
+                       ))) AS s
+            FROM c
+        )
+        SELECT doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+               {md5_long_sql("s.chunk")} AS chunk_hash,
+               CAST(len(s.chunk) AS BIGINT) AS chunk_len
+        FROM ch"""
+
+    sqls["dedup_cdc_chunks"] = _cdc_chunks_sql
+
+    sqls["dedup_cdc_report"] = f"""
+        WITH chtbl AS ({_cdc_chunks_sql}),
+        sh AS (
+            SELECT chunk_hash FROM chtbl
+            GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+        ),
+        fl AS (
+            SELECT chtbl.doc_id, chtbl.chunk_len,
+                   CASE WHEN sh.chunk_hash IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_shared
+            FROM chtbl LEFT JOIN sh ON chtbl.chunk_hash = sh.chunk_hash
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(is_shared) AS BIGINT) AS n_shared_chunks,
+               CAST(sum(chunk_len) AS BIGINT) AS total_chars,
+               CAST(sum(is_shared * chunk_len) AS BIGINT) AS shared_chars,
+               ROUND(CAST(sum(is_shared * chunk_len) AS DOUBLE)
+                     / CAST(sum(chunk_len) AS DOUBLE), 6) AS dup_ratio
+        FROM fl GROUP BY doc_id"""
+
     return sqls

@@ -1505,6 +1505,46 @@ def q_text_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.nb_confusion(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (keyword extraction): tf and df
+    are exact integer hash aggs, the smoothed-idf score rounds to 6dp
+    BEFORE the per-doc ranking window so both engines rank identical
+    values (operators/text_analysis.py::tfidf_terms)."""
+    return text_analysis.tfidf_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-1/2/3 n-gram diversity — one tokenize pass
+    emits all gram sizes, a single (source, n, gram) hash agg plus a
+    tiny re-agg; corpus-degeneracy dashboard metric
+    (operators/text_analysis.py::ngram_diversity)."""
+    return text_analysis.ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def q_pipeline_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsample: every language capped at the
+    minority language's count, selection by seeded-hash rank
+    (operators/sampling.py::lang_balance)."""
+    from ..operators import sampling
+
+    return sampling.lang_balance(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS boundary rule, hash%64==0 over
+    16-gram md5): (doc_id, chunk_idx, chunk_hash, chunk_len) — the
+    storage-dedup / incremental-diff substrate
+    (operators/dedup.py::cdc_chunks)."""
+    return dedup.cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_cdc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup accounting per document: chunks/chars shared
+    with >=1 other doc and the dup ratio
+    (operators/dedup.py::cdc_dedup_report)."""
+    return dedup.cdc_dedup_report(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (perplexity-filter stand-in): mean
     Laplace-smoothed log P(w2|w1) per document, model fit on the corpus
@@ -2621,19 +2661,16 @@ def queries(fresh: bool = True) -> dict[str, QueryFn]:
 
 
 _RAW_QUERIES: dict[str, QueryFn] = {
-    # DRIVER WINDOW DISCIPLINE: the external harness hash-verifies only the
-    # FIRST 50 entries of this dict against their DuckDB oracles each round.
-    # Round-3 rotation: slots 1-32 are the SQL-oracle queries that had never
-    # sat in a driver window (the TPC-H warehouse surface the r2 rotation
-    # displaced, plus the r2-new pipeline/text/ts queries); 33-38 are the
-    # queries whose RESULTS changed this round (true-winnowing rewrite,
-    # array-output stringification, prefix-filtered ngram path and its
-    # consumers, the chunk-id re-encoding); 39-41 the never-checked
-    # rows-only trio; 42-45 are the r3-NEW queries (containment dedup,
-    # DSIR weights, FastSS fuzzy matching, IVF near-dup — never checked,
-    # highest marginal value per slot); 46-50 pad with already-green
-    # re-verifies. APPEND new queries AFTER the window — never insert
-    # ahead of it.
+        # ---- driver 50-slot verification window (round 4) ----
+        # 4 re-checks whose round-3 change demands fresh driver evidence:
+        # sim_quantize_int8 (r2 err -> stringified codes), dedup_substring
+        # (true winnowing), dedup_ngram_jaccard (prefix-filtered candidates),
+        # pipeline_chunk_pack (2^20 chunk-id encoding) -- then every
+        # never-driver-checked query that has a SQL oracle (46).
+        "sim_quantize_int8": q_sim_quantize_int8,
+        "dedup_substring": q_dedup_substring,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "pipeline_chunk_pack": q_pipeline_chunk_pack,
         "wh_scalar_subquery": q_wh_scalar_subquery,
         "wh_range_join": q_wh_range_join,
         "wh_market_share": q_wh_market_share,
@@ -2666,40 +2703,40 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "text_lm_score": q_text_lm_score,
         "dedup_lsh_measure": q_dedup_lsh_measure,
         "pipeline_dedup_report": q_pipeline_dedup_report,
-        "sim_quantize_int8": q_sim_quantize_int8,
-        "dedup_substring": q_dedup_substring,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "pipeline_chunk_pack": q_pipeline_chunk_pack,
-        "sim_ivf_refined": q_sim_ivf_refined,
-        "mm_image_dedup": q_mm_image_dedup,
-        "mm_audio_dedup": q_mm_audio_dedup,
         "dedup_containment": q_dedup_containment,
         "pipeline_importance_weights": q_pipeline_importance_weights,
         "wh_fuzzy_supplier_names": q_wh_fuzzy_supplier_names,
         "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
-        "text_bpe_train": q_text_bpe_train,  # new in r3, rows-only (iterative)
-        "text_bpe_encode": q_text_bpe_encode,  # new in r3, rows-only (iterative)
-        "text_pii_stats": q_text_pii_stats,  # new in r3, never driver-checked
-        "text_pii_redact": q_text_pii_redact,  # new in r3, never driver-checked
-        "text_nb_lang": q_text_nb_lang,  # new in r3
+        "text_pii_stats": q_text_pii_stats,
+        "text_pii_redact": q_text_pii_redact,
+        "text_nb_lang": q_text_nb_lang,
+        "sim_embedding_dups_incremental": q_sim_embedding_dups_incremental,
+        "pipeline_shuffle_export": q_pipeline_shuffle_export,
+        "text_tfidf_terms": q_text_tfidf_terms,
+        "text_ngram_diversity": q_text_ngram_diversity,
+        "pipeline_lang_balance": q_pipeline_lang_balance,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "dedup_cdc_report": q_dedup_cdc_report,
         # ---- end of driver 50-slot verification window ----
-        # sim_semantic_dedup / sim_embedding_dups_lsh were driver-green in r2;
-        # their r3 banded-kernel rewrite is value-identical (local parity +
-        # sf0.01 diffcheck), so their slots went to the never-checked PII pair.
+        # rows-only never-checked (no SQL oracle; deferred to the round-5
+        # window so every slot above carries a full value-hash check):
+        "sim_ivf_refined": q_sim_ivf_refined,
+        "mm_image_dedup": q_mm_image_dedup,
+        "mm_audio_dedup": q_mm_audio_dedup,
+        "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
+        # driver-green in r1/r2 with unchanged semantics since:
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "dedup_clusters": q_dedup_clusters,
         "sim_semantic_dedup": q_sim_semantic_dedup,
-        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,  # banded rewrite in r3
-        "sim_pq_encode": q_sim_pq_encode,  # driver-green r2, rotated out
-        "cdc_enriched": q_cdc_enriched,  # driver-green r1+r2, rotated out
-        "stream_interval_join_native": q_stream_interval_join_native,  # green r2
+        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
+        "sim_pq_encode": q_sim_pq_encode,
+        "cdc_enriched": q_cdc_enriched,
+        "stream_interval_join_native": q_stream_interval_join_native,
         "gen_workload": q_gen_workload,
         "wh_sessions": q_wh_sessions,
         "stream_sessions_native": q_stream_sessions_native,
         "cdc_scd2_dim": q_cdc_scd2_dim,
-        # new in r3 (appended after the window per discipline above)
-        "sim_embedding_dups_incremental": q_sim_embedding_dups_incremental,
-        "pipeline_shuffle_export": q_pipeline_shuffle_export,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_cosine": q_sim_topk_cosine,

@@ -1,0 +1,194 @@
+"""Round-3 curation operators: TF-IDF keywords, language balancing,
+n-gram diversity, and content-defined chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    from cdc_poc_spark.operators.text_analysis import tfidf_terms
+
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat", "en", "s0"),
+            (2, "the dog sat on the log", "en", "s0"),
+            (3, "the cat and the dog", "en", "s0"),
+            (4, "quantum flux capacitor", "en", "s1"),
+        ],
+    )
+    out = tfidf_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # k cap holds and ranks are 1..k
+    for doc_id, rows in by_doc.items():
+        assert len(rows) <= 2
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # doc 4's unique jargon (df=1) beats anything shared
+    top4 = {r.term for r in by_doc[4]}
+    assert top4 <= {"quantum", "flux", "capacitor"}
+    # 'the' (df=3, idf=ln(5/4)) never outranks a df=1 term with equal tf
+    r1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert r1[0].term in {"cat", "mat", "sat", "on"} or r1[0].tf > 1
+
+
+def test_tfidf_scores_match_python(spark):
+    import math
+
+    from cdc_poc_spark.operators.text_analysis import tfidf_terms
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b b c", "en", "s0"),
+            (2, "b c c d", "en", "s0"),
+            (3, "d e", "en", "s0"),
+        ],
+    )
+    got = {(r.doc_id, r.term): r for r in tfidf_terms(df, k=10).collect()}
+    n = 3
+    tf = {(1, "b"): 2, (2, "c"): 2, (3, "e"): 1}
+    df_t = {"b": 2, "c": 2, "e": 1}
+    for (d, t), e_tf in tf.items():
+        r = got[(d, t)]
+        assert r.tf == e_tf
+        assert r.df == df_t[t]
+        want = round(e_tf * math.log((n + 1) / (df_t[t] + 1)), 6)
+        assert abs(r.score - want) < 1e-9
+
+
+def test_lang_balance_caps_at_minority(spark):
+    from cdc_poc_spark.operators.sampling import lang_balance
+
+    rows = [(i, f"text {i}", "en", "s0") for i in range(20)]
+    rows += [(100 + i, f"texte {i}", "fr", "s0") for i in range(7)]
+    rows += [(200 + i, f"texto {i}", "es", "s0") for i in range(3)]
+    out = lang_balance(_docs(spark, rows)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert {len(v) for v in by_lang.values()} == {3}
+    assert set(by_lang) == {"en", "fr", "es"}
+    # determinism: re-running keeps the identical survivor set
+    again = {
+        (r.lang, r.doc_id)
+        for r in lang_balance(_docs(spark, rows)).collect()
+    }
+    assert again == {(lang, d) for lang, v in by_lang.items() for d in v}
+
+
+def test_ngram_diversity_exact_small(spark):
+    from cdc_poc_spark.operators.text_analysis import ngram_diversity
+
+    # source s0: one doc "a a b" -> uni: 3 tot / 2 distinct; bi: "a a","a b"
+    # -> 2/2; tri: "a a b" -> 1/1
+    df = _docs(spark, [(1, "a a b", "en", "s0"), (2, "x", "en", "s1")])
+    got = {
+        (r.source, r.n): (r.total_ngrams, r.distinct_ngrams, r.diversity)
+        for r in ngram_diversity(df).collect()
+    }
+    assert got[("s0", 1)] == (3, 2, round(2 / 3, 6))
+    assert got[("s0", 2)] == (2, 2, 1.0)
+    assert got[("s0", 3)] == (1, 1, 1.0)
+    assert got[("s1", 1)] == (1, 1, 1.0)
+    # a 1-token doc has no bigrams/trigrams: no (s1, 2) / (s1, 3) rows
+    assert ("s1", 2) not in got and ("s1", 3) not in got
+
+
+def test_cdc_chunks_partition_document(spark):
+    """Chunks tile the document exactly: lengths sum to len(text) and
+    indexes are dense from 0."""
+    from cdc_poc_spark.operators.dedup import cdc_chunks
+    from cdc_poc_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ch = cdc_chunks(docs)
+    agg = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.sum("chunk_len").alias("chars"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("chunk_idx").alias("mx"),
+            F.min("chunk_idx").alias("mn"),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("len")), "doc_id")
+    )
+    bad = agg.filter(
+        (F.col("chars") != F.col("len"))
+        | (F.col("mn") != 0)
+        | (F.col("mx") != F.col("n") - 1)
+    )
+    assert bad.count() == 0
+    assert agg.count() == docs.filter(F.length("text") >= 1).count()
+
+
+def test_cdc_boundaries_survive_prefix_edit(spark):
+    """The content-defined property: prepending a prefix changes only the
+    chunks up to the first boundary after the edit — the suffix chunk
+    hashes are identical, which is the whole point vs fixed-size blocks."""
+    from cdc_poc_spark.operators.dedup import cdc_chunks
+    from cdc_poc_spark.sources.testdata import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.length("text") > 400)
+        .limit(20)
+        .select("doc_id", "text")
+    )
+    edited = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("EDIT! "), F.col("text")).alias("text"),
+    )
+    both = cdc_chunks(docs.unionByName(edited))
+    orig = both.filter(F.col("doc_id") < 100000).select(
+        "doc_id", "chunk_hash"
+    )
+    ed = both.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        F.col("chunk_hash").alias("eh"),
+    )
+    # every original doc with >= 2 chunks shares all but its first chunk
+    # with the edited twin (boundaries after the first are content-local)
+    n_chunks = orig.groupBy("doc_id").count().filter(F.col("count") >= 2)
+    shared = (
+        orig.join(ed, (orig.doc_id == ed.doc_id) & (orig.chunk_hash == ed.eh))
+        .groupBy(orig.doc_id)
+        .agg(F.countDistinct("chunk_hash").alias("n_shared"))
+    )
+    check = n_chunks.join(shared, "doc_id", "left").filter(
+        F.coalesce(F.col("n_shared"), F.lit(0)) < F.col("count") - 1
+    )
+    assert check.count() == 0
+
+
+def test_cdc_report_flags_cross_doc_chunks(spark):
+    from cdc_poc_spark.operators.dedup import cdc_dedup_report
+
+    shared_block = "the quick brown fox jumps over the lazy dog " * 8
+    df = _docs(
+        spark,
+        [
+            (1, shared_block + "unique tail alpha one", "en", "s0"),
+            (2, shared_block + "completely different ending beta", "en", "s0"),
+            (3, "no overlap with anything else here at all", "en", "s0"),
+        ],
+    )
+    # divisor=8: the repeated 45-char sentence has only 45 distinct
+    # 16-grams, and at the default divisor 64 none of them happens to hash
+    # to a boundary — a real pathological-periodic-content case (md5 is
+    # fixed, so this is deterministic, not flaky)
+    got = {r.doc_id: r for r in cdc_dedup_report(df, divisor=8).collect()}
+    assert got[1].n_shared_chunks >= 1
+    assert got[2].n_shared_chunks >= 1
+    assert got[3].n_shared_chunks == 0 and got[3].dup_ratio == 0.0
+    for r in got.values():
+        assert 0.0 <= r.dup_ratio <= 1.0
+        assert r.shared_chars <= r.total_chars

@@ -263,7 +263,10 @@ def test_image_banding_pigeonhole_property(spark, base, flip_bits):
     equi-join on (band, key) always produces the candidate."""
     from cdc_poc_spark.operators import multimodal
 
-    other = base
+    # flip in unsigned-64 space, then wrap back to signed: Python's
+    # arbitrary-precision XOR on a negative base would otherwise walk
+    # out of int64 range when bit 63 flips
+    other = base & ((1 << 64) - 1)
     for b in flip_bits:
         other ^= 1 << b
     other = other - (1 << 64) if other >= 2**63 else other
