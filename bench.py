@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "text_ngram_diversity",
     "pipeline_lang_balance",
     "dedup_cdc_report",
+    "text_boilerplate_strip",
+    "pipeline_temperature_mix",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -800,3 +800,4 @@ def cdc_dedup_report(
             ).alias("dup_ratio"),
         )
     )
+

@@ -317,3 +317,53 @@ def shuffle_to_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos", "shuffle_key")
     )
+
+
+TEMP_ALPHA = 0.3
+
+
+def temperature_weights(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature-based multilingual sampling probabilities (the mC4 /
+    XLM-R exponential-smoothing rule, Conneau et al. 2020,
+    arXiv:1911.02116 §3): with corpus share s_l = n_l / N,
+
+        p_l = s_l^alpha / sum_m s_m^alpha
+
+    alpha < 1 up-samples low-resource languages; alpha = 1 reproduces the
+    raw mix, alpha -> 0 the uniform mix (what :func:`lang_balance`
+    realizes by hard capping). The ``boost`` column (p_l / s_l) is the
+    per-language sampling multiplier a downstream weighted sampler uses.
+
+    Determinism across engines: counts are exact integers and every
+    division is a two-operand IEEE double op (correctly rounded, so
+    bit-identical given identical inputs); pow() is the one libm call,
+    snapped to a 9dp grid, and the normalizing SUM runs over that grid
+    in DECIMAL so the denominator cannot depend on aggregation order.
+    The whole operator is one language-key hash agg (a handful of
+    groups) — the 100 TB cost is the corpus scan, nothing else."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    w_raw = F.round(
+        F.pow(
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double"),
+            F.lit(alpha),
+        ),
+        9,
+    ).cast("decimal(20,10)")
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias(
+            "_share"
+        ),
+        w_raw.alias("_w"),
+    )
+    denom = scored.agg(F.sum("_w").alias("_denom"))
+    p_raw = F.col("_w").cast("double") / F.col("_denom").cast("double")
+    return scored.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("_share"), 6).alias("share"),
+        F.round(p_raw, 6).alias("p_sample"),
+        F.round(p_raw / F.col("_share"), 6).alias("boost"),
+    )

@@ -683,3 +683,69 @@ def ngram_diversity(docs: DataFrame, max_n: int = DIVERSITY_MAX_N) -> DataFrame:
             ).alias("diversity"),
         )
     )
+
+
+BOILERPLATE_MAX_DF_FRAC = 0.05
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame, max_df_frac: float = BOILERPLATE_MAX_DF_FRAC
+) -> DataFrame:
+    """CROSS-document boilerplate-line removal (the CCNet paragraph-dedup
+    step): a line appearing in more than ``max_df_frac`` of all documents
+    is boilerplate (cookie banners, nav bars, licence footers) and is
+    stripped from every document; within-doc repeats of a *rare* line are
+    kept (that's :func:`dedup_lines`' job).
+
+    Scale shape: explode lines with position -> line-hash doc-frequency
+    (two-level exact distinct: (line, doc) dedup then line count — both
+    map-side combinable) -> broadcast-sized hot-line set (bounded by
+    1/max_df_frac distinct values per df bucket... in practice tiny) anti
+    -joins back -> per-doc ordered reassembly. The reassembly sort is the
+    one per-doc wide op; its shuffle key is doc_id, the same exchange the
+    explode came from. The line travels as its 60-bit md5.
+
+    Output: (doc_id, clean_text, n_lines, n_boilerplate_removed)."""
+    from ..functions.hashing import md5_long
+
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("lh", md5_long(F.col("line")))
+    hot = (
+        lines.select("lh", "doc_id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("n_docs") * max_df_frac)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(hot), "lh", "left_anti")
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("clean_text"),
+                F.count(F.lit(1)).alias("n_kept"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_boilerplate_removed"),
+        )
+    )

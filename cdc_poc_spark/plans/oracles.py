@@ -2912,4 +2912,80 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(chunk_len) AS DOUBLE), 6) AS dup_ratio
         FROM fl GROUP BY doc_id"""
 
+    from ..operators.text_analysis import BOILERPLATE_MAX_DF_FRAC
+
+    _boiler_aug = """
+        aug AS (
+            SELECT doc_id, concat_ws(chr(10),
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'subscribe to our newsletter today' END,
+                text,
+                CASE WHEN doc_id % 5 = 0
+                     THEN 'all rights reserved by the publisher' END,
+                CASE WHEN doc_id % 7 = 3
+                     THEN 'editor note ' || CAST(doc_id % 4 AS VARCHAR) END
+            ) AS text
+            FROM documents
+        )"""
+
+    sqls["text_boilerplate_strip"] = f"""
+        WITH {_boiler_aug},
+        l2 AS (
+            SELECT doc_id, s.pos AS pos, s.line AS line
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                           i -> struct_pack(pos := i, line := ls[i]))) AS s
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM aug)
+            )
+        ),
+        nd AS (SELECT count(*) AS n FROM documents),
+        hot AS (
+            SELECT line
+            FROM (SELECT line, count(DISTINCT doc_id) AS df
+                  FROM l2 GROUP BY line), nd
+            WHERE df > n * {BOILERPLATE_MAX_DF_FRAC}
+        ),
+        kept AS (
+            SELECT doc_id, pos, line FROM l2
+            WHERE line NOT IN (SELECT line FROM hot)
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM l2 GROUP BY 1),
+        reasm AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY 1
+        )
+        SELECT tot.doc_id,
+               COALESCE(reasm.clean_text, '') AS clean_text,
+               CAST(tot.n_lines AS BIGINT) AS n_lines,
+               CAST(tot.n_lines - COALESCE(reasm.n_kept, 0) AS BIGINT)
+                   AS n_boilerplate_removed
+        FROM tot LEFT JOIN reasm USING (doc_id)"""
+
+    from ..operators.sampling import TEMP_ALPHA
+
+    sqls["pipeline_temperature_mix"] = f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+        scored AS (
+            SELECT lang, n_docs,
+                   CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share_raw,
+                   CAST(ROUND(pow(CAST(n_docs AS DOUBLE)
+                                  / CAST(n_total AS DOUBLE), {TEMP_ALPHA}), 9)
+                        AS DECIMAL(20,10)) AS w
+            FROM counts, tot
+        ),
+        denom AS (SELECT sum(w) AS d FROM scored)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND(share_raw, 6) AS share,
+               ROUND(CAST(w AS DOUBLE) / CAST(d AS DOUBLE), 6) AS p_sample,
+               ROUND(CAST(w AS DOUBLE) / CAST(d AS DOUBLE) / share_raw, 6)
+                   AS boost
+        FROM scored, denom"""
+
     return sqls

@@ -1623,6 +1623,50 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return privacy.pii_redact(_pii_augmented_docs(spark, sf_dir))
 
 
+def _boilerplate_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus with deterministic doc_id-derived boilerplate
+    lines attached (newsletter banner on even ids, licence footer on %5,
+    a RARE editor note on %7==3) — the synthetic corpus has no newlines,
+    so the cross-doc line-dedup operator needs a corpus whose line ground
+    truth both engines construct identically (the _pii_augmented_docs
+    precedent). concat_ws skips NULL pieces in both engines."""
+    did = F.col("doc_id")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(did % 2 == 0, F.lit("subscribe to our newsletter today")),
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit("all rights reserved by the publisher")),
+            F.when(
+                did % 7 == 3,
+                F.concat(F.lit("editor note "), (did % 4).cast("string")),
+            ),
+        ).alias("text"),
+    )
+
+
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal (CCNet paragraph dedup):
+    lines whose document frequency exceeds 5% of the corpus are stripped
+    everywhere; the hot set is broadcast-anti-joined and documents
+    reassemble in position order
+    (operators/text_analysis.py::remove_boilerplate_lines)."""
+    return text_analysis.remove_boilerplate_lines(
+        _boilerplate_augmented_docs(spark, sf_dir)
+    )
+
+
+def q_pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling probabilities (XLM-R
+    alpha=0.3 rule): per-language share, p_sample, and boost; exact
+    integer counts, 9dp-grid pow, DECIMAL-summed denominator
+    (operators/sampling.py::temperature_weights)."""
+    from ..operators import sampling
+
+    return sampling.temperature_weights(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding for training export:
     seeded-md5 permutation key, shard = key % 32, per-shard rank — one
@@ -2718,6 +2762,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_cdc_report": q_dedup_cdc_report,
         # ---- end of driver 50-slot verification window ----
+        # newest additions (rotate into the round-5 window):
+        "text_boilerplate_strip": q_text_boilerplate_strip,
+        "pipeline_temperature_mix": q_pipeline_temperature_mix,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

@@ -192,3 +192,52 @@ def test_cdc_report_flags_cross_doc_chunks(spark):
     for r in got.values():
         assert 0.0 <= r.dup_ratio <= 1.0
         assert r.shared_chars <= r.total_chars
+
+
+def test_boilerplate_strip_cross_doc(spark):
+    from cdc_poc_spark.operators.text_analysis import remove_boilerplate_lines
+
+    hot = "subscribe now"
+    rows = [(i, f"{hot}\nreal content {i}\nmore text {i}", "en", "s0")
+            for i in range(20)]
+    rows.append((99, "rare line\nunique body here", "en", "s0"))
+    df = _docs(spark, rows)
+    got = {r.doc_id: r for r in remove_boilerplate_lines(df, 0.5).collect()}
+    for i in range(20):
+        assert got[i].n_boilerplate_removed == 1
+        assert got[i].clean_text == f"real content {i}\nmore text {i}"
+        assert got[i].n_lines == 3
+    # the rare line survives (df = 1/21 < 0.5)
+    assert got[99].n_boilerplate_removed == 0
+    assert got[99].clean_text == "rare line\nunique body here"
+
+
+def test_boilerplate_strip_fully_hot_doc_empties(spark):
+    from cdc_poc_spark.operators.text_analysis import remove_boilerplate_lines
+
+    rows = [(i, "only banner", "en", "s0") for i in range(10)]
+    got = {r.doc_id: r for r in remove_boilerplate_lines(
+        _docs(spark, rows), 0.5).collect()}
+    assert len(got) == 10
+    for r in got.values():
+        assert r.clean_text == "" and r.n_boilerplate_removed == 1
+
+
+def test_temperature_weights_math(spark):
+    from cdc_poc_spark.operators.sampling import temperature_weights
+
+    rows = [(i, "x", "en", "s0") for i in range(80)]
+    rows += [(100 + i, "x", "fr", "s0") for i in range(16)]
+    rows += [(200 + i, "x", "es", "s0") for i in range(4)]
+    got = {r.lang: r for r in temperature_weights(_docs(spark, rows), 0.5).collect()}
+    # shares: .8 / .16 / .04 ; alpha=.5 -> w: .894427191 .4 .2  (9dp grid)
+    import math
+    w = {"en": round(math.sqrt(0.8), 9), "fr": round(math.sqrt(0.16), 9),
+         "es": round(math.sqrt(0.04), 9)}
+    denom = sum(w.values())
+    for lang, r in got.items():
+        assert r.p_sample == round(w[lang] / denom, 6)
+    # probabilities sum to ~1, low-resource boosted, high-resource damped
+    assert abs(sum(r.p_sample for r in got.values()) - 1.0) < 1e-5
+    assert got["es"].boost > 1.0 > got["en"].boost
+    assert got["en"].n_docs == 80 and got["es"].share == 0.04
