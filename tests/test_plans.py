@@ -485,3 +485,42 @@ def test_banded_keys_one_arrow_stage_per_side(spark):
     plan = _plan(queries()["sim_embedding_dups_lsh"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert plan.count("ArrowEvalPython") == 2
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    """The boilerplate line removal anti-joins a (small, bounded) hot-line
+    set: must be a broadcast anti-join, never a shuffle, and the
+    reassembly must be the only wide doc_id stage."""
+    plan = _plan(queries()["text_boilerplate_strip"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_ncorpus_broadcast_no_cartesian(spark):
+    """TF-IDF: the 1-row corpus count enters via broadcast; the df join is
+    a key join (no cartesian); tf/df aggs keep map-side partials."""
+    plan = _plan(queries()["text_tfidf_terms"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+
+
+def test_cdc_chunks_single_scan_no_python(spark):
+    """Content-defined chunking is one parquet scan + narrow array
+    expressions behind one exchange — no join, no Python, and only
+    doc_id/text read from the scan."""
+    plan = _plan(queries()["dedup_cdc_chunks"](spark, SF_DIR))
+    scans = _scans(plan)
+    assert len(scans) == 1
+    assert "text" in scans[0] and "lang" not in scans[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_lang_balance_floor_broadcasts(spark):
+    """Language balancing: the 1-row floor count broadcasts (nested-loop
+    on a single row is fine); the only shuffle is the lang window."""
+    plan = _plan(queries()["pipeline_lang_balance"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
