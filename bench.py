@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "dedup_cdc_report",
     "text_boilerplate_strip",
     "pipeline_temperature_mix",
+    "dedup_cdc_incremental",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

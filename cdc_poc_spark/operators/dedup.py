@@ -801,3 +801,62 @@ def cdc_dedup_report(
         )
     )
 
+
+
+def cdc_incremental_dedup(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    k: int = CDC_GRAM,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Incremental chunk-level dedup: an INCOMING document batch is
+    content-defined-chunked and its chunk hashes probe the standing chunk
+    index — the ingest-time storage-dedup decision ("how much of this new
+    doc do we already have?") without ever re-pairing the corpus with
+    itself. The third member of the incremental family
+    (:func:`incremental_minhash_dups`,
+    similarity.embedding_dup_batch_lsh) and the reason content-defined
+    boundaries exist at all: an edited re-crawl shares every chunk after
+    the edit point, so its dup_ratio exposes it as a re-ingest.
+
+    Scale shape: at 100 TB the index is a bucketed table keyed by
+    chunk_hash; per batch the probe join's build side is the batch's
+    DISTINCT chunk-hash set (batch-sized, broadcastable), so the standing
+    index streams through it map-side — cost O(index scan) worst case,
+    O(batch + matches) with hash-partitioned storage. Output: per batch
+    doc, the chunk/char counts already present in the index and the
+    dup_ratio (1.0 = pure re-ingest, 0.0 = all-new content)."""
+    batch_ch = cdc_chunks(batch_docs, k, divisor)
+    idx_hashes = cdc_chunks(index_docs, k, divisor).select("chunk_hash").distinct()
+    flagged = batch_ch.join(
+        idx_hashes.withColumn("_hit", F.lit(1)), "chunk_hash", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_known_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), F.col("chunk_len")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("known_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_known_chunks",
+            "total_chars",
+            "known_chars",
+            F.round(
+                F.col("known_chars").cast("double")
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

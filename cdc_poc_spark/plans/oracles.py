@@ -2988,4 +2988,29 @@ def oracle_sql() -> dict[str, str]:
                    AS boost
         FROM scored, denom"""
 
+    from .registry import DEDUP_BATCH_MOD
+
+    sqls["dedup_cdc_incremental"] = f"""
+        WITH chtbl AS ({_cdc_chunks_sql}),
+        batch AS (
+            SELECT * FROM chtbl WHERE doc_id % {DEDUP_BATCH_MOD} = 0
+        ),
+        idx AS (
+            SELECT DISTINCT chunk_hash FROM chtbl
+            WHERE doc_id % {DEDUP_BATCH_MOD} <> 0
+        ),
+        fl AS (
+            SELECT batch.doc_id, batch.chunk_len,
+                   CASE WHEN idx.chunk_hash IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_known
+            FROM batch LEFT JOIN idx ON batch.chunk_hash = idx.chunk_hash
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(is_known) AS BIGINT) AS n_known_chunks,
+               CAST(sum(chunk_len) AS BIGINT) AS total_chars,
+               CAST(sum(is_known * chunk_len) AS BIGINT) AS known_chars,
+               ROUND(CAST(sum(is_known * chunk_len) AS DOUBLE)
+                     / CAST(sum(chunk_len) AS DOUBLE), 6) AS dup_ratio
+        FROM fl GROUP BY doc_id"""
+
     return sqls

@@ -473,6 +473,18 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-level dedup: the new-document batch is
+    content-defined-chunked and probes the standing chunk-hash index for
+    per-doc known-content ratios — the ingest-time storage-dedup decision
+    (operators/dedup.py::cdc_incremental_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_incremental_dedup(
+        docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0),
+        docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD == 0),
+    )
+
+
 def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8: malformed-record split — corrupt vs parseable counts."""
     wire = _wire(spark, sf_dir, corrupt=True)
@@ -2765,6 +2777,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         # newest additions (rotate into the round-5 window):
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
+        "dedup_cdc_incremental": q_dedup_cdc_incremental,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

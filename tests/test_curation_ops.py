@@ -241,3 +241,36 @@ def test_temperature_weights_math(spark):
     assert abs(sum(r.p_sample for r in got.values()) - 1.0) < 1e-5
     assert got["es"].boost > 1.0 > got["en"].boost
     assert got["en"].n_docs == 80 and got["es"].share == 0.04
+
+
+def test_cdc_incremental_detects_reingest(spark):
+    """A re-crawled doc with a small prefix edit shows high dup_ratio
+    against the standing index; genuinely new content shows 0."""
+    from cdc_poc_spark.operators.dedup import cdc_incremental_dedup
+    from cdc_poc_spark.sources.testdata import load_table
+
+    idx = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.length("text") > 400)
+        .limit(10)
+        .select("doc_id", "text")
+    )
+    batch = idx.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("REVISED: "), F.col("text")).alias("text"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(999999, "entirely novel content never seen before anywhere")],
+            "doc_id long, text string",
+        )
+    )
+    got = {r.doc_id: r for r in cdc_incremental_dedup(idx, batch, divisor=16).collect()}
+    # novel content stays near zero (tiny 1-2 char chunks may trivially
+    # collide — the stateless LBFS rule has no min-chunk bound; production
+    # FastCDC bounds would zero this out)
+    assert got[999999].dup_ratio < 0.1
+    # with divisor=16 a >400-char doc has ~12 boundaries: everything after
+    # the first boundary is chunk-identical to the indexed original
+    revised = [r for d, r in got.items() if d != 999999]
+    assert len(revised) == 10
+    assert sum(1 for r in revised if r.dup_ratio > 0.5) >= 8
