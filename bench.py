@@ -177,6 +177,13 @@ def main() -> None:
     from cdc_poc_spark.session import free_caches
 
     free_caches(spark)  # batch queries' dead caches must not tax streaming
+    # the streaming path (wire parse -> enrich -> foreachBatch sinks) has
+    # its own generated code the batch warmups never compile: the first
+    # stream run pays ~3s of JIT (12k ev/s vs ~20k steady-state). Warm it
+    # at the smallest SF so the measured number is steady-state, same
+    # policy as the batch warmup list above.
+    stream_throughput(spark, "/root/testdata/sf0.001")
+    free_caches(spark)
     stream = stream_throughput(spark, sf_dir)
     gen = generator_throughput(spark)
     # Contract: EXACTLY ONE JSON line on stdout, short enough that a
