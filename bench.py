@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "text_boilerplate_strip",
     "pipeline_temperature_mix",
     "dedup_cdc_incremental",
+    "text_quality_buckets",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

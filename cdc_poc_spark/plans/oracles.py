@@ -3013,4 +3013,13 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(chunk_len) AS DOUBLE), 6) AS dup_ratio
         FROM fl GROUP BY doc_id"""
 
+    sqls["text_quality_buckets"] = f"""
+        WITH lm AS ({sqls["text_lm_score"]})
+        SELECT lm.doc_id, d.lang, lm.mean_logp,
+               (['head', 'middle', 'tail'])[
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY lm.mean_logp DESC, lm.doc_id)
+               ] AS bucket
+        FROM lm JOIN documents d ON lm.doc_id = d.doc_id"""
+
     return sqls

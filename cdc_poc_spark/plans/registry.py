@@ -1564,6 +1564,34 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.lm_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): per language, documents split into
+    head/middle/tail terciles by LM score — the standard
+    quality-stratification step before sampling decides how much of each
+    stratum to keep. ntile(3) follows the SQL-standard uneven-split rule
+    in both engines; ordering is total ((6dp score desc, doc_id), so
+    ties cannot reorder across engines). One lang-key window over the
+    doc-sized score table — the model fit dominates, the bucketing is
+    free."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_analysis.lm_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logp"), F.asc("doc_id")
+    )
+    tier = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "mean_logp",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier
+        ).alias("bucket"),
+    )
+
+
 def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate-line removal (first occurrence kept, order
     preserved) with the removal audit — pure array expressions, no
@@ -2778,6 +2806,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
+        "text_quality_buckets": q_text_quality_buckets,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

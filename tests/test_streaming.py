@@ -387,3 +387,58 @@ def test_streaming_incremental_embedding_dedup(spark, tmp_path):
     )
     q.awaitTermination()
     assert state["pairs"] == expected and expected
+
+
+def test_streaming_incremental_chunk_dedup(spark, tmp_path):
+    """Streaming document ingestion driving incremental chunk-level dedup:
+    each micro-batch probes the standing chunk-hash index in foreachBatch
+    (cdc_incremental_dedup), then joins the index. Per-doc known-content
+    ratios must equal the sequential application — the ingest-time
+    storage-dedup loop a continuously-crawling pipeline runs."""
+    from cdc_poc_spark.operators.dedup import cdc_incremental_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+    ind = str(tmp_path / "doc_in")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{ind}/b{i}", mode="overwrite")
+
+    # the file-source batch ORDER is an implementation detail: compute the
+    # sequential expectation for both orders and accept either
+    def sequential(order):
+        out, index_df = {}, base
+        for b in order:
+            for r in cdc_incremental_dedup(index_df, b).collect():
+                out[r.doc_id] = (r.n_known_chunks, r.known_chars)
+            index_df = index_df.unionByName(b)
+        return out
+
+    expected_orders = [sequential(batches), sequential(batches[::-1])]
+
+    state = {"index": base, "got": {}}
+
+    def on_batch(batch_df, _bid):
+        batch = batch_df.persist()
+        if batch.count() == 0:
+            return
+        for r in cdc_incremental_dedup(state["index"], batch).collect():
+            state["got"][r.doc_id] = (r.n_known_chunks, r.known_chars)
+        state["index"] = state["index"].unionByName(batch)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ind}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["got"] in expected_orders and state["got"]
