@@ -760,8 +760,13 @@ def cdc_dedup_report(
     exact distinct-doc count, map-side partials) -> hash-key join back ->
     per-doc agg. The shared-hash table is duplicate-sized, far smaller
     than the corpus; dup_ratio divides exact BIGINT char counts as
-    doubles, rounded to 6dp (IEEE-identical in both engines)."""
-    ch = cdc_chunks(docs, k, divisor)
+    doubles, rounded to 6dp (IEEE-identical in both engines).
+
+    The chunk table persists across its two consumers (shared-set agg +
+    flagged join): without the pin, the per-character md5 gram scan — the
+    operator's dominant cost — runs twice (the `_filtered_shingle_arrays`
+    precedent; session.free_caches reclaims it between queries)."""
+    ch = cdc_chunks(docs, k, divisor).persist()
     shared = (
         ch.groupBy("chunk_hash")
         .agg(F.count_distinct("doc_id").alias("nd"))

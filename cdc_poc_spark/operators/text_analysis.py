@@ -709,10 +709,18 @@ def remove_boilerplate_lines(
     from ..functions.hashing import md5_long
 
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
-    ).withColumn("lh", md5_long(F.col("line")))
+    # the exploded line table has three consumers (hot-set df count,
+    # anti-join probe, per-doc n_lines agg): persist it so the corpus is
+    # scanned and line-hashed once, not three times (session.free_caches
+    # reclaims the pin between queries)
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+        )
+        .withColumn("lh", md5_long(F.col("line")))
+        .persist()
+    )
     hot = (
         lines.select("lh", "doc_id")
         .distinct()

@@ -39,7 +39,13 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from cdc_poc_spark.operators import bpe, classify, dedup, similarity  # noqa: E402
+from cdc_poc_spark.operators import (  # noqa: E402
+    bpe,
+    classify,
+    dedup,
+    similarity,
+    text_analysis,
+)
 from cdc_poc_spark.session import free_caches, get_spark  # noqa: E402
 from cdc_poc_spark.sources.testdata import load_table  # noqa: E402
 
@@ -104,6 +110,12 @@ OPS = {
     # boundary aggregates — expect ~linear-or-flat
     "bpe_train (10 merges)": lambda d, v: bpe.train_merges(d)[1],
     "nb_classify": lambda d, v: classify.nb_confusion(d),
+    # r3 curation ops: chunk report joins on the duplicate-sized shared-
+    # hash set (expect ~linear); tfidf is two hash aggs + a token-key
+    # join + doc window (expect ~linear in corpus, n log n in doc terms)
+    "cdc_chunk_report": lambda d, v: dedup.cdc_dedup_report(d),
+    "tfidf_topk": lambda d, v: text_analysis.tfidf_terms(d),
+    "ngram_diversity": lambda d, v: text_analysis.ngram_diversity(d),
 }
 
 
