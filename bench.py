@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "pipeline_temperature_mix",
     "dedup_cdc_incremental",
     "text_quality_buckets",
+    "pipeline_curation_funnel",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -3022,4 +3022,59 @@ def oracle_sql() -> dict[str, str]:
                ] AS bucket
         FROM lm JOIN documents d ON lm.doc_id = d.doc_id"""
 
+    from ..operators.dedup import CONTAM_BENCH_MOD as _CBM
+
+    _funnel_bench = (
+        f"{md5_long_seeded_sql('CAST(doc_id AS VARCHAR)', 'bench')} % {_CBM} = 0"
+    )
+    sqls["pipeline_curation_funnel"] = f"""
+        WITH qids AS (
+            SELECT doc_id FROM ({sqls["text_stats"]}) WHERE quality_ok
+        ),
+        kids AS (
+            SELECT keep_doc_id AS doc_id FROM ({sqls["dedup_exact"]})
+        ),
+        lids AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM ({sqls["dedup_ngram_jaccard"]})
+        ),
+        bids AS (SELECT doc_id FROM documents WHERE {_funnel_bench}),
+        cids AS (
+            SELECT doc_id FROM ({sqls["pipeline_decontaminate"]})
+        ),
+        fl AS (
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN d.doc_id IN (SELECT doc_id FROM qids)
+                        THEN 1 ELSE 0 END AS fq,
+                   CASE WHEN d.doc_id IN (SELECT doc_id FROM kids)
+                        THEN 1 ELSE 0 END AS fk,
+                   CASE WHEN d.doc_id IN (SELECT doc_id FROM lids)
+                        THEN 0 ELSE 1 END AS keep_nl,
+                   CASE WHEN d.doc_id IN (SELECT doc_id FROM bids)
+                        THEN 0 ELSE 1 END AS keep_nb,
+                   CASE WHEN d.doc_id IN (SELECT doc_id FROM cids)
+                        THEN 0 ELSE 1 END AS keep_nc
+            FROM documents d
+        ),
+        stages AS (
+            SELECT count(*) AS s0, sum(fq) AS s1, sum(fq * fk) AS s2,
+                   sum(fq * fk * keep_nl) AS s3,
+                   sum(fq * fk * keep_nl * keep_nb * keep_nc) AS s4
+            FROM fl
+        ),
+        bal AS (
+            SELECT min(n) * count(*) AS s5
+            FROM (SELECT lang, count(*) AS n FROM fl
+                  WHERE fq = 1 AND fk = 1 AND keep_nl = 1
+                    AND keep_nb = 1 AND keep_nc = 1
+                  GROUP BY lang)
+        )
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+               CAST(s0 AS BIGINT) AS n_docs FROM stages
+        UNION ALL SELECT 1, 'quality', CAST(s1 AS BIGINT) FROM stages
+        UNION ALL SELECT 2, 'exact_dedup', CAST(s2 AS BIGINT) FROM stages
+        UNION ALL SELECT 3, 'near_dedup', CAST(s3 AS BIGINT) FROM stages
+        UNION ALL SELECT 4, 'decontaminated', CAST(s4 AS BIGINT) FROM stages
+        UNION ALL SELECT 5, 'lang_balanced', CAST(s5 AS BIGINT) FROM bal"""
+
     return sqls

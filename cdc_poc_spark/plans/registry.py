@@ -1762,6 +1762,101 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel in one plan: per-stage survivor counts for
+    raw -> quality gate -> exact dedup -> near-dup removal ->
+    decontamination (bench docs + contaminated docs out) -> language
+    balancing — the acceptance dashboard a corpus-curation run publishes.
+
+    Shape: every expensive predicate (stats gate, exact keepers, Jaccard
+    losers, bench split, contamination) is computed ONCE and left-joined
+    onto a doc-id flag frame (persisted — it feeds both the stage
+    aggregate and the balance floor agg); stage counts are conditional
+    sums in a single 1-row aggregate, then unpivoted. The balance stage
+    count is floor * n_langs by the lang_balance contract (every language
+    holds >= floor survivors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        text_analysis.text_stats(docs)
+        .filter(F.col("quality_ok"))
+        .select("doc_id", F.lit(1).alias("fq"))
+    )
+    k = dedup.exact_dups(docs).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("fk")
+    )
+    nl = (
+        dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("fl"))
+    )
+    corpus, bench = dedup.benchmark_split(docs)
+    fb = bench.select("doc_id", F.lit(1).alias("fb"))
+    fc = dedup.decontaminate(corpus, bench).select(
+        "doc_id", F.lit(1).alias("fc")
+    )
+    flagged = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id", "left")
+        .join(k, "doc_id", "left")
+        .join(nl, "doc_id", "left")
+        .join(fb, "doc_id", "left")
+        .join(fc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("fq", F.lit(0)).alias("fq"),
+            F.coalesce("fk", F.lit(0)).alias("fk"),
+            (1 - F.coalesce("fl", F.lit(0))).alias("keep_nl"),
+            (1 - F.coalesce("fb", F.lit(0))).alias("keep_nb"),
+            (1 - F.coalesce("fc", F.lit(0))).alias("keep_nc"),
+        )
+        .persist()
+    )
+    s4_pred = (
+        (F.col("fq") == 1)
+        & (F.col("fk") == 1)
+        & (F.col("keep_nl") == 1)
+        & (F.col("keep_nb") == 1)
+        & (F.col("keep_nc") == 1)
+    )
+    stages = flagged.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("fq").alias("s1"),
+        F.sum(F.col("fq") * F.col("fk")).alias("s2"),
+        F.sum(F.col("fq") * F.col("fk") * F.col("keep_nl")).alias("s3"),
+        F.sum(s4_pred.cast("int")).alias("s4"),
+    )
+    bal = (
+        flagged.filter(s4_pred)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            (F.min("_n") * F.count(F.lit(1))).alias("s5"),
+        )
+    )
+    names = ["raw", "quality", "exact_dedup", "near_dedup", "decontaminated"]
+    rows = [
+        stages.select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(nm).alias("stage_name"),
+            F.col(f"s{i}").cast("long").alias("n_docs"),
+        )
+        for i, nm in enumerate(names)
+    ]
+    rows.append(
+        bal.select(
+            F.lit(5).cast("long").alias("stage"),
+            F.lit("lang_balanced").alias("stage_name"),
+            F.col("s5").cast("long").alias("n_docs"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize stage (Arrow-batched mapInPandas, stub codec): bytes ->
     resized bytes at a fixed RGB budget; binary payload dropped for the
@@ -2807,6 +2902,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
         "text_quality_buckets": q_text_quality_buckets,
+        "pipeline_curation_funnel": q_pipeline_curation_funnel,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

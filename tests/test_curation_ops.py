@@ -274,3 +274,19 @@ def test_cdc_incremental_detects_reingest(spark):
     revised = [r for d, r in got.items() if d != 999999]
     assert len(revised) == 10
     assert sum(1 for r in revised if r.dup_ratio > 0.5) >= 8
+
+
+def test_curation_funnel_monotone(spark):
+    """Stage survivor counts are monotone non-increasing through stage 4,
+    and the balanced count is consistent with the per-lang floor rule."""
+    from cdc_poc_spark.plans.registry import _RAW_QUERIES
+
+    rows = {
+        r.stage: r.n_docs
+        for r in _RAW_QUERIES["pipeline_curation_funnel"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4] >= rows[5]
+    assert rows[0] == 500 and rows[5] > 0
