@@ -290,3 +290,22 @@ def test_curation_funnel_monotone(spark):
     assert sorted(rows) == [0, 1, 2, 3, 4, 5]
     assert rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4] >= rows[5]
     assert rows[0] == 500 and rows[5] > 0
+
+
+def test_quality_buckets_balanced_per_lang(spark):
+    """ntile(3) terciles: per language the head/middle/tail sizes differ
+    by at most one, and ordering is honored (min head score >= max tail
+    score within a language)."""
+    from cdc_poc_spark.plans.registry import _RAW_QUERIES
+
+    rows = _RAW_QUERIES["text_quality_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.mean_logp)
+    for lang, buckets in per.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if "head" in buckets and "tail" in buckets:
+            assert min(buckets["head"]) >= max(buckets["tail"]), lang
