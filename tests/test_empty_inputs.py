@@ -171,3 +171,31 @@ def test_r3_operators_empty(spark):
     # empty batch against a full index AND full batch against empty index
     assert similarity.embedding_dup_batch_lsh(full, emb, 0.4).count() == 0
     assert similarity.embedding_dup_batch_lsh(emb, full, 0.4).count() == 0
+
+
+def test_r3_curation_ops_empty(spark):
+    """The round-3 curation family on zero rows: empty results, no throw.
+    (lang_balance/temperature divide by per-group counts that simply
+    produce no groups; cdc chunking's sentinel append never sees a row.)"""
+    from cdc_poc_spark.operators.sampling import lang_balance, temperature_weights
+    from cdc_poc_spark.operators.text_analysis import (
+        ngram_diversity,
+        remove_boilerplate_lines,
+        tfidf_terms,
+    )
+
+    docs = _empty_like(load_table(spark, SF, "documents"))
+    assert tfidf_terms(docs).count() == 0
+    assert ngram_diversity(docs).count() == 0
+    assert lang_balance(docs).count() == 0
+    assert temperature_weights(docs).count() == 0
+    assert remove_boilerplate_lines(docs).count() == 0
+    assert dedup.cdc_chunks(docs).count() == 0
+    assert dedup.cdc_dedup_report(docs).count() == 0
+    full = load_table(spark, SF, "documents")
+    # empty batch against a real index, and a real batch against an empty
+    # index — both shapes occur in incremental runs
+    assert dedup.cdc_incremental_dedup(full, docs).count() == 0
+    got = dedup.cdc_incremental_dedup(docs, full.limit(5))
+    assert got.count() == 5
+    assert got.filter(F.col("n_known_chunks") != 0).count() == 0
