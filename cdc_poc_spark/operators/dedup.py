@@ -97,7 +97,11 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 
 def _filtered_shingle_arrays(
-    docs: DataFrame, k: int, max_df_frac: float | None, cache: bool
+    docs: DataFrame,
+    k: int,
+    max_df_frac: float | None,
+    cache: bool,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, shs, n): per-doc df-filtered shingle-hash arrays in global
     rarest-first (df, shingle) order — the shared substrate of the
@@ -111,8 +115,10 @@ def _filtered_shingle_arrays(
     window's per-partition sort is over narrow (shingle, doc_id) rows,
     a cheap price for a whole saved pass (~25% at sf0.1; fewer shuffles
     at any scale). The df cap still drops hot shingles before the
-    per-doc collect."""
-    sh = doc_shingles(docs, k)
+    per-doc collect. ``shingles`` lets a composition (the curation
+    funnel) pass a pre-computed (persisted) doc_shingles frame so the
+    corpus is shingle-hashed once across several consumers."""
+    sh = doc_shingles(docs, k) if shingles is None else shingles
     win = Window.partitionBy("shingle")
     shd = sh.withColumn("_df", F.count(F.lit(1)).over(win))
     if max_df_frac is not None:
@@ -148,6 +154,7 @@ def ngram_jaccard_pairs(
     k: int = SHINGLE_K,
     cache: bool = True,
     max_df_frac: float | None = MAX_SHINGLE_DF_FRAC,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold, where the
     shingle sets exclude stop-shingles (document frequency > ``max_df_frac``
@@ -172,7 +179,7 @@ def ngram_jaccard_pairs(
     inner join on df-filtered shingles, no extra pass.
     """
     t = float(threshold)
-    arrs = _filtered_shingle_arrays(docs, k, max_df_frac, cache)
+    arrs = _filtered_shingle_arrays(docs, k, max_df_frac, cache, shingles)
     plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
     pref = arrs.select(
         "doc_id", F.explode(F.slice("shs", 1, plen)).alias("shingle")
@@ -223,6 +230,7 @@ def containment_pairs(
     k: int = SHINGLE_K,
     cache: bool = True,
     max_df_frac: float | None = MAX_SHINGLE_DF_FRAC,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs where either containment direction clears ``threshold`` —
     containment(A in B) = |A ∩ B| / |A| over the df-filtered shingle sets
@@ -241,7 +249,7 @@ def containment_pairs(
     Output: (doc_a < doc_b, n_common, containment_a, containment_b),
     filtered on the max direction."""
     t = float(threshold)
-    arrs = _filtered_shingle_arrays(docs, k, max_df_frac, cache)
+    arrs = _filtered_shingle_arrays(docs, k, max_df_frac, cache, shingles)
     plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
     pref = arrs.select(
         "doc_id", F.explode(F.slice("shs", 1, plen)).alias("shingle")
@@ -526,6 +534,8 @@ def decontaminate(
     benchmark: DataFrame,
     min_shared: int = CONTAM_MIN_SHARED,
     k: int = SHINGLE_K,
+    corpus_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus documents contaminated by benchmark overlap: sharing >=
     ``min_shared`` distinct k-gram shingles with the benchmark set, with
@@ -537,11 +547,15 @@ def decontaminate(
     by doc_id, document text never shuffles. 100 TB corpus x fixed
     benchmark stays linear.
     """
-    bench_grams = F.broadcast(
-        doc_shingles(benchmark, k).select("shingle").distinct()
+    bench_sh = (
+        doc_shingles(benchmark, k) if bench_shingles is None else bench_shingles
     )
+    corpus_sh = (
+        doc_shingles(corpus, k) if corpus_shingles is None else corpus_shingles
+    )
+    bench_grams = F.broadcast(bench_sh.select("shingle").distinct())
     return (
-        doc_shingles(corpus, k)
+        corpus_sh
         .join(bench_grams, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))

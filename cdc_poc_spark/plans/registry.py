@@ -1774,8 +1774,12 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and the balance floor agg); stage counts are conditional
     sums in a single 1-row aggregate, then unpivoted. The balance stage
     count is floor * n_langs by the lang_balance contract (every language
-    holds >= floor survivors)."""
+    holds >= floor survivors). The corpus is shingle-hashed ONCE: a
+    persisted doc_shingles frame feeds both the Jaccard candidate path
+    and the contamination check (at 100 TB the double corpus scan this
+    saves is the funnel's dominant avoidable cost)."""
     docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs).persist()
     q = (
         text_analysis.text_stats(docs)
         .filter(F.col("quality_ok"))
@@ -1785,16 +1789,24 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("fk")
     )
     nl = (
-        dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD, shingles=sh)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .select("doc_id", F.lit(1).alias("fl"))
     )
     corpus, bench = dedup.benchmark_split(docs)
-    fb = bench.select("doc_id", F.lit(1).alias("fb"))
-    fc = dedup.decontaminate(corpus, bench).select(
-        "doc_id", F.lit(1).alias("fc")
+    is_bench = (
+        hashing.md5_long_seeded(F.col("doc_id"), "bench")
+        % dedup.CONTAM_BENCH_MOD
+        == 0
     )
+    fb = bench.select("doc_id", F.lit(1).alias("fb"))
+    fc = dedup.decontaminate(
+        corpus,
+        bench,
+        corpus_shingles=sh.filter(~is_bench),
+        bench_shingles=sh.filter(is_bench),
+    ).select("doc_id", F.lit(1).alias("fc"))
     flagged = (
         docs.select("doc_id", "lang")
         .join(q, "doc_id", "left")
