@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dedup_cdc_incremental",
     "text_quality_buckets",
     "pipeline_curation_funnel",
+    "sim_centroid_drift",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -3077,4 +3077,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 4, 'decontaminated', CAST(s4 AS BIGINT) FROM stages
         UNION ALL SELECT 5, 'lang_balanced', CAST(s5 AS BIGINT) FROM bal"""
 
+    sqls["sim_centroid_drift"] = f"""
+        WITH ex AS (
+            SELECT label, s.pos AS pos, s.val AS val
+            FROM (
+                SELECT label,
+                       unnest(list_transform(range(1, len(embedding) + 1),
+                           i -> struct_pack(pos := i - 1,
+                                            val := embedding[i]))) AS s
+                FROM embeddings
+            )
+        ),
+        sums AS (
+            SELECT label, pos,
+                   sum(CAST(val AS DECIMAL(20,10))) AS sm,
+                   count(*) AS n
+            FROM ex GROUP BY label, pos
+        ),
+        cents AS (
+            SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+                   list_transform(
+                       list_sort(list(struct_pack(pos := pos,
+                           m := ROUND(CAST(sm AS DOUBLE) / n, 9)))),
+                       s -> s.m) AS centroid
+            FROM sums GROUP BY label
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.n_vecs AS n_a, b.n_vecs AS n_b,
+               ROUND(CASE WHEN sqrt({dot_sql('a.centroid', 'a.centroid')}) > 0
+                           AND sqrt({dot_sql('b.centroid', 'b.centroid')}) > 0
+                          THEN {cosine_sql('a.centroid', 'b.centroid')}
+                     END, 6) AS centroid_cosine
+        FROM cents a JOIN cents b ON a.label < b.label"""
+
     return sqls

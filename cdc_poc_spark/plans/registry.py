@@ -1762,6 +1762,16 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: pairwise cosine between
+    per-label mean embeddings (exact DECIMAL dimension sums, 9dp-grid
+    means, sequential-fold cosine)
+    (operators/similarity.py::label_centroid_drift)."""
+    return similarity.label_centroid_drift(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel in one plan: per-stage survivor counts for
     raw -> quality gate -> exact dedup -> near-dup removal ->
@@ -2915,6 +2925,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
         "text_quality_buckets": q_text_quality_buckets,
         "pipeline_curation_funnel": q_pipeline_curation_funnel,
+        "sim_centroid_drift": q_sim_centroid_drift,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

@@ -309,3 +309,27 @@ def test_quality_buckets_balanced_per_lang(spark):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         if "head" in buckets and "tail" in buckets:
             assert min(buckets["head"]) >= max(buckets["tail"]), lang
+
+
+def test_label_centroids_exact_mean(spark):
+    from cdc_poc_spark.operators.similarity import (
+        label_centroid_drift,
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [3.0, 0.0], 0),
+            (3, [0.0, 2.0], 1),
+            (4, [0.0, 0.0], 2),  # degenerate slice: zero centroid
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = {r.label: r for r in label_centroids(df).collect()}
+    assert cents[0].centroid == [2.0, 0.0] and cents[0].n_vecs == 2
+    assert cents[1].centroid == [0.0, 2.0] and cents[1].n_vecs == 1
+    drift = {(r.label_a, r.label_b): r for r in label_centroid_drift(df).collect()}
+    assert drift[(0, 1)].centroid_cosine == 0.0  # orthogonal
+    assert drift[(0, 2)].centroid_cosine is None  # zero-norm guard
+    assert drift[(0, 1)].n_a == 2 and drift[(0, 1)].n_b == 1
