@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "text_quality_buckets",
     "pipeline_curation_funnel",
     "sim_centroid_drift",
+    "wh_quality_audit",
+    "sketch_hll_users",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

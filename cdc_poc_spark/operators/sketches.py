@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing
+
 CMS_EPS = 0.001
 CMS_CONFIDENCE = 0.99
 CMS_SEED = 42
@@ -105,3 +107,141 @@ def heavy_hitters_over_candidates(
         f"{col} long, est_count long",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style mergeable cardinality sketch (Flajolet et al. 2007).
+#
+# Spark ships approx_count_distinct (HLL++), but its register state is
+# engine-internal: the sketch can't be stored, shipped, or merged across
+# snapshots, and its estimates can't be cross-checked by another engine.
+# This implementation builds the registers as a plain DataFrame from the
+# repo's portable md5-60 hash, so
+#   - the register table IS the sketch: 2^p rows of (register, max_rho)
+#     integers, mergeable across any partitioning of the input by a
+#     groupBy(register).max(max_rho) — the classic union-max;
+#   - the DuckDB oracle reproduces registers AND estimates bit-for-bit
+#     (the harmonic denominator is a sum of dyadic rationals 2^-rho with
+#     rho <= 41, exactly representable in double for every partial sum, so
+#     the float math is order-independent and engine-independent).
+#
+# 100 TB posture: one scan, map-side partial max per register, 2^p-row
+# shuffle. The sketch for ANY slice (per day, per topic) is 2^p small rows;
+# cross-slice cardinalities come from merging sketches, never rescanning.
+# ---------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+HLL_W = 40  # rho suffix width in bits; rho ranges over [1, HLL_W + 1]
+# alpha_m bias constant for m >= 128 (Flajolet et al. 2007, fig. 3);
+# computed once here and embedded as the same double literal in the oracle
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The mergeable HLL sketch of ``col`` (optionally per group) as a
+    DataFrame of (group_cols..., register, max_rho).
+
+    register = low p bits of md5_60(value); rho = 1 + leading zeros of the
+    next W bits (via length(bin(suffix)) — integer-exact in both engines).
+    """
+    h = hashing.md5_long(F.col(col))
+    reg = h.bitwiseAND(F.lit(HLL_M - 1))
+    suf = F.shiftright(h, HLL_P).bitwiseAND(F.lit((1 << HLL_W) - 1))
+    rho = F.when(suf == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(suf))
+    )
+    groups = [*(group_cols or []), "register"]
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *(group_cols or []),
+            reg.cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*groups)
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """HLL estimate from a register frame: raw harmonic estimate
+    alpha_m * m^2 / sum_j 2^-M_j (empty registers contribute 2^0 = 1 each)
+    with the standard small-range linear-counting correction — when
+    raw <= 2.5m and zero registers exist, m * ln(m / V) (Flajolet et al.
+    2007 fig. 3; without it the raw estimate floors at ~0.72m for tiny
+    cardinalities).
+
+    Cross-engine determinism: the harmonic denominator is an
+    order-independent sum of exactly-representable dyadic doubles, so the
+    raw estimate — and therefore the correction BRANCH — is bit-identical
+    in Spark and DuckDB; ln() agrees to ulps and both paths round to 4dp.
+    """
+    v = F.lit(HLL_M) - F.count(F.lit(1))  # zero (empty) registers
+    denom = v + F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+    est = F.when((raw <= 2.5 * HLL_M) & (v > 0), F.round(lc, 4)).otherwise(
+        F.round(raw, 4)
+    )
+    gb = registers.groupBy(*group_cols) if group_cols else registers.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        est.alias("est_distinct"),
+    )
+
+
+def hll_user_report(events: DataFrame) -> DataFrame:
+    """Distinct-user cardinality dashboard: per-event-type HLL estimate plus
+    the ALL scope obtained by MERGING the per-type sketches (union-max over
+    registers — no second scan of the fact table), each next to its exact
+    count(distinct) and the relative error in percent.
+
+    Scans events twice total (registers + exact verification); a production
+    run at 100 TB would drop the exact branch and pay one scan.
+    """
+    regs = hll_registers(events, "user_id", ["event_type"]).persist()
+    per = hll_estimate(regs, ["event_type"]).withColumnRenamed(
+        "event_type", "scope"
+    )
+    merged = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    allsc = hll_estimate(merged).select(
+        F.lit("ALL").alias("scope"), "n_registers", "est_distinct"
+    )
+    ests = per.unionByName(allsc)
+
+    pairs = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
+    exact_per = pairs.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    exact_all = (
+        pairs.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+        .select(F.lit("ALL").alias("scope"), "exact_distinct")
+    )
+    exacts = exact_per.unionByName(exact_all)
+
+    return (
+        ests.join(exacts, "scope")
+        .select(
+            "scope",
+            "n_registers",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                * F.lit(100.0)
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("scope")
+    )

@@ -3110,4 +3110,122 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS centroid_cosine
         FROM cents a JOIN cents b ON a.label < b.label"""
 
+    sqls["wh_quality_audit"] = """
+        WITH o AS (
+            SELECT COUNT(*) AS den,
+                   SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+                   SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS c1,
+                   SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c2,
+                   SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+                                                AND TIMESTAMP '2001-12-31'
+                            THEN 1 ELSE 0 END) AS c3,
+                   COUNT(DISTINCT o_orderkey)
+                       FILTER (WHERE o_orderkey IS NOT NULL) AS u0
+            FROM orders
+        ),
+        l AS (
+            SELECT COUNT(*) AS den,
+                   SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+                   SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1
+                            THEN 1 ELSE 0 END) AS c1,
+                   SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                            THEN 1 ELSE 0 END) AS c2,
+                   SUM(CASE WHEN l_returnflag IN ('R','A','N')
+                            THEN 1 ELSE 0 END) AS c3,
+                   COUNT(DISTINCT (l_orderkey, l_linenumber))
+                       FILTER (WHERE l_orderkey IS NOT NULL
+                               AND l_linenumber IS NOT NULL) AS u0
+            FROM lineitem
+        ),
+        ref AS (
+            SELECT (SELECT COUNT(*) FROM lineitem) AS den,
+                   (SELECT COUNT(*) FROM lineitem li
+                     WHERE li.l_orderkey IN (SELECT o_orderkey FROM orders)) AS num
+        ),
+        raw AS (
+            SELECT 'orders' AS table_name, 'complete:o_custkey' AS constraint_name,
+                   c0 AS num, den FROM o
+            UNION ALL SELECT 'orders', 'domain:o_orderstatus', c1, den FROM o
+            UNION ALL SELECT 'orders', 'bounds:o_totalprice>0', c2, den FROM o
+            UNION ALL SELECT 'orders', 'bounds:o_orderdate', c3, den FROM o
+            UNION ALL SELECT 'orders', 'unique:o_orderkey', u0, den FROM o
+            UNION ALL SELECT 'lineitem', 'complete:l_orderkey', c0, den FROM l
+            UNION ALL SELECT 'lineitem', 'bounds:l_discount', c1, den FROM l
+            UNION ALL SELECT 'lineitem', 'bounds:l_quantity', c2, den FROM l
+            UNION ALL SELECT 'lineitem', 'domain:l_returnflag', c3, den FROM l
+            UNION ALL SELECT 'lineitem', 'unique:l_orderkey,l_linenumber', u0, den FROM l
+            UNION ALL SELECT 'lineitem', 'ref:l_orderkey', num, den FROM ref
+        )
+        SELECT table_name, constraint_name,
+               CAST(num AS BIGINT) AS metric_num,
+               CAST(den AS BIGINT) AS metric_den,
+               ROUND(CAST(num AS DOUBLE) * 100.0 / CAST(den AS DOUBLE), 4) AS pct_ok,
+               CAST(CASE WHEN num = den THEN 1 ELSE 0 END AS INTEGER) AS passed
+        FROM raw"""
+
+    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_W
+
+    _hll_suf = f"(h >> {HLL_P}) & ((1::BIGINT << {HLL_W}) - 1)"
+    sqls["sketch_hll_users"] = f"""
+        WITH h AS (
+            SELECT event_type,
+                   {md5_long_sql('CAST(user_id AS VARCHAR)')} AS h
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(h & {HLL_M - 1} AS INTEGER) AS register,
+                   CASE WHEN ({_hll_suf}) = 0 THEN {HLL_W + 1}
+                        ELSE {HLL_W + 1} - length(bin({_hll_suf}))
+                   END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, register, MAX(rho) AS max_rho
+            FROM r GROUP BY event_type, register
+        ),
+        per AS (
+            SELECT event_type AS scope,
+                   CAST(COUNT(*) AS BIGINT) AS n_registers,
+                   {HLL_ALPHA * HLL_M * HLL_M!r}
+                       / (({HLL_M} - COUNT(*))
+                          + SUM(pow(2.0, -max_rho))) AS raw_est,
+                   {HLL_M} - COUNT(*) AS v
+            FROM regs GROUP BY event_type
+        ),
+        mregs AS (
+            SELECT register, MAX(max_rho) AS max_rho FROM regs GROUP BY register
+        ),
+        rawests AS (
+            SELECT scope, n_registers, raw_est, v FROM per
+            UNION ALL
+            SELECT 'ALL',
+                   CAST(COUNT(*) AS BIGINT),
+                   {HLL_ALPHA * HLL_M * HLL_M!r}
+                       / (({HLL_M} - COUNT(*))
+                          + SUM(pow(2.0, -max_rho))),
+                   {HLL_M} - COUNT(*)
+            FROM mregs
+        ),
+        ests AS (
+            SELECT scope, n_registers,
+                   CASE WHEN raw_est <= 2.5 * {HLL_M} AND v > 0
+                        THEN ROUND({float(HLL_M)!r} * ln({float(HLL_M)!r} / v), 4)
+                        ELSE ROUND(raw_est, 4)
+                   END AS est_distinct
+            FROM rawests
+        ),
+        exacts AS (
+            SELECT event_type AS scope,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT e.scope, e.n_registers, e.est_distinct, x.exact_distinct,
+               ROUND((e.est_distinct - x.exact_distinct) * 100.0
+                     / x.exact_distinct, 4) AS rel_err_pct
+        FROM ests e JOIN exacts x ON e.scope = x.scope"""
+
     return sqls

@@ -29,6 +29,7 @@ from ..operators import (
     dedup,
     multimodal,
     packing,
+    quality,
     sampling,
     search,
     sessions,
@@ -1772,6 +1773,29 @@ def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint report over the warehouse
+    snapshot: completeness, domain membership, value bounds, exact
+    uniqueness, and lineitem->orders referential integrity. Single-pass
+    conditional aggregates per table + one LEFT ANTI join; output is
+    O(#constraints) rows (operators/quality.py::audit_warehouse)."""
+    return quality.audit_warehouse(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable HLL cardinality sketch: per-event-type distinct
+    users estimated from 1024-register md5-60 sketches, the ALL scope
+    produced by union-max MERGE of the per-type registers (no rescan), each
+    beside the exact distinct count and relative error
+    (operators/sketches.py::hll_user_report)."""
+    from ..operators import sketches
+
+    return sketches.hll_user_report(load_table(spark, sf_dir, "events"))
+
+
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel in one plan: per-stage survivor counts for
     raw -> quality gate -> exact dedup -> near-dup removal ->
@@ -2926,6 +2950,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "text_quality_buckets": q_text_quality_buckets,
         "pipeline_curation_funnel": q_pipeline_curation_funnel,
         "sim_centroid_drift": q_sim_centroid_drift,
+        "wh_quality_audit": q_wh_quality_audit,
+        "sketch_hll_users": q_sketch_hll_users,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

@@ -1,0 +1,74 @@
+"""HyperLogLog sketch (operators/sketches.py): mergeability, accuracy,
+and partition-layout independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.operators import sketches
+
+
+def _vals(spark, n, parts=4):
+    return spark.range(0, n, 1, parts).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+
+
+def test_union_max_merge_equals_global_sketch(spark):
+    """The defining sketch property: merging per-group registers by
+    union-max must give exactly the whole-table sketch."""
+    df = _vals(spark, 5000)
+    merged = (
+        sketches.hll_registers(df, "v", ["g"])
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = sketches.hll_registers(df, "v")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_estimate_accuracy(spark):
+    """1024 registers -> ~1.04/sqrt(1024) ~ 3.25% typical error; assert a
+    generous 10% bound at two cardinalities well above the small-range
+    regime."""
+    for n in (20_000, 100_000):
+        df = _vals(spark, n)
+        est = sketches.hll_estimate(sketches.hll_registers(df, "v")).first()
+        assert abs(est.est_distinct - n) / n < 0.10, (n, est.est_distinct)
+
+
+def test_registers_partition_independent(spark):
+    df1 = _vals(spark, 3000, parts=1)
+    df32 = _vals(spark, 3000, parts=32)
+    r1 = set(map(tuple, sketches.hll_registers(df1, "v").collect()))
+    r32 = set(map(tuple, sketches.hll_registers(df32, "v").collect()))
+    assert r1 == r32
+
+
+def test_rho_bounds_and_register_range(spark):
+    regs = sketches.hll_registers(_vals(spark, 2000), "v").collect()
+    assert all(0 <= r.register < sketches.HLL_M for r in regs)
+    assert all(1 <= r.max_rho <= sketches.HLL_W + 1 for r in regs)
+
+
+def test_null_keys_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string"
+    )
+    regs = sketches.hll_registers(df, "v")
+    assert regs.agg(F.sum(F.lit(1))).first()[0] == 2
+
+
+def test_user_report_scopes(spark, sf_dir):
+    from cdc_poc_spark.sources.testdata import load_table
+
+    rep = {r.scope: r for r in
+           sketches.hll_user_report(load_table(spark, sf_dir, "events")).collect()}
+    assert "ALL" in rep
+    for r in rep.values():
+        assert r.exact_distinct > 0
+        # every scope's estimate within the generous 10% bound
+        assert abs(r.rel_err_pct) < 10.0
+        assert r.n_registers <= sketches.HLL_M
