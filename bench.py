@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "sim_centroid_drift",
     "wh_quality_audit",
     "sketch_hll_users",
+    "ts_anomaly",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

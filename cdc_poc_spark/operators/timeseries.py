@@ -173,3 +173,89 @@ def autocorrelation(events: DataFrame, lags: tuple[int, ...] = AUTOCORR_LAGS) ->
         F.col("n").cast("long").alias("n_pairs"),
         (F.round(num / safe_den, 6) + F.lit(0.0)).alias("autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection: trailing-window z-score spikes/drops.
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 60  # trailing history length in minute-buckets
+ANOM_MIN_N = 30  # minimum history before a bucket is scored
+ANOM_Z = 3  # threshold in sigmas (integer so z^2 stays exact)
+
+
+def rate_anomalies(
+    events: DataFrame,
+    window: int = ANOM_WINDOW,
+    min_n: int = ANOM_MIN_N,
+    z: int = ANOM_Z,
+) -> DataFrame:
+    """Per-event-type rate anomalies: minute buckets whose event count sits
+    more than ``z`` trailing standard deviations from the trailing mean
+    (the ops alarm a streaming ingest pipeline pages on).
+
+    Determinism design: the anomaly DECISION is pure integer arithmetic —
+    with trailing sums n, s = Σcnt, ss = Σcnt² (all BIGINT-exact), the test
+    (x-μ)²/σ² > z² rearranges to
+
+        (n·x - s)²  >  z² · (n·ss - s²)
+
+    so the flagged row set is bit-identical in Spark and DuckDB regardless
+    of float behavior; the reported z_score is the only double (and it is
+    derived from those same exact integers, then rounded). A constant
+    history (variance 0) flags any deviation.
+
+    Shape: one groupBy shuffle events→(type, minute) — after which the
+    frame is ~5 orders of magnitude smaller than the fact table — then one
+    re-shuffle on type for the trailing window. Integer-overflow bound:
+    exact up to ~3.9e8 events per (type, minute); above that, pre-aggregate
+    to coarser buckets.
+    """
+    from ..functions.timeutil import ntz_trunc
+
+    minutes = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", ntz_trunc("minute", F.col("ts")).alias("minute")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-window, -1)
+    )
+    scored = minutes.select(
+        "event_type",
+        "minute",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    )
+    num = F.col("n") * F.col("cnt") - F.col("s")  # n * (x - mean)
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")  # n^2 * var
+    is_anom = (F.col("n") >= min_n) & (
+        F.when(var_n2 == 0, num != 0).otherwise(
+            num * num > F.lit(z * z) * var_n2
+        )
+    )
+    return (
+        scored.filter(is_anom)
+        .select(
+            "event_type",
+            "minute",
+            "cnt",
+            F.col("n").cast("long").alias("trailing_n"),
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 4
+            ).alias("trailing_mean"),
+            F.when(
+                var_n2 > 0,
+                F.round(
+                    num.cast("double") / F.sqrt(var_n2.cast("double")), 4
+                ),
+            ).alias("z_score"),
+        )
+        .orderBy("event_type", "minute")
+    )

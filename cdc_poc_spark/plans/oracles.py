@@ -3228,4 +3228,35 @@ def oracle_sql() -> dict[str, str]:
                      / x.exact_distinct, 4) AS rel_err_pct
         FROM ests e JOIN exacts x ON e.scope = x.scope"""
 
+    from ..operators.timeseries import ANOM_MIN_N, ANOM_WINDOW, ANOM_Z
+
+    sqls["ts_anomaly"] = f"""
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, minute, cnt,
+                   COUNT(*) OVER tw AS n,
+                   SUM(cnt) OVER tw AS s,
+                   SUM(cnt * cnt) OVER tw AS ss
+            FROM m
+            WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+                          ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, minute, cnt,
+               CAST(n AS BIGINT) AS trailing_n,
+               ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS trailing_mean,
+               CASE WHEN n * ss - s * s > 0
+                    THEN ROUND(CAST(n * cnt - s AS DOUBLE)
+                               / sqrt(CAST(n * ss - s * s AS DOUBLE)), 4)
+               END AS z_score
+        FROM w
+        WHERE n >= {ANOM_MIN_N}
+          AND CASE WHEN n * ss - s * s = 0 THEN n * cnt - s <> 0
+                   ELSE (n * cnt - s) * (n * cnt - s)
+                        > {ANOM_Z * ANOM_Z} * (n * ss - s * s) END"""
+
     return sqls

@@ -1796,6 +1796,16 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_user_report(load_table(spark, sf_dir, "events"))
 
 
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
+    from the trailing-60-bucket mean. The flag decision is pure BIGINT
+    arithmetic ((n·x-s)² > z²(n·ss-s²)) so the anomalous row set is exact
+    (operators/timeseries.py::rate_anomalies)."""
+    from ..operators.timeseries import rate_anomalies
+
+    return rate_anomalies(load_table(spark, sf_dir, "events"))
+
+
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel in one plan: per-stage survivor counts for
     raw -> quality gate -> exact dedup -> near-dup removal ->
@@ -2952,6 +2962,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_centroid_drift": q_sim_centroid_drift,
         "wh_quality_audit": q_wh_quality_audit,
         "sketch_hll_users": q_sketch_hll_users,
+        "ts_anomaly": q_ts_anomaly,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

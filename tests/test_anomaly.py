@@ -1,0 +1,68 @@
+"""Rate-anomaly detection (operators/timeseries.py::rate_anomalies):
+constructed spike/drop series and gating semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cdc_poc_spark.operators.timeseries import rate_anomalies
+
+
+def _events(spark, counts, event_type="t"):
+    """One event row per unit of count, minute buckets 0..len(counts)-1."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i, seconds=1), event_type)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string"
+    )
+
+
+def test_spike_on_noisy_history_flagged(spark):
+    # 40 minutes alternating 9/11 (mean 10, sd 1), then a 30-count spike
+    counts = [9, 11] * 20 + [30]
+    out = rate_anomalies(_events(spark, counts), min_n=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cnt == 30
+    assert r.z_score > 3
+    assert abs(r.trailing_mean - 10.0) < 0.2
+
+
+def test_drop_flagged_negative_z(spark):
+    counts = [9, 11] * 20 + [1]
+    out = rate_anomalies(_events(spark, counts), min_n=30).collect()
+    assert len(out) == 1
+    assert out[0].z_score < -3
+
+
+def test_constant_history_any_deviation_flags(spark):
+    # variance 0: the z_score is undefined (NULL) but the row must flag
+    counts = [10] * 40 + [11]
+    out = rate_anomalies(_events(spark, counts), min_n=30).collect()
+    assert len(out) == 1
+    assert out[0].z_score is None
+    assert out[0].cnt == 11
+
+
+def test_short_history_not_scored(spark):
+    counts = [10] * 10 + [1000]
+    assert rate_anomalies(_events(spark, counts), min_n=30).count() == 0
+
+
+def test_inlier_not_flagged(spark):
+    counts = [9, 11] * 20 + [12]  # 2 sigma: below the 3-sigma bar
+    assert rate_anomalies(_events(spark, counts), min_n=30).count() == 0
+
+
+def test_types_scored_independently(spark):
+    a = _events(spark, [9, 11] * 20 + [30], "a")
+    b = _events(spark, [9, 11] * 20 + [10], "b")
+    out = rate_anomalies(a.unionByName(b), min_n=30).collect()
+    assert [r.event_type for r in out] == ["a"]
