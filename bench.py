@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "wh_quality_audit",
     "sketch_hll_users",
     "ts_anomaly",
+    "sim_hard_negatives",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -3259,4 +3259,29 @@ def oracle_sql() -> dict[str, str]:
                    ELSE (n * cnt - s) * (n * cnt - s)
                         > {ANOM_Z * ANOM_Z} * (n * ss - s * s) END"""
 
+    from ..operators.similarity import HARDNEG_FALSE_NEG_TAU, HARDNEG_K
+
+    sqls["sim_hard_negatives"] = f"""
+        WITH bn AS (
+            SELECT vec_id, label, embedding, {_bucket} AS bucket,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS src_id, a.label AS src_label,
+                   b.vec_id AS nbr_id, b.label AS nbr_label,
+                   {dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+                       AS cosine_sim
+            FROM bn a JOIN bn b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             AND a.label <> b.label
+        )
+        SELECT src_id, src_label, nbr_id, nbr_label, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY cosine_sim DESC, nbr_id
+               ) AS nbr_rank
+        FROM scored
+        WHERE cosine_sim < {HARDNEG_FALSE_NEG_TAU!r}
+        QUALIFY nbr_rank <= {HARDNEG_K}"""
+
     return sqls

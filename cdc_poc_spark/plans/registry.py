@@ -1796,6 +1796,14 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_user_report(load_table(spark, sf_dir, "events"))
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: per vector, the top-5
+    most-similar DIFFERENT-label vectors below the false-negative ceiling
+    (0.95 cosine), candidates generated by the LSH bucket equi-join —
+    sub-quadratic (operators/similarity.py::hard_negatives)."""
+    return similarity.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
     from the trailing-60-bucket mean. The flag decision is pure BIGINT
@@ -2963,6 +2971,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_quality_audit": q_wh_quality_audit,
         "sketch_hll_users": q_sketch_hll_users,
         "ts_anomaly": q_ts_anomaly,
+        "sim_hard_negatives": q_sim_hard_negatives,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
