@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "sketch_hll_users",
     "ts_anomaly",
     "sim_hard_negatives",
+    "sketch_hist_quantiles",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -22,7 +22,7 @@ cardinalities where exact per-key state stops fitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -245,3 +245,131 @@ def hll_user_report(events: DataFrame) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram -> quantile estimation.
+#
+# The second sketch family: percentile dashboards over arbitrary slices
+# without a per-slice sort. All scopes bin onto ONE shared grid (global
+# min/max), so per-scope histograms merge by plain addition — the ALL scope
+# below is computed from the per-type registers, never by rescanning.
+# Estimates are the classic interpolated nearest-rank within the target
+# bin. Unlike percentile_approx/GK (engine-internal, non-portable), every
+# step here is deterministic double arithmetic the DuckDB oracle replays
+# bit-for-bit.
+#
+# 100 TB posture: one min/max scan (tiny broadcast), one scan to bin
+# (map-side partial counts), nbins-row shuffles thereafter.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+HIST_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def hist_registers(
+    df: DataFrame,
+    col: str,
+    nbins: int = HIST_BINS,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram counts of ``col`` per group on a GLOBAL
+    [min, max] grid: (group_cols..., bin, cnt, lo, width). The shared grid
+    is what makes per-group registers mergeable (sum cnt by bin)."""
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).select(
+        "lo",
+        ((F.col("hi") - F.col("lo")) / F.lit(float(nbins))).alias("width"),
+    )
+    binned = (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            *(group_cols or []),
+            "lo",
+            "width",
+            F.least(
+                F.when(
+                    F.col("width") > 0,
+                    F.floor(
+                        (F.col(col).cast("double") - F.col("lo"))
+                        / F.col("width")
+                    ),
+                ).otherwise(F.lit(0)),
+                F.lit(nbins - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    groups = [*(group_cols or []), "bin", "lo", "width"]
+    return binned.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    quantiles: tuple[float, ...] = HIST_QUANTILES,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram register frame:
+    for each q, the bin holding rank ceil(q*N) with linear interpolation
+    inside it. Output (group_cols..., quantile, est_value, n_rows)."""
+    gcols = group_cols or []
+    w = Window.partitionBy(*gcols).orderBy("bin") if gcols else (
+        Window.orderBy("bin")
+    )
+    cum = registers.select(
+        *gcols,
+        "bin",
+        "lo",
+        "width",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"),
+    )
+    qf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "quantile double"
+    )
+    target = F.ceil(F.col("quantile") * F.col("total").cast("double"))
+    est = F.col("lo") + F.col("width") * (
+        F.col("bin").cast("double")
+        + (target.cast("double") - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(qf))
+        .filter(
+            ((F.col("cum") - F.col("cnt")) < target) & (target <= F.col("cum"))
+        )
+        .select(
+            *gcols,
+            "quantile",
+            F.round(est, 4).alias("est_value"),
+            F.col("total").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def hist_value_report(events: DataFrame) -> DataFrame:
+    """Quantile dashboard for events.value: p50/p90/p99 per event_type from
+    per-type histograms on the global grid, plus the ALL scope obtained by
+    MERGING the per-type registers (sum by bin — no rescan)."""
+    regs = hist_registers(
+        events, "value", group_cols=["event_type"]
+    ).persist()
+    per = hist_quantiles(regs, group_cols=["event_type"]).withColumnRenamed(
+        "event_type", "scope"
+    )
+    merged = regs.groupBy("bin", "lo", "width").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    allsc = hist_quantiles(merged).select(
+        F.lit("ALL").alias("scope"), "quantile", "est_value", "n_rows"
+    )
+    return per.unionByName(allsc).orderBy("scope", "quantile")

@@ -3284,4 +3284,51 @@ def oracle_sql() -> dict[str, str]:
         WHERE cosine_sim < {HARDNEG_FALSE_NEG_TAU!r}
         QUALIFY nbr_rank <= {HARDNEG_K}"""
 
+    from ..operators.sketches import HIST_BINS, HIST_QUANTILES
+
+    _hq = ", ".join(f"({float(q)!r})" for q in HIST_QUANTILES)
+    sqls["sketch_hist_quantiles"] = f"""
+        WITH st AS (
+            SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                   (MAX(CAST(value AS DOUBLE)) - MIN(CAST(value AS DOUBLE)))
+                       / {float(HIST_BINS)!r} AS width
+            FROM events WHERE value IS NOT NULL
+        ),
+        b AS (
+            SELECT event_type, lo, width,
+                   LEAST(CASE WHEN width > 0
+                              THEN CAST(floor((CAST(value AS DOUBLE) - lo)
+                                              / width) AS BIGINT)
+                              ELSE 0 END,
+                         {HIST_BINS - 1}) AS bin
+            FROM events, st WHERE value IS NOT NULL
+        ),
+        regs AS (
+            SELECT event_type, bin, lo, width, COUNT(*) AS cnt
+            FROM b GROUP BY event_type, bin, lo, width
+        ),
+        allregs AS (
+            SELECT 'ALL' AS scope, bin, lo, width, SUM(cnt) AS cnt FROM regs
+            GROUP BY bin, lo, width
+            UNION ALL
+            SELECT event_type, bin, lo, width, cnt FROM regs
+        ),
+        cum AS (
+            SELECT scope, bin, lo, width, cnt,
+                   SUM(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY scope) AS total
+            FROM allregs
+        ),
+        q AS (SELECT CAST(quantile AS DOUBLE) AS quantile
+              FROM (VALUES {_hq}) t(quantile))
+        SELECT scope, quantile,
+               ROUND(lo + width * (CAST(bin AS DOUBLE)
+                     + (ceil(quantile * CAST(total AS DOUBLE))
+                        - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+                     4) AS est_value,
+               CAST(total AS BIGINT) AS n_rows
+        FROM cum, q
+        WHERE (cum - cnt) < ceil(quantile * CAST(total AS DOUBLE))
+          AND ceil(quantile * CAST(total AS DOUBLE)) <= cum"""
+
     return sqls

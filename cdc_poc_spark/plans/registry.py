@@ -1804,6 +1804,16 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles: p50/p90/p99 of
+    events.value per event_type on one shared 256-bin grid, ALL scope
+    merged from the per-type registers by bin addition — no rescan
+    (operators/sketches.py::hist_value_report)."""
+    from ..operators import sketches
+
+    return sketches.hist_value_report(load_table(spark, sf_dir, "events"))
+
+
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
     from the trailing-60-bucket mean. The flag decision is pure BIGINT
@@ -2972,6 +2982,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sketch_hll_users": q_sketch_hll_users,
         "ts_anomaly": q_ts_anomaly,
         "sim_hard_negatives": q_sim_hard_negatives,
+        "sketch_hist_quantiles": q_sketch_hist_quantiles,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
