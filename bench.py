@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "ts_anomaly",
     "sim_hard_negatives",
     "sketch_hist_quantiles",
+    "pipeline_token_budget",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

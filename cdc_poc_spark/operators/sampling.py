@@ -367,3 +367,119 @@ def temperature_weights(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFrame
         F.round(p_raw, 6).alias("p_sample"),
         F.round(p_raw / F.col("_share"), 6).alias("boost"),
     )
+
+
+EPOCH_CAP = 4.0  # max repeats per language (Muennighoff et al. 2023: value
+# of repeated data decays sharply past ~4 epochs)
+BUDGET_MULT = 3.0  # the allocation query trains on 3x the corpus tokens
+
+
+def token_budget_allocation(
+    docs: DataFrame,
+    budget_mult: float = BUDGET_MULT,
+    alpha: float = TEMP_ALPHA,
+    max_epochs: float = EPOCH_CAP,
+) -> DataFrame:
+    """Per-language training-token allocation under a repetition cap: split
+    a token budget B across languages proportionally to the temperature
+    probabilities p_l, but never above ``max_epochs`` repeats of a
+    language's available tokens T_l — the epoch schedule a data-constrained
+    pretraining run needs (temperature mixing per Conneau et al. 2020,
+    repetition ceiling per Muennighoff et al. 2023).
+
+    The capped allocation min(λ·p_l, C_l) with Σ = B (C_l = cap·T_l) is
+    WATER-FILLING; instead of the textbook iterative loop this solves it in
+    closed form with window functions: sort languages by saturation point
+    r_l = C_l/p_l, and for each candidate boundary b (languages 1..b
+    capped) compute λ_b = (B - Σ_{j<=b} C_j) / (Σ_{j>b} p_j); the unique
+    valid boundary satisfies r_b <= λ_b <= r_{b+1}. Everything is lang-key
+    aggregates and window scans over a handful of rows — no driver loop, no
+    collect, and every arithmetic step is deterministic IEEE double so the
+    DuckDB oracle reproduces the allocation exactly.
+
+    B = budget_mult × total corpus tokens (scale-free), clamped to Σ C_l
+    (the most the cap allows) so a valid boundary always exists.
+
+    Output: (lang, tokens_avail, p_sample, tokens_alloc, epochs, capped).
+    """
+    from .text_analysis import text_stats
+
+    toks = text_stats(docs).groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("tokens_avail")
+    )
+    probs = temperature_weights(docs, alpha).select("lang", "p_sample")
+    base = (
+        toks.join(probs, "lang")
+        .filter(F.col("p_sample") > 0)
+        .select(
+            "lang",
+            "tokens_avail",
+            "p_sample",
+            (F.col("tokens_avail").cast("double") * F.lit(max_epochs)).alias(
+                "cap_tokens"
+            ),
+        )
+        .withColumn("r", F.col("cap_tokens") / F.col("p_sample"))
+        .persist()  # lang-count rows; feeds boundary search AND final select
+    )
+    # cap_tokens are integers*cap (exact in double, order-independent);
+    # p_sample sums would NOT be (6dp doubles) -> accumulate p in DECIMAL
+    p_dec = F.col("p_sample").cast("decimal(18,6)")
+    totals = base.agg(
+        F.sum("cap_tokens").alias("sum_cap"),
+        F.sum(p_dec).alias("sum_p"),
+        (F.sum("tokens_avail").cast("double") * F.lit(budget_mult)).alias(
+            "budget_raw"
+        ),
+    ).select(
+        "sum_cap",
+        "sum_p",
+        F.least(F.col("budget_raw"), F.col("sum_cap")).alias("budget"),
+    )
+    w = Window.orderBy("r", "lang")
+    ranked = (
+        base.crossJoin(F.broadcast(totals))
+        .select(
+            "*",
+            (F.sum("cap_tokens").over(w) - F.col("cap_tokens")).alias("cum_cap_before"),
+            (F.sum(p_dec).over(w) - p_dec).alias("cum_p_before"),
+            F.lag("r").over(w).alias("r_prev"),
+        )
+        .withColumn(
+            "lam",
+            (F.col("budget") - F.col("cum_cap_before"))
+            / (F.col("sum_p") - F.col("cum_p_before")).cast("double"),
+        )
+        .withColumn(
+            "valid",
+            (F.col("lam") <= F.col("r"))
+            & (F.col("r_prev").isNull() | (F.col("lam") >= F.col("r_prev"))),
+        )
+    )
+    lam = (
+        ranked.filter("valid")
+        .orderBy("r", "lang")
+        .limit(1)
+        .select(F.col("lam").alias("lam_star"))
+    )
+    alloc = F.least(
+        F.col("lam_star") * F.col("p_sample"), F.col("cap_tokens")
+    )
+    return (
+        base.crossJoin(F.broadcast(lam))
+        .select(
+            "lang",
+            "tokens_avail",
+            "p_sample",
+            F.round(alloc, 2).alias("tokens_alloc"),
+            F.round(
+                alloc / F.col("tokens_avail").cast("double"), 4
+            ).alias("epochs"),
+            F.when(
+                F.col("lam_star") * F.col("p_sample") >= F.col("cap_tokens"), 1
+            )
+            .otherwise(0)
+            .alias("capped"),
+        )
+        .orderBy("lang")
+    )

@@ -3331,4 +3331,73 @@ def oracle_sql() -> dict[str, str]:
         WHERE (cum - cnt) < ceil(quantile * CAST(total AS DOUBLE))
           AND ceil(quantile * CAST(total AS DOUBLE)) <= cum"""
 
+    from ..operators.sampling import BUDGET_MULT, EPOCH_CAP
+
+    sqls["pipeline_token_budget"] = f"""
+        WITH {TOKS_CTE},
+        tk AS (
+            SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS tokens_avail
+            FROM toks GROUP BY lang
+        ),
+        counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+        scored AS (
+            SELECT lang,
+                   CAST(ROUND(pow(CAST(n_docs AS DOUBLE)
+                                  / CAST(n_total AS DOUBLE), {TEMP_ALPHA}), 9)
+                        AS DECIMAL(20,10)) AS w
+            FROM counts, tot
+        ),
+        dn AS (SELECT sum(w) AS d FROM scored),
+        probs AS (
+            SELECT lang, ROUND(CAST(w AS DOUBLE) / CAST(d AS DOUBLE), 6)
+                       AS p_sample
+            FROM scored, dn
+        ),
+        base AS (
+            SELECT t.lang, tokens_avail, p_sample,
+                   CAST(tokens_avail AS DOUBLE) * {EPOCH_CAP!r} AS cap_tokens,
+                   CAST(tokens_avail AS DOUBLE) * {EPOCH_CAP!r} / p_sample AS r
+            FROM tk t JOIN probs p USING (lang)
+            WHERE p_sample > 0
+        ),
+        totals AS (
+            SELECT SUM(cap_tokens) AS sum_cap,
+                   SUM(CAST(p_sample AS DECIMAL(18,6))) AS sum_p,
+                   LEAST(CAST(SUM(tokens_avail) AS DOUBLE) * {BUDGET_MULT!r},
+                         SUM(cap_tokens)) AS budget
+            FROM base
+        ),
+        ranked AS (
+            SELECT base.*, totals.*,
+                   SUM(cap_tokens) OVER (ORDER BY r, lang) - cap_tokens
+                       AS cum_cap_before,
+                   SUM(CAST(p_sample AS DECIMAL(18,6)))
+                       OVER (ORDER BY r, lang)
+                       - CAST(p_sample AS DECIMAL(18,6)) AS cum_p_before,
+                   lag(r) OVER (ORDER BY r, lang) AS r_prev
+            FROM base, totals
+        ),
+        lam AS (
+            SELECT (budget - cum_cap_before)
+                   / CAST(sum_p - cum_p_before AS DOUBLE) AS lam_star
+            FROM ranked
+            WHERE (budget - cum_cap_before)
+                  / CAST(sum_p - cum_p_before AS DOUBLE) <= r
+              AND (r_prev IS NULL
+                   OR (budget - cum_cap_before)
+                      / CAST(sum_p - cum_p_before AS DOUBLE) >= r_prev)
+            ORDER BY r, lang LIMIT 1
+        )
+        SELECT lang, tokens_avail, p_sample,
+               ROUND(LEAST(lam_star * p_sample, cap_tokens), 2)
+                   AS tokens_alloc,
+               ROUND(LEAST(lam_star * p_sample, cap_tokens)
+                     / CAST(tokens_avail AS DOUBLE), 4) AS epochs,
+               CAST(CASE WHEN lam_star * p_sample >= cap_tokens
+                         THEN 1 ELSE 0 END AS INTEGER) AS capped
+        FROM base, lam"""
+
     return sqls

@@ -1814,6 +1814,16 @@ def q_sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hist_value_report(load_table(spark, sf_dir, "events"))
 
 
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-token allocation: temperature probabilities ×
+    3×-corpus budget under a 4-epoch repetition cap, solved as closed-form
+    water-filling with window functions — no driver loop
+    (operators/sampling.py::token_budget_allocation)."""
+    return sampling.token_budget_allocation(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
     from the trailing-60-bucket mean. The flag decision is pure BIGINT
@@ -2983,6 +2993,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "ts_anomaly": q_ts_anomaly,
         "sim_hard_negatives": q_sim_hard_negatives,
         "sketch_hist_quantiles": q_sketch_hist_quantiles,
+        "pipeline_token_budget": q_pipeline_token_budget,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
