@@ -211,15 +211,35 @@ def rate_anomalies(
     exact up to ~3.9e8 events per (type, minute); above that, pre-aggregate
     to coarser buckets.
     """
+    return score_minute_counts(
+        minute_counts(events), window=window, min_n=min_n, z=z
+    )
+
+
+def minute_counts(events: DataFrame) -> DataFrame:
+    """(event_type, minute, cnt) — the mergeable substrate of
+    :func:`rate_anomalies`: per-minute counts ADD across batches, so a
+    streaming ingest can maintain them incrementally (sum-merge per
+    micro-batch) and score with :func:`score_minute_counts` at any point."""
     from ..functions.timeutil import ntz_trunc
 
-    minutes = (
+    return (
         events.filter(F.col("ts").isNotNull())
         .groupBy(
             "event_type", ntz_trunc("minute", F.col("ts")).alias("minute")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def score_minute_counts(
+    minutes: DataFrame,
+    window: int = ANOM_WINDOW,
+    min_n: int = ANOM_MIN_N,
+    z: int = ANOM_Z,
+) -> DataFrame:
+    """Scoring half of :func:`rate_anomalies` over a pre-built (and
+    possibly stream-merged) minute-count frame."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("minute")

@@ -442,3 +442,72 @@ def test_streaming_incremental_chunk_dedup(spark, tmp_path):
     )
     q.awaitTermination()
     assert state["got"] in expected_orders and state["got"]
+
+
+def test_streaming_anomaly_monitor_matches_batch(spark, tmp_path):
+    """Streaming rate-anomaly monitoring: micro-batches maintain the
+    mergeable minute-count substrate (sum-merge per batch — counts for a
+    minute straddling two batches must ADD), and scoring the merged
+    counts equals running rate_anomalies over the full history in batch —
+    the continuously-updated ops dashboard composition."""
+    from cdc_poc_spark.operators.timeseries import (
+        minute_counts,
+        rate_anomalies,
+        score_minute_counts,
+    )
+
+    # constructed series (sf0.001 events are ~1/minute: zero variance,
+    # nothing to flag): 40 noisy minutes then a spike, two event types
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for etype in ("a", "b"):
+        counts = [9, 11] * 20 + ([30] if etype == "a" else [10])
+        for i, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, base + dt.timedelta(minutes=i, seconds=eid % 50),
+                     etype)
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string"
+    )
+    # split mid-minute so some minutes land in both batches
+    batches = [ev.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    ind = str(tmp_path / "ev_in")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{ind}/b{i}", mode="overwrite")
+
+    state = {"minutes": None}
+
+    def on_batch(batch_df, _bid):
+        mc = minute_counts(batch_df).persist()
+        if state["minutes"] is None:
+            state["minutes"] = mc
+        else:
+            state["minutes"] = (
+                state["minutes"]
+                .unionByName(mc)
+                .groupBy("event_type", "minute")
+                .agg(F.sum("cnt").alias("cnt"))
+                .persist()
+            )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ind}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = _rows(score_minute_counts(state["minutes"], min_n=30))
+    batch = _rows(rate_anomalies(ev, min_n=30))
+    assert streamed == batch and batch
