@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "sim_hard_negatives",
     "sketch_hist_quantiles",
     "pipeline_token_budget",
+    "sim_random_projection",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -3400,4 +3400,45 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END AS INTEGER) AS capped
         FROM base, lam"""
 
+    from ..operators.similarity import projection_matrix
+
+    def _rp_arr(row):
+        return "([" + ", ".join(f"{float(x)!r}" for x in row) + "]::DOUBLE[])"
+
+    _remb = (
+        "["
+        + ", ".join(dot_sql("embedding", _rp_arr(r)) for r in projection_matrix())
+        + "]"
+    )
+    sqls["sim_random_projection"] = f"""
+        WITH red AS (
+            SELECT vec_id, embedding, {_remb} AS remb FROM embeddings
+        ),
+        q AS (
+            SELECT embedding AS q_emb, remb AS q_remb FROM red
+            WHERE vec_id = {SIM_QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT vec_id,
+                   {cosine_sql('remb', 'q_remb')} AS rc,
+                   {cosine_sql('embedding', 'q_emb')} AS fc
+            FROM red, q WHERE vec_id <> {SIM_QUERY_VEC_ID}
+        ),
+        rt AS (
+            SELECT vec_id, rc, fc,
+                   row_number() OVER (ORDER BY rc DESC, vec_id) AS nbr_rank
+            FROM scored
+            QUALIFY nbr_rank <= {SIM_TOPK}
+        ),
+        et AS (
+            SELECT vec_id FROM scored ORDER BY fc DESC, vec_id
+            LIMIT {SIM_TOPK}
+        )
+        SELECT nbr_rank, rt.vec_id,
+               ROUND(rc, 6) AS reduced_cosine,
+               ROUND(fc, 6) AS full_cosine,
+               CAST(CASE WHEN et.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS in_exact_topk
+        FROM rt LEFT JOIN et ON rt.vec_id = et.vec_id"""
+
     return sqls

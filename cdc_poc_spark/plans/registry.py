@@ -1824,6 +1824,16 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (JL) dimensionality reduction quality probe:
+    top-10 neighbours in 16-d reduced space vs their 64-d cosines and
+    exact-top-10 membership
+    (operators/similarity.py::random_projection_recall)."""
+    return similarity.random_projection_recall(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
     from the trailing-60-bucket mean. The flag decision is pure BIGINT
@@ -2994,6 +3004,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_hard_negatives": q_sim_hard_negatives,
         "sketch_hist_quantiles": q_sketch_hist_quantiles,
         "pipeline_token_budget": q_pipeline_token_budget,
+        "sim_random_projection": q_sim_random_projection,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
