@@ -84,3 +84,35 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> Data
         out.alias("clean_text"),
         total.alias("n_redactions"),
     )
+
+
+K_ANON_K = 5
+
+
+def k_anonymity_histogram(
+    df: DataFrame, qi_cols: list[Column | str], k: int = K_ANON_K
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set (Sweeney 2002): the
+    equivalence-class size distribution — for each class size, how many QI
+    classes have it and how many ROWS sit in them, flagged when the size is
+    below ``k`` (those rows are re-identifiable within fewer than k
+    records; publishing them is the privacy risk this audit gates).
+
+    Shape: one groupBy on the QI tuple (the only scan), then a second
+    aggregate over the class-size frame, which is already orders of
+    magnitude smaller. Output is O(distinct class sizes) rows.
+
+    Output: (class_size, n_classes, n_rows, below_k).
+    """
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("long").alias("n_rows"),
+            F.when(F.col("class_size") < k, 1).otherwise(0).alias("below_k"),
+        )
+        .orderBy("class_size")
+    )

@@ -3441,4 +3441,22 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS in_exact_topk
         FROM rt LEFT JOIN et ON rt.vec_id = et.vec_id"""
 
+    from ..operators.privacy import K_ANON_K
+
+    sqls["wh_k_anonymity"] = f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 1000.0) AS bal_band,
+                   COUNT(*) AS class_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0)
+        )
+        SELECT CAST(class_size AS BIGINT) AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CASE WHEN class_size < {K_ANON_K} THEN 1 ELSE 0 END
+                    AS INTEGER) AS below_k
+        FROM classes
+        GROUP BY class_size"""
+
     return sqls

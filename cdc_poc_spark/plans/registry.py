@@ -1834,6 +1834,24 @@ def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer over the quasi-identifier set
+    (nation, market segment, account-balance band of 1000): equivalence-
+    class size histogram with below-k risk flags
+    (operators/privacy.py::k_anonymity_histogram)."""
+    from ..operators.privacy import k_anonymity_histogram
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_histogram(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+        ],
+    )
+
+
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
     from the trailing-60-bucket mean. The flag decision is pure BIGINT
@@ -3005,6 +3023,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sketch_hist_quantiles": q_sketch_hist_quantiles,
         "pipeline_token_budget": q_pipeline_token_budget,
         "sim_random_projection": q_sim_random_projection,
+        "wh_k_anonymity": q_wh_k_anonymity,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

@@ -72,3 +72,48 @@ def test_user_report_scopes(spark, sf_dir):
         # every scope's estimate within the generous 10% bound
         assert abs(r.rel_err_pct) < 10.0
         assert r.n_registers <= sketches.HLL_M
+
+
+def test_streaming_hll_merge_matches_batch(spark, tmp_path):
+    """Streaming cardinality monitoring: each micro-batch's registers
+    union-max into the standing sketch; the final merged registers (and so
+    the estimate) must equal the batch sketch over the full history."""
+    df = _vals(spark, 8000)
+    ind = str(tmp_path / "hll_in")
+    for i in range(2):
+        df.filter((F.crc32(F.col("v")) % 2) == i).coalesce(1).write.parquet(
+            f"{ind}/b{i}", mode="overwrite"
+        )
+
+    state = {"regs": None}
+
+    def on_batch(batch_df, _bid):
+        regs = sketches.hll_registers(batch_df, "v")
+        if state["regs"] is None:
+            state["regs"] = regs.persist()
+        else:
+            state["regs"] = (
+                state["regs"]
+                .unionByName(regs)
+                .groupBy("register")
+                .agg(F.max("max_rho").alias("max_rho"))
+                .persist()
+            )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ind}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {(r.register, r.max_rho) for r in state["regs"].collect()}
+    direct = {(r.register, r.max_rho)
+              for r in sketches.hll_registers(df, "v").collect()}
+    assert merged == direct
