@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "sketch_hist_quantiles",
     "pipeline_token_budget",
     "sim_random_projection",
+    "wh_k_anonymity",
+    "wh_event_funnel",
+    "wh_cohort_retention",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -1852,6 +1852,25 @@ def q_wh_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: users reaching each step
+    strictly after their first completion of the previous one, with
+    conversion vs any-activity (operators/analytics.py::event_funnel)."""
+    from ..operators.analytics import event_funnel
+
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events: first-activity-week
+    cohorts x weeks-since, with retention vs cohort size; week arithmetic
+    is tz-free day-ordinal integer math
+    (operators/analytics.py::cohort_retention)."""
+    from ..operators.analytics import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rate anomalies: minute buckets > 3 trailing sigmas
     from the trailing-60-bucket mean. The flag decision is pure BIGINT
@@ -3024,6 +3043,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_token_budget": q_pipeline_token_budget,
         "sim_random_projection": q_sim_random_projection,
         "wh_k_anonymity": q_wh_k_anonymity,
+        "wh_event_funnel": q_wh_event_funnel,
+        "wh_cohort_retention": q_wh_cohort_retention,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
