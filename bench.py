@@ -135,8 +135,7 @@ BENCH_QUERIES = [
     "pipeline_token_budget",
     "sim_random_projection",
     "wh_k_anonymity",
-    "wh_event_funnel",
-    "wh_cohort_retention",
+    "wh_entity_resolution",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

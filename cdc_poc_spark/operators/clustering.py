@@ -81,7 +81,10 @@ def connected_components(
     labels = _pin(
         nodes.select("node", F.col("node").alias("cluster_id"))
     )  # truncate lineage at the loop entry
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    # convergence checksum in DECIMAL(38,0): node ids may be 60-bit
+    # hashes (resolve_entities), whose BIGINT sum overflows under ANSI
+    _csum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_csum).first()[0]
     for _ in range(max_rounds):
         # 1. propagate: label <- min over {self ∪ neighbours}' labels
         propagated = (
@@ -104,7 +107,7 @@ def connected_components(
                 ),
             )
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        cur_sum = labels.agg(_csum).first()[0]
         if cur_sum == prev_sum:
             sym.unpersist()
             return labels
@@ -130,3 +133,56 @@ def dup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def resolve_entities(df: DataFrame, col: str = "name") -> DataFrame:
+    """Entity resolution over near-identical string keys: FastSS
+    edit-distance-1 pairs (text_analysis.fuzzy_string_pairs) become an
+    undirected match graph; connected components merge transitive matches
+    ("ACME Corp" ~ "ACME Crop" ~ "ACME Coorp"); every distinct value —
+    including unmatched singletons — gets a canonical entity id, the
+    lexicographically smallest name in its component (deterministic and
+    independent of the internal numeric node-id scheme).
+
+    Scale shape: sub-quadratic candidate blocking, log-diameter pointer
+    jumping CC, and a final min-per-cluster aggregate; the only full pass
+    over the input is the initial distinct.
+
+    Output: (name, entity_id, cluster_size, is_canonical).
+    """
+    from ..functions.hashing import md5_long
+    from .text_analysis import fuzzy_string_pairs
+
+    names = df.select(F.col(col).alias("val")).distinct().persist()
+    ids = names.select("val", md5_long(F.col("val")).alias("nid"))
+    pairs = fuzzy_string_pairs(names, "val")
+    edges = (
+        pairs.join(ids.select(F.col("val").alias("val_a"), F.col("nid").alias("src")), "val_a")
+        .join(ids.select(F.col("val").alias("val_b"), F.col("nid").alias("dst")), "val_b")
+        .select("src", "dst")
+    )
+    cc = connected_components(edges)
+    labeled = (
+        ids.join(cc, ids["nid"] == cc["node"], "left")
+        .select(
+            "val",
+            F.coalesce(F.col("cluster_id"), F.col("nid")).alias("cid"),
+        )
+    )
+    canon = labeled.groupBy("cid").agg(
+        F.min("val").alias("entity_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    out = (
+        labeled.join(canon, "cid")
+        .select(
+            F.col("val").alias("name"),
+            "entity_id",
+            "cluster_size",
+            F.when(F.col("val") == F.col("entity_id"), 1).otherwise(0).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("entity_id", "name")
+    )
+    return out

@@ -535,9 +535,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["wh_cohort_retention"] = """
         WITH ud AS (
             SELECT DISTINCT user_id, cohort_day, day FROM (
-                SELECT user_id, date_trunc('day', ts) AS day,
-                       min(date_trunc('day', ts)) OVER (PARTITION BY user_id)
-                           AS cohort_day
+                SELECT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       min(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                           OVER (PARTITION BY user_id) AS cohort_day
                 FROM events
             )
         )
@@ -548,9 +549,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["wh_retention_rate"] = """
         WITH ud AS (
             SELECT DISTINCT user_id, cohort_day, day FROM (
-                SELECT user_id, date_trunc('day', ts) AS day,
-                       min(date_trunc('day', ts)) OVER (PARTITION BY user_id)
-                           AS cohort_day
+                SELECT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       min(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                           OVER (PARTITION BY user_id) AS cohort_day
                 FROM events
             )
         ),
@@ -3459,63 +3461,44 @@ def oracle_sql() -> dict[str, str]:
         FROM classes
         GROUP BY class_size"""
 
-    from ..operators.analytics import COHORT_EPOCH, FUNNEL_STEPS
-
-    _s1, _s2, _s3 = FUNNEL_STEPS
-    sqls["wh_event_funnel"] = f"""
-        WITH ev AS (
-            SELECT user_id, ts, event_type FROM events
-            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    sqls["wh_entity_resolution"] = """
+        WITH RECURSIVE vals AS (SELECT DISTINCT s_name AS val FROM supplier),
+        vars AS (
+            SELECT val, unnest(list_append(
+                list_transform(range(1, len(val) + 1),
+                    i -> substr(val, 1, i - 1) || substr(val, i + 1)),
+                val)) AS var
+            FROM vals
         ),
-        n0 AS (SELECT COUNT(DISTINCT user_id) AS n FROM ev),
-        t1 AS (SELECT user_id, MIN(ts) AS t FROM ev
-               WHERE event_type = '{_s1}' GROUP BY user_id),
-        t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
-               JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
-               WHERE e.event_type = '{_s2}' GROUP BY e.user_id),
-        t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
-               JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t
-               WHERE e.event_type = '{_s3}' GROUP BY e.user_id),
-        steps AS (
-            SELECT 0 AS step, 'any' AS step_name, n AS reached FROM n0
-            UNION ALL SELECT 1, '{_s1}', (SELECT COUNT(*) FROM t1) FROM n0
-            UNION ALL SELECT 2, '{_s2}', (SELECT COUNT(*) FROM t2) FROM n0
-            UNION ALL SELECT 3, '{_s3}', (SELECT COUNT(*) FROM t3) FROM n0
+        cand AS (
+            SELECT a.val AS val_a, b.val AS val_b
+            FROM vars a JOIN vars b ON a.var = b.var AND a.val < b.val
+            GROUP BY 1, 2
+        ),
+        p AS (SELECT val_a, val_b FROM cand
+              WHERE levenshtein(val_a, val_b) = 1),
+        edges AS (
+            SELECT val_a AS src, val_b AS dst FROM p
+            UNION SELECT val_b, val_a FROM p
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        cc AS (SELECT node AS val, MIN(lbl) AS cid FROM reach GROUP BY node),
+        labeled AS (
+            SELECT v.val, COALESCE(cc.cid, v.val) AS cid
+            FROM vals v LEFT JOIN cc ON v.val = cc.val
+        ),
+        canon AS (
+            SELECT cid, MIN(val) AS entity_id,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM labeled GROUP BY cid
         )
-        SELECT CAST(step AS INTEGER) AS step, step_name,
-               CAST(reached AS BIGINT) AS users_reached,
-               ROUND(CAST(reached AS DOUBLE) * 100.0
-                     / CAST((SELECT n FROM n0) AS DOUBLE), 4)
-                   AS conversion_pct
-        FROM steps"""
-
-    sqls["wh_cohort_retention"] = f"""
-        WITH ev AS (
-            SELECT user_id,
-                   CAST(floor(date_diff('day',
-                        TIMESTAMP '{COHORT_EPOCH}',
-                        date_trunc('day', ts)) / 7.0) AS INTEGER) AS week
-            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        ),
-        active AS (SELECT DISTINCT user_id, week FROM ev),
-        cohorts AS (
-            SELECT user_id, MIN(week) AS cohort_week FROM active
-            GROUP BY user_id
-        ),
-        cells AS (
-            SELECT cohort_week, a.week - cohort_week AS week_index,
-                   COUNT(*) AS n_users
-            FROM active a JOIN cohorts c ON a.user_id = c.user_id
-            GROUP BY cohort_week, a.week - cohort_week
-        ),
-        base AS (
-            SELECT cohort_week, n_users AS cohort_size FROM cells
-            WHERE week_index = 0
-        )
-        SELECT c.cohort_week, CAST(week_index AS INTEGER) AS week_index,
-               CAST(n_users AS BIGINT) AS n_users,
-               ROUND(CAST(n_users AS DOUBLE) * 100.0
-                     / CAST(cohort_size AS DOUBLE), 4) AS retention_pct
-        FROM cells c JOIN base b ON c.cohort_week = b.cohort_week"""
+        SELECT l.val AS name, c.entity_id, c.cluster_size,
+               CAST(CASE WHEN l.val = c.entity_id THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_canonical
+        FROM labeled l JOIN canon c ON l.cid = c.cid"""
 
     return sqls

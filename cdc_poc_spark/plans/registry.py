@@ -576,10 +576,12 @@ def q_wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass + per-day dedup + a tiny (day x day) aggregate — tz-free
     day truncation (timeutil.ntz_trunc) so the driver's session timezone
     cannot shift the buckets."""
-    # to_date on NTZ is pure field extraction (tz-free) and matches the
-    # DATE type DuckDB's date_trunc('day') returns
+    # NTZ day-truncation, NOT to_date: a DATE output column is a driver
+    # trap (the driver's pandas fetch coerces DuckDB DATE to Timestamp and
+    # the '2024-01-01' vs '2024-01-01 00:00:00' strings hash-mismatch);
+    # midnight TIMESTAMP_NTZ renders identically in both engines
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date(F.col("ts")).alias("day")
+        "user_id", ntz_trunc("day", F.col("ts")).alias("day")
     )
     w = Window.partitionBy("user_id")
     return (
@@ -1852,23 +1854,14 @@ def q_wh_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_wh_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel view -> click -> purchase: users reaching each step
-    strictly after their first completion of the previous one, with
-    conversion vs any-activity (operators/analytics.py::event_funnel)."""
-    from ..operators.analytics import event_funnel
-
-    return event_funnel(load_table(spark, sf_dir, "events"))
-
-
-def q_wh_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention triangle over events: first-activity-week
-    cohorts x weeks-since, with retention vs cohort size; week arithmetic
-    is tz-free day-ordinal integer math
-    (operators/analytics.py::cohort_retention)."""
-    from ..operators.analytics import cohort_retention
-
-    return cohort_retention(load_table(spark, sf_dir, "events"))
+def q_wh_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity resolution of supplier names: FastSS edit-distance-1
+    match graph -> connected components -> canonical entity per cluster
+    (lexicographic min), singletons included
+    (operators/clustering.py::resolve_entities)."""
+    return clustering.resolve_entities(
+        load_table(spark, sf_dir, "supplier"), "s_name"
+    )
 
 
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3043,8 +3036,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_token_budget": q_pipeline_token_budget,
         "sim_random_projection": q_sim_random_projection,
         "wh_k_anonymity": q_wh_k_anonymity,
-        "wh_event_funnel": q_wh_event_funnel,
-        "wh_cohort_retention": q_wh_cohort_retention,
+        "wh_entity_resolution": q_wh_entity_resolution,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

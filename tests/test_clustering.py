@@ -70,3 +70,43 @@ def test_dup_clusters_keeper_invariants(spark, sf_dir):
         assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
         assert all(m["cluster_size"] == len(members) for m in members)
         assert len(members) >= 2, "singletons cannot appear in the pair graph"
+
+
+def test_resolve_entities_transitive_and_singletons(spark):
+    from cdc_poc_spark.operators.clustering import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            ("ACME Corp",),
+            ("ACME Corp",),   # duplicate rows collapse
+            ("ACME Cor",),    # dist 1 of ACME Corp
+            ("ACME Co",),     # dist 1 of ACME Cor (transitive to Corp)
+            ("Widgets Inc",),  # singleton
+        ],
+        "name string",
+    )
+    out = {r.name: r for r in resolve_entities(df, "name").collect()}
+    assert len(out) == 4
+    acme = {"ACME Corp", "ACME Cor", "ACME Co"}
+    # one transitive entity, canonical = lexicographic min
+    assert {out[n].entity_id for n in acme} == {"ACME Co"}
+    assert all(out[n].cluster_size == 3 for n in acme)
+    assert out["ACME Co"].is_canonical == 1
+    assert out["ACME Corp"].is_canonical == 0
+    assert out["Widgets Inc"].entity_id == "Widgets Inc"
+    assert out["Widgets Inc"].cluster_size == 1
+    assert out["Widgets Inc"].is_canonical == 1
+
+
+def test_cc_large_hash_node_ids_no_overflow(spark):
+    """Convergence checksum must survive 60-bit node ids (the
+    resolve_entities id scheme) — BIGINT sums overflow under ANSI."""
+    from cdc_poc_spark.operators.clustering import connected_components
+
+    big = 1 << 59
+    edges = spark.createDataFrame(
+        [(big + i, big + i + 1) for i in range(0, 2000, 2)],
+        "src long, dst long",
+    )
+    cc = connected_components(edges)
+    assert cc.count() == 2000
