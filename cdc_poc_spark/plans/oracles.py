@@ -3261,6 +3261,10 @@ def oracle_sql() -> dict[str, str]:
                    ELSE (n * cnt - s) * (n * cnt - s)
                         > {ANOM_Z * ANOM_Z} * (n * ss - s * s) END"""
 
+    # the streaming twin aggregates the SAME minute counts through a
+    # watermarked windowed stream, so the batch oracle applies verbatim
+    sqls["stream_anomaly_native"] = sqls["ts_anomaly"]
+
     from ..operators.similarity import HARDNEG_FALSE_NEG_TAU, HARDNEG_K
 
     sqls["sim_hard_negatives"] = f"""

@@ -1874,6 +1874,53 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_anomaly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rate-anomaly monitor driven by a NATIVE watermarked streaming
+    aggregation: events parquet streamed in micro-batches -> 1-minute
+    tumbling windowed counts (incremental state, complete mode) -> the
+    exact-integer scorer over the streamed minute series. Hash-equal to
+    the batch ts_anomaly (same oracle) because minute counts are the
+    mergeable substrate (operators/timeseries.py::score_minute_counts)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.timeseries import score_minute_counts
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    workdir = tempfile.mkdtemp(prefix="stream_anom_")
+    pdir = os.path.join(workdir, "ev")
+    ev.repartition(4).write.parquet(pdir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(pdir)
+    )
+    counts = (
+        # NTZ -> instant for the watermark clock; minute windows survive
+        # the session-tz round trip because tz offsets are whole minutes
+        src.withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "1 minute"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("stream_anom_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+    minutes = spark.table("stream_anom_counts").select(
+        "event_type",
+        F.col("window.start").cast("timestamp_ntz").alias("minute"),
+        "cnt",
+    )
+    return score_minute_counts(minutes)
+
+
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel in one plan: per-stage survivor counts for
     raw -> quality gate -> exact dedup -> near-dup removal ->
@@ -3037,6 +3084,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_random_projection": q_sim_random_projection,
         "wh_k_anonymity": q_wh_k_anonymity,
         "wh_entity_resolution": q_wh_entity_resolution,
+        "stream_anomaly_native": q_stream_anomaly_native,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
