@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "sim_random_projection",
     "wh_k_anonymity",
     "wh_entity_resolution",
+    "sim_knn_pagerank",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

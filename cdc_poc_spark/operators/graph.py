@@ -1,0 +1,149 @@
+"""Graph centrality over the k-NN similarity graph: fixed-point PageRank.
+
+Training-data curation increasingly scores documents by how *central* they
+are in the corpus similarity graph (graph-based data selection: build the
+k-NN graph over embeddings, rank nodes, keep/up-weight the most
+representative ones). The reference engine has no graph operator at all —
+this extends the similarity family (SURVEY §2 extensions) with the missing
+"rank the near-dup graph" step that follows `knn_join` the same way
+`dup_clusters` follows the pair generators.
+
+Spark-first formulation: PageRank as iterative relational algebra — each
+round is ONE equi-join of the rank table to the edge list (shuffle on the
+small rank key, the edge list is hash-partitioned once and reused) plus
+ONE groupBy(dst) partial-aggregated sum. Rounds truncate lineage with
+localCheckpoint exactly like `connected_components`, so a 100-iteration
+cluster run keeps a flat plan.
+
+Determinism design (the part that makes a cross-engine oracle possible):
+a floating-point PageRank is partition-order dependent — the per-node sum
+of double contributions differs in the last ulp between engines and even
+between runs. Ranks here are therefore EXACT fixed-point integers: the
+total mass is ``PR_TOTAL`` integer units, the teleport and damping terms
+are integer multiply-then-integer-divide (``div`` in Spark, ``//`` in
+DuckDB — identical truncation for non-negative operands), and integer sums
+are exact and order-independent. Truncation loses a bounded sliver of mass
+per round (< 1 unit per in-edge, ~1e-12 of total per edge) — deterministic
+and identical in both engines, so the oracle hash-matches bit-for-bit.
+
+Scale posture at 100 TB: the edge list comes from the *blocked* k-NN path
+(`knn_join_lsh`), is |V|·k rows — orders of magnitude smaller than the
+corpus scanned once to build it — and both per-round shuffles key on node
+id. No driver-side state beyond the node count and the convergence-free
+fixed iteration count (8 rounds ≈ damping^8 < 0.28 residual, the standard
+"ranking stabilizes long before values do" cut).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_TOTAL = 10**12  # fixed-point mass: 1.0 == 1e12 units
+PR_DAMP_PCT = 85  # damping factor in percent (0.85)
+PR_ITERATIONS = 8
+PR_TOPK = 50
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = PR_ITERATIONS,
+    damp_pct: int = PR_DAMP_PCT,
+    total: int = PR_TOTAL,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """(node_id, rank_units) for every node of the directed edge list —
+    ``rank_units`` is the node's PageRank mass in integer ``total``-ths.
+
+    Recurrence (all integer, both engines):
+
+        r_0(v)     = total div N
+        r_{t+1}(v) = (total * (100 - damp)) div (100 * N)
+                     + sum over in-edges (u, v) of
+                           (r_t(u) * damp) div (100 * outdeg(u))
+
+    Nodes with no in-edges keep exactly the teleport term (left join +
+    coalesce 0). The edge list is materialized once (localCheckpoint) so
+    the possibly-expensive upstream k-NN lineage never re-executes inside
+    the loop.
+
+    ``checkpoint_every``: 0 (default) chains all rounds into ONE Catalyst
+    plan — for the standard 8-round run the whole iteration is a single
+    job and AQE coalesces the tiny rank shuffles (measured 0.8 s vs 6.5 s
+    with an eager per-round checkpoint at sf0.1: eight job submissions of
+    pure overhead). For long cluster runs (tens of rounds) pass a period
+    (e.g. 5) so lineage is truncated before the plan tree gets deep enough
+    to hurt the optimizer or a recovery recompute.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # attach out-degree once — every round reuses this frame
+    e_deg = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_units"))
+    teleport = (total * (100 - damp_pct)) // (100 * n_nodes)
+    ranks = nodes.select("id", F.lit(total // n_nodes).cast("long").alias("r"))
+    for it in range(1, int(iterations) + 1):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                F.expr(f"(r * {int(damp_pct)}) div (100 * outdeg)").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, nodes["id"] == contribs["dst"], "left").select(
+            "id",
+            (
+                F.lit(teleport).cast("long")
+                + F.coalesce(F.col("in_mass"), F.lit(0)).cast("long")
+            ).alias("r"),
+        )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(F.col("id").alias("node_id"), F.col("r").alias("rank_units"))
+
+
+def knn_pagerank(
+    embeddings: DataFrame,
+    k: int | None = None,
+    iterations: int = PR_ITERATIONS,
+    topk: int = PR_TOPK,
+    blocked: bool = True,
+) -> DataFrame:
+    """Top-``topk`` most central vectors of the k-NN cosine graph — the
+    data-selection score ("how representative is this embedding of the
+    corpus"). ``rank_ppm`` is the rank as integer parts-per-million of
+    total mass (pure integer rescale — no float division in the result).
+
+    ``blocked=True`` (default) builds edges with the LSH-bucketed k-NN
+    join — the sub-quadratic path that is the ONLY option at 100 TB, and
+    3× faster already at sf0.1; the ranked graph is then exactly the
+    blocked graph the rest of the similarity family operates on.
+    ``blocked=False`` ranks the exact all-pairs k-NN graph (the recall-1
+    baseline, quadratic edge generation)."""
+    from .similarity import KNN_K, knn_join, knn_join_lsh
+
+    kk = KNN_K if k is None else k
+    join_fn = knn_join_lsh if blocked else knn_join
+    edges = join_fn(embeddings, kk).select("src_id", "nbr_id")
+    ranks = pagerank(edges, src="src_id", dst="nbr_id", iterations=iterations)
+    return (
+        ranks.orderBy(F.desc("rank_units"), F.asc("node_id"))
+        .limit(int(topk))
+        .select(
+            F.col("node_id").alias("vec_id"),
+            "rank_units",
+            F.expr(f"(rank_units * 1000000) div {PR_TOTAL}").alias("rank_ppm"),
+        )
+    )

@@ -1976,6 +1976,70 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY nbr_rank <= {KNN_K}"""
 
+    # fixed-point integer PageRank over the exact k-NN graph: the 8-round
+    # iterative recurrence of operators/graph.py unrolled into chained CTEs.
+    # All arithmetic is integer (// here, div in Spark — identical truncation
+    # for non-negative operands) so per-node sums are exact and
+    # order-independent: the hash matches bit-for-bit with no float anywhere.
+    _pr_total, _pr_damp, _pr_iters, _pr_topk = 10**12, 85, 8, 50
+    _pr_rounds = "".join(
+        f""",
+        r{i} AS (
+            SELECT nd.id,
+                   ({_pr_total} * {100 - _pr_damp}) // (100 * c.n_nodes)
+                   + COALESCE(SUM((p.r * {_pr_damp}) // (100 * d.outdeg)), 0)
+                       AS r
+            FROM pr_nodes nd CROSS JOIN pr_c c
+            LEFT JOIN pr_edges e ON e.nbr_id = nd.id
+            LEFT JOIN r{i - 1} p ON p.id = e.src_id
+            LEFT JOIN pr_deg d ON d.src_id = e.src_id
+            GROUP BY nd.id, c.n_nodes
+        )"""
+        for i in range(1, _pr_iters + 1)
+    )
+    sqls["sim_knn_pagerank"] = f"""
+        WITH pr_bn AS (
+            SELECT vec_id, embedding, {_bucket} AS bucket,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        pr_scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   {dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+                       AS cosine_sim
+            FROM pr_bn a JOIN pr_bn b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        pr_edges AS (
+            SELECT src_id, nbr_id FROM (
+                SELECT src_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY cosine_sim DESC, nbr_id
+                       ) AS nbr_rank
+                FROM pr_scored
+            ) WHERE nbr_rank <= {KNN_K}
+        ),
+        pr_deg AS (
+            SELECT src_id, COUNT(*) AS outdeg FROM pr_edges GROUP BY src_id
+        ),
+        pr_nodes AS (
+            SELECT src_id AS id FROM pr_edges
+            UNION
+            SELECT nbr_id FROM pr_edges
+        ),
+        pr_c AS (SELECT COUNT(*) AS n_nodes FROM pr_nodes),
+        r0 AS (
+            SELECT id, {_pr_total} // c.n_nodes AS r
+            FROM pr_nodes CROSS JOIN pr_c c
+        ){_pr_rounds}
+        SELECT id AS vec_id,
+               CAST(r AS BIGINT) AS rank_units,
+               CAST((r * 1000000) // {_pr_total} AS BIGINT) AS rank_ppm
+        FROM r{_pr_iters}
+        ORDER BY r DESC, id
+        LIMIT {_pr_topk}"""
+
     # transitive closure of the near-dup pair graph — the recursive-CTE twin
     # of the engine's iterative min-label propagation
     sqls["dedup_clusters"] = f"""

@@ -1358,6 +1358,16 @@ def q_sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_sim_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality data selection: fixed-point integer PageRank over
+    the LSH-blocked k-NN cosine graph (operators/graph.py) — top-50 most
+    representative vectors; every rank an exact integer so the 8-round
+    iteration hash-matches the oracle's unrolled recurrence."""
+    from ..operators import graph
+
+    return graph.knn_pagerank(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
     return similarity.embedding_dup_pairs(
@@ -3085,6 +3095,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_k_anonymity": q_wh_k_anonymity,
         "wh_entity_resolution": q_wh_entity_resolution,
         "stream_anomaly_native": q_stream_anomaly_native,
+        "sim_knn_pagerank": q_sim_knn_pagerank,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
