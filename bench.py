@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "wh_k_anonymity",
     "wh_entity_resolution",
     "sim_knn_pagerank",
+    "pipeline_span_corrupt",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

@@ -2715,6 +2715,83 @@ def oracle_sql() -> dict[str, str]:
                                ' ') AS chunk_text
         FROM s"""
 
+    # T5 span corruption, step for step with operators/masking.py: block
+    # flags from the seeded md5 draw, lag-window span starts, running-sum
+    # sentinel numbering, and NULL-safe ordered reassembly (DuckDB's list()
+    # skips NULL inputs like every aggregate — an all-NULL group yields NULL,
+    # not [], so the assembled strings COALESCE to '' to match Spark)
+    _mask_expr = md5_long_sql(
+        "'span' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos // 3 AS VARCHAR)"
+    )
+    _mask_flag = f"({_mask_expr} % 100) < 15"
+    sqls["pipeline_span_corrupt"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, s.p AS pos, s.tok AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) + 1),
+                           i -> {{'p': i - 1, 'tok': toks[i]}})) AS s
+                FROM t WHERE len(toks) > 0
+            )
+        ),
+        f AS (
+            SELECT doc_id, pos, token, {_mask_flag} AS flag
+            FROM p
+        ),
+        w AS (
+            SELECT *,
+                   flag AND NOT COALESCE(
+                       lag(flag) OVER (PARTITION BY doc_id ORDER BY pos),
+                       FALSE) AS is_start
+            FROM f
+        ),
+        s AS (
+            SELECT *,
+                   SUM(CASE WHEN is_start THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+            FROM w
+        ),
+        pieces AS (
+            SELECT doc_id, pos, flag, is_start,
+                   CASE WHEN NOT flag THEN token
+                        WHEN is_start THEN '<extra_id_' || span_id || '>'
+                   END AS piece_in,
+                   CASE WHEN is_start
+                            THEN '<extra_id_' || span_id || '> ' || token
+                        WHEN flag THEN token
+                   END AS piece_tgt
+            FROM s
+        ),
+        g AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS n_masked,
+                   SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS n_spans,
+                   COALESCE(array_to_string(list_filter(
+                       list(piece_in ORDER BY pos), x -> x IS NOT NULL),
+                       ' '), '') AS input_text,
+                   COALESCE(array_to_string(list_filter(
+                       list(piece_tgt ORDER BY pos), x -> x IS NOT NULL),
+                       ' '), '') AS target_core
+            FROM pieces GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_masked AS BIGINT) AS n_masked,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               input_text,
+               CASE WHEN target_core = ''
+                    THEN '<extra_id_0>'
+                    ELSE target_core || ' <extra_id_' || n_spans || '>'
+               END AS target_text
+        FROM g"""
+
     sqls["wh_forecast_revenue"] = """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
                         CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -1101,6 +1101,15 @@ def q_pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(with_id, id_col="chunk_id")
 
 
+def q_pipeline_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair materialization (operators/masking.py):
+    seeded-hash block masking, sentinel-numbered spans, (input, target)
+    texts assembled order-exactly in one doc_id shuffle."""
+    from ..operators import masking
+
+    return masking.span_corrupt(load_table(spark, sf_dir, "documents"))
+
+
 def q_wh_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily rollup via a RECURSIVE CTE date spine (Spark 4
     recursive CTEs): the spine walks day-by-day across the events range,
@@ -3096,6 +3105,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_entity_resolution": q_wh_entity_resolution,
         "stream_anomaly_native": q_stream_anomaly_native,
         "sim_knn_pagerank": q_sim_knn_pagerank,
+        "pipeline_span_corrupt": q_pipeline_span_corrupt,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,
