@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "wh_entity_resolution",
     "sim_knn_pagerank",
     "pipeline_span_corrupt",
+    "wh_attribution",
     # stream_* queries are deliberately absent: streaming is measured by the
     # dedicated end-to-end stream section below, not the batch list
 ]

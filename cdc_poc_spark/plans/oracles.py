@@ -501,6 +501,70 @@ def oracle_sql() -> dict[str, str]:
         FROM seq
         GROUP BY user_id, session_seq"""
 
+    # first/last-touch attribution, step for step with
+    # operators/sessions.py::attribution: the same gap-and-islands session
+    # assignment, per-session exact-decimal conversion revenue, first/last
+    # non-conversion touch by (ts, event_id), 'direct' when none, and the
+    # two credit rows per session folded into one (touch, channel) rollup
+    sqls["wh_attribution"] = """
+        WITH aev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type, value
+            FROM events WHERE ts IS NOT NULL
+        ),
+        aflag AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN ts - lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM aev
+        ),
+        aseq AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM aflag
+        ),
+        arev AS (
+            SELECT user_id, session_seq,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
+            FROM aseq GROUP BY user_id, session_seq
+        ),
+        atouch AS (
+            SELECT user_id, session_seq, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts, event_id) AS rn_f,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts DESC, event_id DESC) AS rn_l
+            FROM aseq WHERE event_type <> 'purchase'
+        ),
+        asess AS (
+            SELECT r.user_id, r.session_seq, r.revenue,
+                   COALESCE(f.event_type, 'direct') AS fch,
+                   COALESCE(l.event_type, 'direct') AS lch
+            FROM arev r
+            LEFT JOIN (SELECT * FROM atouch WHERE rn_f = 1) f
+              ON f.user_id = r.user_id AND f.session_seq = r.session_seq
+            LEFT JOIN (SELECT * FROM atouch WHERE rn_l = 1) l
+              ON l.user_id = r.user_id AND l.session_seq = r.session_seq
+        ),
+        acredit AS (
+            SELECT 'first' AS touch, fch AS channel, revenue FROM asess
+            UNION ALL
+            SELECT 'last' AS touch, lch AS channel, revenue FROM asess
+        )
+        SELECT touch, channel,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(revenue) AS DOUBLE) AS revenue
+        FROM acredit GROUP BY touch, channel"""
+
     # streaming dropDuplicatesWithinWatermark over a deterministically
     # doubled source must restore exactly the distinct events
     sqls["stream_dedup_native"] = (

@@ -1004,6 +1004,16 @@ def q_wh_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution over 30-minute sessions
+    (operators/sessions.py::attribution): per-session purchase revenue in
+    exact DECIMAL, credited to the first and last non-purchase channel
+    ('direct' when none) — one events scan, one session shuffle."""
+    return sessions.attribution(
+        load_table(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MINUTES
+    )
+
+
 # ---------------------------------------------------- LLM-pipeline extensions
 
 # thresholds chosen from the corpus' actual similarity distributions
@@ -3106,6 +3116,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_anomaly_native": q_stream_anomaly_native,
         "sim_knn_pagerank": q_sim_knn_pagerank,
         "pipeline_span_corrupt": q_pipeline_span_corrupt,
+        "wh_attribution": q_wh_attribution,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

@@ -119,3 +119,44 @@ def test_recursive_spine_gapfill(spark):
     assert gaps == {3, 10, 17, 24}
     for r in rows:
         assert r.is_gap == (r.n_events == 0)
+
+
+def test_attribution_semantics(spark):
+    """Constructed sessions: revenue lands on the first/last non-purchase
+    touch; purchase-only sessions credit 'direct'; the 30-min gap splits."""
+    import datetime as dt
+
+    from cdc_poc_spark.operators.sessions import attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, mins, typ, val):
+        return (eid, t0 + dt.timedelta(minutes=mins), uid, typ, val)
+
+    rows = [
+        # user 1, session A: view -> click -> purchase(10)
+        ev(1, 1, 0, "view", 0.0),
+        ev(2, 1, 5, "click", 0.0),
+        ev(3, 1, 10, "purchase", 10.0),
+        # user 1, session B (gap > 30): purchase only -> direct(7)
+        ev(4, 1, 60, "purchase", 7.0),
+        # user 2, one session: click -> purchase(5) -> view
+        ev(5, 2, 0, "click", 0.0),
+        ev(6, 2, 1, "purchase", 5.0),
+        ev(7, 2, 2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    got = {
+        (r["touch"], r["channel"]): (r["n_sessions"], r["revenue"])
+        for r in attribution(df).collect()
+    }
+    assert got == {
+        ("first", "view"): (1, 10.0),
+        ("first", "click"): (1, 5.0),
+        ("first", "direct"): (1, 7.0),
+        ("last", "click"): (1, 10.0),
+        ("last", "view"): (1, 5.0),
+        ("last", "direct"): (1, 7.0),
+    }
