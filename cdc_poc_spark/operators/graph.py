@@ -36,7 +36,7 @@ fixed iteration count (8 rounds ≈ damping^8 < 0.28 residual, the standard
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_TOTAL = 10**12  # fixed-point mass: 1.0 == 1e12 units
@@ -112,6 +112,87 @@ def pagerank(
         if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(F.col("id").alias("node_id"), F.col("r").alias("rank_units"))
+
+
+HITS_SCALE = 10**6  # L-infinity normalized scores live in [0, SCALE]
+HITS_ROUNDS = 4
+HITS_TOPK = 20
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = HITS_ROUNDS,
+    scale: int = HITS_SCALE,
+    topk: int = HITS_TOPK,
+) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over a directed (bipartite or not)
+    edge list — (side in {'hub','auth'}, node_id, score, rnk): the top-k of
+    each side, score in exact integer ``scale``-ths of the side's maximum.
+
+    Determinism design: the classical algorithm normalizes each round by a
+    float L2 norm (partition-order dependent). This uses L-infinity
+    normalization instead — score * scale div max(score) — which the HITS
+    convergence theory equally supports (normalization only fixes the
+    scale; the principal-eigenvector direction is unchanged) and which
+    keeps every value an exact integer <= ``scale``: sums are
+    order-independent, the one global max per half-round is a single-row
+    broadcast, and products never exceed scale * in-degree, far inside
+    int64.
+
+    Plan shape per round: two hash aggregates (groupBy dst for the
+    authority sum, groupBy src for the hub sum), each followed by a 1-row
+    max broadcast-crossjoin for the rescale. The edge list is materialized
+    once; all `rounds` rounds compose into ONE Catalyst job."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    hubs = e.select("src").distinct().select(
+        F.col("src").alias("id"), F.lit(int(scale)).cast("long").alias("score")
+    )
+
+    def _norm(scored: DataFrame) -> DataFrame:
+        # the raw frame is referenced TWICE (max + rescale): materialize it
+        # first, or each half-round doubles the unresolved plan and the
+        # 4-round loop becomes a 2^8 lineage blowup that stalls the optimizer
+        scored = scored.localCheckpoint()
+        mx = scored.agg(F.max("raw").alias("mx"))
+        return scored.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.expr(f"(raw * {int(scale)}) div mx").cast("long").alias("score"),
+        )
+
+    auths = None
+    for _ in range(int(rounds)):
+        auths = _norm(
+            e.join(hubs, e["src"] == hubs["id"])
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+            .select(F.col("dst").alias("id"), "raw")
+        )
+        hubs = _norm(
+            e.join(auths, e["dst"] == auths["id"])
+            .groupBy("src")
+            .agg(F.sum("score").alias("raw"))
+            .select(F.col("src").alias("id"), "raw")
+        )
+
+    def _top(df: DataFrame, side: str) -> DataFrame:
+        # distributed TakeOrderedAndProject first; the row_number window
+        # then runs over only `topk` rows (no global single-partition sort)
+        w = Window.orderBy(F.desc("score"), F.asc("id"))
+        return (
+            df.orderBy(F.desc("score"), F.asc("id"))
+            .limit(int(topk))
+            .withColumn("rnk", F.row_number().over(w))
+            .select(
+                F.lit(side).alias("side"),
+                F.col("id").alias("node_id"),
+                "score",
+                F.col("rnk").cast("long").alias("rnk"),
+            )
+        )
+
+    return _top(hubs, "hub").unionAll(_top(auths, "auth"))
 
 
 def knn_pagerank(

@@ -501,6 +501,57 @@ def oracle_sql() -> dict[str, str]:
         FROM seq
         GROUP BY user_id, session_seq"""
 
+    # HITS over the user->content engagement graph: the 4-round
+    # exact-integer L-infinity-normalized power iteration of
+    # operators/graph.py::hits unrolled into chained CTEs. Every CTE is
+    # MATERIALIZED and the per-half-round max is a window function
+    # (MAX(raw) OVER ()) so each round is referenced exactly once — with
+    # plain CTEs + scalar subqueries DuckDB inlines each round twice and
+    # the 4-round chain blows up 2^8-fold (observed: the oracle never
+    # finishes). Integer semantics are identical to the Spark loop.
+    _h_scale, _h_rounds, _h_topk = 10**6, 4, 20
+    _h_ctes = "".join(
+        f""",
+        a{i} AS MATERIALIZED (
+            SELECT id, CAST((raw * {_h_scale}) //
+                       (MAX(raw) OVER ()) AS BIGINT) AS score
+            FROM (
+                SELECT e.dst AS id, SUM(h.score) AS raw
+                FROM ge e JOIN h{i - 1} h ON h.id = e.src GROUP BY e.dst
+            )
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT id, CAST((raw * {_h_scale}) //
+                       (MAX(raw) OVER ()) AS BIGINT) AS score
+            FROM (
+                SELECT e.src AS id, SUM(a.score) AS raw
+                FROM ge e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+            )
+        )"""
+        for i in range(1, _h_rounds + 1)
+    )
+    sqls["cdc_engagement_hits"] = f"""
+        WITH {EVENTS_CTE.strip()},
+        ge AS MATERIALIZED (
+            SELECT DISTINCT user_id AS src, content_id AS dst
+            FROM engagement_events WHERE content_id IS NOT NULL
+        ),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS id, CAST({_h_scale} AS BIGINT) AS score
+            FROM ge
+        ){_h_ctes}
+        SELECT side, node_id, score, rnk FROM (
+            SELECT 'hub' AS side, id AS node_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+                       AS rnk
+            FROM h{_h_rounds}
+            UNION ALL
+            SELECT 'auth' AS side, id AS node_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+                       AS rnk
+            FROM a{_h_rounds}
+        ) WHERE rnk <= {_h_topk}"""
+
     # first/last-touch attribution, step for step with
     # operators/sessions.py::attribution: the same gap-and-islands session
     # assignment, per-session exact-decimal conversion revenue, first/last

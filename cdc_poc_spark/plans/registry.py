@@ -101,6 +101,22 @@ def q_cdc_minute_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.engagement_window(_enriched(spark, sf_dir))
 
 
+def q_cdc_engagement_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the user->content engagement bipartite
+    graph (operators/graph.py::hits): which users are the strongest
+    engagers, which content the strongest magnets — 4 exact-integer
+    power-iteration rounds with L-infinity rescale, top-20 per side."""
+    from ..operators import graph
+
+    edges = (
+        m.engagement_events(load_table(spark, sf_dir, "events"))
+        .filter(F.col("content_id").isNotNull())
+        .select(F.col("user_id").alias("src"), F.col("content_id").alias("dst"))
+        .distinct()
+    )
+    return graph.hits(edges)
+
+
 def _wire(spark: SparkSession, sf_dir: str, corrupt: bool) -> DataFrame:
     """Serialize the mapped events into Debezium-enveloped JSON strings,
     injecting deletes (after=null) and, optionally, malformed records."""
@@ -3117,6 +3133,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_knn_pagerank": q_sim_knn_pagerank,
         "pipeline_span_corrupt": q_pipeline_span_corrupt,
         "wh_attribution": q_wh_attribution,
+        "cdc_engagement_hits": q_cdc_engagement_hits,
         # rows-only never-checked (no SQL oracle; deferred to the round-5
         # window so every slot above carries a full value-hash check):
         "sim_ivf_refined": q_sim_ivf_refined,

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from cdc_poc_spark.operators.graph import (
     PR_DAMP_PCT,
     PR_TOTAL,
+    hits,
     knn_pagerank,
     pagerank,
 )
@@ -84,6 +85,59 @@ def test_pagerank_source_only_node_gets_teleport_rank(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def _ref_hits(edges, rounds=4, scale=10**6):
+    hubs = {u: scale for u, _ in edges}
+    auths: dict = {}
+    for _ in range(rounds):
+        raw_a: Counter = Counter()
+        for u, v in edges:
+            raw_a[v] += hubs[u]
+        mx = max(raw_a.values())
+        auths = {v: (r * scale) // mx for v, r in raw_a.items()}
+        raw_h: Counter = Counter()
+        for u, v in edges:
+            raw_h[u] += auths[v]
+        mx = max(raw_h.values())
+        hubs = {u: (r * scale) // mx for u, r in raw_h.items()}
+    return hubs, auths
+
+
+def test_hits_matches_python_reference_exactly(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    ref_h, ref_a = _ref_hits(EDGES)
+    got = hits(df, topk=100).collect()
+    got_h = {r["node_id"]: r["score"] for r in got if r["side"] == "hub"}
+    got_a = {r["node_id"]: r["score"] for r in got if r["side"] == "auth"}
+    assert got_h == ref_h
+    assert got_a == ref_a
+
+
+def test_hits_scores_bounded_and_max_is_scale(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    for side in ("hub", "auth"):
+        rows = hits(df).filter(F.col("side") == side).collect()
+        scores = sorted((r["score"] for r in rows), reverse=True)
+        # L-infinity rescale: the side's max is exactly the scale and the
+        # flooring division keeps every other score strictly within it
+        assert scores[0] == 10**6
+        assert all(0 <= s <= 10**6 for s in scores)
+        # rnk is dense over descending score
+        rnks = sorted(r["rnk"] for r in rows)
+        assert rnks == list(range(1, len(rows) + 1))
+
+
+def test_hits_star_graph_center_is_sole_authority(spark):
+    # 5 hubs all pointing at node 99: the center is the only authority
+    star = [(i, 99) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    rows = hits(df).collect()
+    auths = [r for r in rows if r["side"] == "auth"]
+    assert len(auths) == 1 and auths[0]["node_id"] == 99
+    hubs = [r for r in rows if r["side"] == "hub"]
+    # all five spokes are equally perfect hubs
+    assert {r["score"] for r in hubs} == {10**6} and len(hubs) == 5
 
 
 def test_knn_pagerank_shape(spark, sf_dir):
