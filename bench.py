@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "sim_pq_encode",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "dedup_clusters",
     "pipeline_split_assign",
     "mm_decode_features",

@@ -29,7 +29,7 @@ that "loses" to an already-applied delete cannot be detected).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.debezium import changelog_apply
@@ -87,3 +87,58 @@ def incremental_agg(
         .alias(f"sum_{sum_col}"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def scd2_merge(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Close-and-insert SCD2 merge: fold a NEW batch of dimension versions
+    into the standing Type-2 history without recomputing it — the
+    incremental form of the `cdc_scd2_dim` build (the reference's
+    latest-wins MapState upsert, EngagementStreamingJob.java:342-348, kept
+    WITH history instead of discarding it).
+
+    ``state``: (content_id, version_title, version_length_seconds,
+    valid_from, valid_to, is_current) — a previous merge's output (or
+    empty). ``batch``: new versions (content_id, version_title,
+    version_length_seconds, version_ts).
+
+    Mechanics (the Delta/Iceberg MERGE shape as plain DataFrame ops):
+    - within the batch, effective ranges chain via lead() per key;
+    - each key's standing CURRENT row is closed at the key's first new
+      version_ts (a broadcast of the batch's key -> min(version_ts) map:
+      micro-batches are small against the dimension);
+    - history rows pass through untouched.
+    Work is O(state + batch) with no window over state — at 100 TB with a
+    transactional table format the closed-row update touches only the
+    affected files instead of rewriting state.
+
+    Precondition (standard CDC contract, same as `incremental_agg`): per-key
+    arrival order — every batch version of a key is newer than the key's
+    standing current row. Kafka keyed partitions / per-key WAL order
+    guarantee this upstream.
+    """
+    w = Window.partitionBy("content_id").orderBy("version_ts")
+    new_rows = batch.select(
+        "content_id",
+        "version_title",
+        "version_length_seconds",
+        F.col("version_ts").alias("valid_from"),
+        F.lead("version_ts").over(w).alias("valid_to"),
+        F.lead("version_ts").over(w).isNull().alias("is_current"),
+    )
+    first_new = batch.groupBy("content_id").agg(
+        F.min("version_ts").alias("_first_new")
+    )
+    closed = state.join(F.broadcast(first_new), "content_id", "left").select(
+        "content_id",
+        "version_title",
+        "version_length_seconds",
+        "valid_from",
+        F.when(
+            F.col("is_current") & F.col("_first_new").isNotNull(),
+            F.col("_first_new"),
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+        (F.col("is_current") & F.col("_first_new").isNull()).alias("is_current"),
+    )
+    return closed.unionByName(new_rows)

@@ -1777,6 +1777,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(approx, 6) AS approx_l2sq
         FROM appr ORDER BY approx, vec_id LIMIT {SIM_TOPK}"""
 
+    # IVF-PQ composition: the coarse-cell CTEs of sim_ann_ivf restrict the
+    # candidate set; the PQ CTE chain + ADC LUT of sim_pq_adc_topk score it.
+    # Sharing both CTE texts verbatim means this oracle can never drift
+    # from either building block's.
+    sqls["sim_ivfpq_topk"] = f"""
+        WITH {_PQ_CTES.strip()},
+        cent AS (
+            SELECT vec_id AS cell2, embedding AS c_vec
+            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+        ),
+        qv AS (SELECT embedding AS q_vec FROM embeddings
+               WHERE vec_id = {SIM_QUERY_VEC_ID}),
+        assign AS (
+            SELECT vec_id, cell2 FROM (
+                SELECT e.vec_id, c.cell2,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell2
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        qcells AS (
+            SELECT cell2 FROM (
+                SELECT c.cell2,
+                       row_number() OVER (
+                           ORDER BY {_l2sq_sql("qv.q_vec", "c.c_vec")}, c.cell2
+                       ) AS rn
+                FROM qv CROSS JOIN cent c
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT vec_id FROM assign JOIN qcells USING (cell2)
+            WHERE vec_id <> {SIM_QUERY_VEC_ID}
+        ),
+        q AS (SELECT sub, list_slice(embedding, sub*{_sd}+1, sub*{_sd}+{_sd}) AS q_sub
+              FROM embeddings CROSS JOIN subs
+              WHERE vec_id = {SIM_QUERY_VEC_ID}),
+        lut AS (SELECT c.sub, c.cell, {_l2sq_sql("c.c_sub", "q.q_sub")} AS qd
+                FROM cb c JOIN q ON c.sub = q.sub),
+        appr AS (
+            SELECT b.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(l.qd ORDER BY b.sub)),
+                               (a, x) -> a + x) AS approx
+            FROM best b
+            JOIN cand USING (vec_id)
+            JOIN lut l ON b.sub = l.sub AND b.cell = l.cell
+            GROUP BY b.vec_id
+        )
+        SELECT vec_id, round(approx, 6) AS approx_l2sq
+        FROM appr ORDER BY approx, vec_id LIMIT {SIM_TOPK}"""
+
     sqls["sim_embedding_dups"] = f"""
         SELECT vec_a, vec_b, cosine_sim
         FROM (
@@ -2357,6 +2410,11 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked a
         LEFT JOIN ranked b
           ON a.content_id = b.content_id AND b.rn = a.rn + 1""")
+
+    # the streaming SCD2 maintenance must converge to exactly the batch
+    # build — same oracle text, so the incremental/full identity is what
+    # the differential proves
+    sqls["stream_scd2_native"] = sqls["cdc_scd2_dim"]
 
     from .registry import (
         DORMANT_CODES,

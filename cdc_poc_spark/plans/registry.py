@@ -1475,6 +1475,16 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (FAISS IVFPQ composition): coarse IVF probe
+    restricts candidates to nprobe cells, PQ/ADC scores only those
+    candidates from precomputed codes — at scale a query never touches a
+    raw corpus vector (operators/similarity.py::ivfpq_topk)."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), SIM_QUERY_VEC_ID, SIM_TOPK
+    )
+
+
 def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with reconstruction-error
     audit — pure per-row map, no shuffle."""
@@ -2383,6 +2393,48 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_scd2_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 dimension maintenance: the weekly version
+    rounds arrive as four micro-batches (file source, maxFilesPerTrigger=1,
+    mtime-ordered staging = the per-key CDC arrival order) and each batch
+    is folded into the standing history with the close-and-insert merge
+    (operators/incremental.py::scd2_merge via streaming/sinks.py::
+    scd2_maintain). The final maintained table must hash-match the batch
+    cdc_scd2_dim recompute — the incremental/full identity, proven on the
+    same oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import sinks
+
+    ver = m.dim_versions(load_table(spark, sf_dir, "part"))
+    workdir = tempfile.mkdtemp(prefix="stream_scd2_")
+    ind = os.path.join(workdir, "in")
+    os.makedirs(ind)
+    # one file per weekly round, staged in round order: sequential writes
+    # give strictly increasing mtimes, which is the file source's pick
+    # order — so batches arrive per-key ordered (the merge precondition)
+    for i, day in enumerate((1, 8, 15, 22)):
+        tmp = os.path.join(workdir, f"r{i}")
+        ver.filter(F.dayofmonth("version_ts") == day).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(ind, f"round_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    state_path = os.path.join(workdir, "scd2_state")
+    stream = (
+        spark.readStream.schema(ver.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    sinks.scd2_maintain(stream, state_path).awaitTermination()
+    shutil.rmtree(ind, ignore_errors=True)
+    # the maintained state stays on disk (it IS the result table); only
+    # the staged input is cleaned up
+    return spark.read.schema(sinks.SCD2_SCHEMA).parquet(state_path)
+
+
 def q_cdc_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from the version changelog: effective
     ranges [valid_from, valid_to) via lead() per content key, open-ended
@@ -3114,6 +3166,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "dedup_cdc_report": q_dedup_cdc_report,
         # ---- end of driver 50-slot verification window ----
         # newest additions (rotate into the round-5 window):
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "stream_scd2_native": q_stream_scd2_native,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -218,3 +218,46 @@ def refresh_serving_views(
     fact = spark.read.parquet(warehouse_path)
     for name, df in serving_views(fact).items():
         df.createOrReplaceTempView(f"{prefix}{name}")
+
+
+SCD2_SCHEMA = (
+    "content_id bigint, version_title string, version_length_seconds int, "
+    "valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean"
+)
+
+
+def scd2_maintain(versions_stream: DataFrame, state_path: str):
+    """Streaming SCD Type-2 dimension maintenance: each micro-batch of new
+    dimension versions is folded into the standing history table with
+    `operators/incremental.py::scd2_merge` (close-and-insert), the state
+    republished with the same overwrite-then-swap move the serving views
+    use — idempotent under micro-batch replay because the merge is a pure
+    function of (previous state, batch).
+
+    The parquet rewrite-per-batch is the no-transactional-format analog of
+    a Delta/Iceberg MERGE; at cluster scale the swap becomes the table
+    format's commit and only affected files rewrite. Returns the
+    StreamingQuery; read the maintained table at ``state_path`` after
+    termination.
+    """
+    from ..operators.incremental import scd2_merge
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, root = _fs(spark, state_path)
+        if fs.exists(root):
+            state = spark.read.schema(SCD2_SCHEMA).parquet(state_path)
+        else:
+            state = spark.createDataFrame([], SCD2_SCHEMA)
+        tmp = state_path.rstrip("/") + "__merging"
+        scd2_merge(state, batch_df).write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(root, True)
+        fs.rename(jtmp, root)
+
+    return (
+        versions_stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -145,3 +145,36 @@ def test_embedding_dup_batch_lsh_cross_side_only(spark):
     assert all(b >= 100 and i < 100 for b, i in got)  # only cross-side
     assert (0, 1) not in got and (1, 0) not in got
     assert not any({a, b} == {101, 102} for a, b in got)
+
+
+def test_ivfpq_candidates_confined_to_probed_cells(spark):
+    """IVF-PQ invariant: every returned vec_id must be assigned to one of
+    the nprobe cells the query probed, and its ADC score must equal the
+    full-corpus pq_adc_topk score for the same vec_id (candidate
+    restriction changes WHICH vectors are scored, never their score)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = similarity.ivfpq_topk(emb, 0, 10).collect()
+    assert 0 < len(got) <= 10
+
+    cents = similarity.ivf_centroids(emb)
+    assign = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, cents).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    probed = {
+        r["cell"]
+        for r in q.crossJoin(F.broadcast(cents))
+        .select("cell", similarity.l2sq(F.col("q_vec"), F.col("c_vec")).alias("d"))
+        .orderBy("d", "cell")
+        .limit(similarity.IVF_NPROBE)
+        .collect()
+    }
+    for r in got:
+        assert assign[r["vec_id"]] in probed
+
+    # full-corpus ADC scores for comparison: large k so the candidate ids
+    # are all present
+    full = {
+        r["vec_id"]: r["approx_l2sq"]
+        for r in similarity.pq_adc_topk(emb, 0, k=10_000).collect()
+    }
+    for r in got:
+        assert abs(full[r["vec_id"]] - r["approx_l2sq"]) < 1e-12

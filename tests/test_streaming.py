@@ -511,3 +511,48 @@ def test_streaming_anomaly_monitor_matches_batch(spark, tmp_path):
     streamed = _rows(score_minute_counts(state["minutes"], min_n=30))
     batch = _rows(rate_anomalies(ev, min_n=30))
     assert streamed == batch and batch
+
+
+def test_scd2_merge_close_and_insert(spark):
+    """scd2_merge semantics on constructed history: a key's standing
+    CURRENT row closes at the key's first new version_ts, within-batch
+    versions chain via lead, untouched keys pass through unchanged."""
+    from datetime import datetime
+
+    from cdc_poc_spark.operators.incremental import scd2_merge
+
+    def ts(d):
+        return datetime(2024, 1, d)
+
+    state = spark.createDataFrame(
+        [
+            # key 1: one closed + one current row
+            (1, "a v0", 100, ts(1), ts(8), False),
+            (1, "a v1", 101, ts(8), None, True),
+            # key 2: untouched by the batch
+            (2, "b v0", 200, ts(1), None, True),
+        ],
+        "content_id bigint, version_title string, version_length_seconds int,"
+        " valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "a v2", 102, ts(15)),
+            (1, "a v3", 103, ts(22)),
+            (3, "c v0", 300, ts(15)),  # brand-new key
+        ],
+        "content_id bigint, version_title string, version_length_seconds int,"
+        " version_ts timestamp_ntz",
+    )
+    got = {
+        (r.content_id, r.version_title): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_merge(state, batch).collect()
+    }
+    assert got == {
+        (1, "a v0"): (ts(1), ts(8), False),
+        (1, "a v1"): (ts(8), ts(15), False),   # closed at first new version
+        (1, "a v2"): (ts(15), ts(22), False),  # chained within the batch
+        (1, "a v3"): (ts(22), None, True),
+        (2, "b v0"): (ts(1), None, True),      # untouched key unchanged
+        (3, "c v0"): (ts(15), None, True),     # new key opens current
+    }
