@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "sim_semantic_dedup",
     "mm_image_dedup",
     "mm_audio_dedup",
+    "mm_video_dedup",
     "pipeline_chunk_documents",
     "pipeline_chunk_pack",
     "text_dedup_lines",

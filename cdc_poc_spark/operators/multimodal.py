@@ -530,3 +530,109 @@ def audio_fingerprints(media: DataFrame, windows: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(hash_batch, AHASH_SCHEMA)
+
+
+FRAME_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sig", T.StringType(), False),
+    ]
+)
+
+VIDEO_FRAME_STRIDE = 64
+VIDEO_FRAME_LEN = 64
+VIDEO_DUP_MIN_SHARED = 2
+VIDEO_SIG_MAX_DF_FRAC = 0.10  # boilerplate-frame cap (intros/outros/slates)
+VIDEO_SIG_MIN_DF_CAP = 4      # absolute floor, same rationale as WINNOW's
+
+
+def frame_signatures(
+    media: DataFrame,
+    stride: int = VIDEO_FRAME_STRIDE,
+    frame_len: int = VIDEO_FRAME_LEN,
+) -> DataFrame:
+    """Per-frame content signatures for video rows — the decode-side half
+    of content-based video dedup: one row per (full) frame window, signed
+    with the md5 of the frame's own content so two videos sharing a SCENE
+    share signatures even when the surrounding container bytes differ
+    (unlike `sample_frames`' whole-file checksums, which only ever match
+    on byte-identical videos).
+
+    mapInPandas keeps the real extractor's shape: production swaps the
+    stub slicing for a pyav per-frame decode + perceptual frame hash; the
+    Spark-side contract (binary in, row-per-frame out, Arrow batches) is
+    what's under test. The stub frames are fixed-width character windows
+    of the synthetic UTF-8 media bytes, so the DuckDB oracle reproduces
+    them exactly with substring + md5 over generate_series."""
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            vids = pdf[pdf["media_type"] == "video"]
+            for mid, content in zip(vids["media_id"], vids["content"]):
+                chars = bytes(content).decode("utf-8")
+                i = 0
+                while i * stride + frame_len <= len(chars):
+                    frame = chars[i * stride : i * stride + frame_len]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sigs.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(sign, FRAME_SIG_SCHEMA)
+
+
+def video_dup_pairs(
+    media: DataFrame,
+    min_shared: int = VIDEO_DUP_MIN_SHARED,
+    stride: int = VIDEO_FRAME_STRIDE,
+    frame_len: int = VIDEO_FRAME_LEN,
+    max_df_frac: float | None = VIDEO_SIG_MAX_DF_FRAC,
+) -> DataFrame:
+    """Video near-dup pairs by shared frame signatures — the video analog
+    of winnowing substring dedup: candidates come from the frame-signature
+    inverted-index self-join (blocked per signature, never all-pairs),
+    boilerplate frames (df > max_df_frac of the video corpus, with an
+    absolute floor) dropped before the join exactly like the hot-shingle
+    and hot-fingerprint caps. Output: (media_a, media_b, n_shared_frames)
+    for pairs sharing >= min_shared distinct frame signatures."""
+    sig = frame_signatures(media, stride, frame_len).select(
+        "media_id", "frame_sig"
+    ).distinct()
+    if max_df_frac is not None:
+        n_videos = media.filter(F.col("media_type") == "video").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        hot = (
+            sig.groupBy("frame_sig")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n_videos))
+            .filter(
+                F.col("_df")
+                > F.greatest(
+                    F.col("_n") * F.lit(float(max_df_frac)),
+                    F.lit(float(VIDEO_SIG_MIN_DF_CAP)),
+                )
+            )
+            .select("frame_sig")
+        )
+        sig = sig.join(F.broadcast(hot), "frame_sig", "left_anti")
+    a = sig.select(F.col("media_id").alias("media_a"), "frame_sig")
+    b = sig.select(F.col("media_id").alias("media_b"), "frame_sig")
+    return (
+        a.join(b, "frame_sig")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= int(min_shared))
+    )

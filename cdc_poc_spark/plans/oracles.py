@@ -1934,6 +1934,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 = 2
         )"""
 
+    from ..operators.multimodal import (
+        VIDEO_DUP_MIN_SHARED,
+        VIDEO_FRAME_LEN,
+        VIDEO_FRAME_STRIDE,
+        VIDEO_SIG_MAX_DF_FRAC,
+        VIDEO_SIG_MIN_DF_CAP,
+    )
+
+    _fl, _fs = VIDEO_FRAME_LEN, VIDEO_FRAME_STRIDE
+    # char-based slicing on both sides (Python slices the decoded chars,
+    # substring() slices chars) so the pair is consistent even off-ASCII
+    sqls["mm_video_dedup"] = f"""
+        WITH v AS (SELECT doc_id AS media_id, text FROM documents
+                   WHERE doc_id % 3 = 2),
+        sig AS (
+            SELECT DISTINCT media_id,
+                   md5(substring(text, i*{_fs} + 1, {_fl})) AS frame_sig
+            FROM (
+                SELECT media_id, text,
+                       unnest(range(0,
+                           CAST(floor((length(text) - {_fl}) / {_fs})
+                                AS BIGINT) + 1)) AS i
+                FROM v WHERE length(text) >= {_fl}
+            )
+        ),
+        nv AS (SELECT count(*) AS n FROM v),
+        hot AS (
+            SELECT frame_sig FROM sig CROSS JOIN nv
+            GROUP BY frame_sig, nv.n
+            HAVING count(*) > greatest(nv.n * {VIDEO_SIG_MAX_DF_FRAC},
+                                       {float(VIDEO_SIG_MIN_DF_CAP)})
+        ),
+        keep AS (SELECT * FROM sig
+                 WHERE frame_sig NOT IN (SELECT frame_sig FROM hot))
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(count(*) AS BIGINT) AS n_shared_frames
+        FROM keep a JOIN keep b
+          ON a.frame_sig = b.frame_sig AND a.media_id < b.media_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {VIDEO_DUP_MIN_SHARED}"""
+
     # banded multi-table hyperplane LSH (operators/similarity.py:
     # embedding_dup_pairs_lsh): one SELECT per band, keys from the shared
     # deterministic hyperplane family, MinHash-banding candidate shape

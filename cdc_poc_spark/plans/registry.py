@@ -2098,6 +2098,16 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def q_mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based video near-dup pairs: per-frame content signatures
+    (row-expanding mapInPandas, the pyav-extractor shape) -> hot-frame
+    df-cap -> frame-signature inverted-index self-join — videos sharing a
+    scene match even when container bytes differ
+    (operators/multimodal.py::video_dup_pairs)."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.video_dup_pairs(media)
+
+
 # ------------------- warehouse SQL surface: extended shapes -----------------
 
 # fixed pivot value list — an explicit list keeps the pivot a single
@@ -3168,6 +3178,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         # newest additions (rotate into the round-5 window):
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "stream_scd2_native": q_stream_scd2_native,
+        "mm_video_dedup": q_mm_video_dedup,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

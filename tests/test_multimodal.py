@@ -175,3 +175,28 @@ def test_audio_fingerprint_non_wav_null(spark):
         [(0, bytearray(b"not audio at all"))], "media_id long, content binary"
     )
     assert multimodal.audio_fingerprints(media).collect()[0].ahash is None
+
+
+def test_video_dup_pairs_shared_scene(spark):
+    """Two videos sharing two full frame windows pair up; a single shared
+    frame stays below min_shared; non-video rows never contribute."""
+    S = multimodal.VIDEO_FRAME_STRIDE
+    scene = "".join(chr(ord("a") + i % 26) for i in range(2 * S))  # 2 frames
+    one = "".join(chr(ord("A") + i % 26) for i in range(S))        # 1 frame
+    rows = [
+        (0, "video", (scene + "x" * S).encode()),        # frames: s0 s1 x
+        (1, "video", (scene + "y" * S).encode()),        # frames: s0 s1 y
+        (2, "video", (one + "z" * S).encode()),          # frames: o0 z
+        (3, "video", (one + "w" * S).encode()),          # frames: o0 w
+        (4, "image", (scene + "x" * S).encode()),        # not a video
+    ]
+    media = spark.createDataFrame(
+        [(i, t, c, {"n_bytes": len(c), "mime": "m"}) for i, t, c in rows],
+        "media_id long, media_type string, content binary, "
+        "metadata struct<n_bytes: long, mime: string>",
+    )
+    got = {
+        (r.media_a, r.media_b): r.n_shared_frames
+        for r in multimodal.video_dup_pairs(media).collect()
+    }
+    assert got == {(0, 1): 2}
