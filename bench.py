@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "dedup_clusters",
+    "pipeline_keep_best",
     "pipeline_split_assign",
     "mm_decode_features",
     "mm_media_stats",

@@ -186,3 +186,40 @@ def resolve_entities(df: DataFrame, col: str = "name") -> DataFrame:
         .orderBy("entity_id", "name")
     )
     return out
+
+
+def keep_best_per_cluster(
+    docs: DataFrame, threshold: float, k: int = SHINGLE_K
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: real
+    curation pipelines keep the BEST member of a duplicate group, not the
+    lowest id — here the longest document (the standard near-dup keeper
+    heuristic: the longest member usually subsumes truncated/quoted
+    copies), doc_id as the deterministic tiebreak.
+
+    Plan shape: the cluster table is duplicate-sized (delta, not corpus);
+    the length join adds one doc_id-keyed hash join and the keeper argmax
+    is a tiny per-cluster aggregate via min(struct(-len, doc_id)) — no
+    window over the corpus. Swapping the quality key (LM score, gates) is
+    a one-column change.
+
+    Output: (cluster_id, cluster_size, keep_doc_id, keep_len).
+    """
+    cl = dup_clusters(docs, threshold, k)
+    with_len = cl.join(
+        docs.select("doc_id", F.length("text").alias("_len")), "doc_id"
+    )
+    best = F.min(F.struct((-F.col("_len")).alias("neg_len"), F.col("doc_id")))
+    return (
+        with_len.groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").alias("cluster_size"),
+            best.alias("_b"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("_b.doc_id").alias("keep_doc_id"),
+            (-F.col("_b.neg_len")).cast("int").alias("keep_len"),
+        )
+    )

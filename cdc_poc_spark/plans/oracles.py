@@ -2271,6 +2271,38 @@ def oracle_sql() -> dict[str, str]:
                (doc_id = cluster_id) AS is_keeper
         FROM cc"""
 
+    # quality-aware keeper: the same recursive-CTE closure, argmax by
+    # (length DESC, doc_id) instead of min-id
+    sqls["pipeline_keep_best"] = f"""
+        WITH RECURSIVE {TOKS_CTE}, {SHINGLES_CTE}, {EXPLODED_CTE},
+        {_JACCARD_PAIRS.strip()},
+        p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        sized AS (
+            SELECT cc.doc_id, cc.cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   length(d.text) AS doc_len,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY length(d.text) DESC, cc.doc_id
+                   ) AS rn
+            FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+        )
+        SELECT cluster_id, cluster_size,
+               doc_id AS keep_doc_id,
+               CAST(doc_len AS INTEGER) AS keep_len
+        FROM sized WHERE rn = 1"""
+
     from ..operators.sampling import SHUFFLE_EXPORT_SEED, SHUFFLE_EXPORT_SHARDS
 
     # deterministic shuffle-to-shards export

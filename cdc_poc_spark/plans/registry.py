@@ -1500,6 +1500,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: keep the
+    LONGEST member (doc_id tiebreak) instead of lowest-id-wins — the
+    keeper rule curation pipelines actually use
+    (operators/clustering.py::keep_best_per_cluster)."""
+    return clustering.keep_best_per_cluster(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
 def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test assignment per document."""
     return sampling.assign_splits(load_table(spark, sf_dir, "documents"))
@@ -3179,6 +3189,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "stream_scd2_native": q_stream_scd2_native,
         "mm_video_dedup": q_mm_video_dedup,
+        "pipeline_keep_best": q_pipeline_keep_best,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

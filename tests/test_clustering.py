@@ -110,3 +110,35 @@ def test_cc_large_hash_node_ids_no_overflow(spark):
     )
     cc = connected_components(edges)
     assert cc.count() == 2000
+
+
+def test_keep_best_longest_wins_with_id_tiebreak(spark):
+    """keep_best_per_cluster keeps the LONGEST cluster member; equal
+    lengths fall back to the lowest doc_id."""
+    from cdc_poc_spark.operators.clustering import keep_best_per_cluster
+
+    # distinct base per cluster: a shingle shared by >4 docs trips the
+    # stop-shingle df-cap and would block the pairs entirely
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    base_b = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3
+    rows = [
+        # cluster {0,1,2}: near-dups, 2 is the longest
+        (0, base_a + "tail one"),
+        (1, base_a + "tail two"),
+        (2, base_a + "tail two three"),
+        # cluster {10,11}: identical length -> lowest id kept
+        (10, base_b + "same length pad"),
+        (11, base_b + "same length pad"),
+        # singleton: no pair, not in any cluster
+        (20, "completely unrelated text with no shared shingles at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.cluster_id: (r.cluster_size, r.keep_doc_id, r.keep_len)
+        for r in keep_best_per_cluster(docs, 0.5).collect()
+    }
+    assert set(got) == {0, 10}
+    size0, keep0, len0 = got[0]
+    assert (size0, keep0) == (3, 2) and len0 == len(rows[2][1])
+    size1, keep1, len1 = got[10]
+    assert (size1, keep1) == (2, 10) and len1 == len(rows[3][1])
