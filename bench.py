@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "sim_embedding_dups_lsh",
     "sim_embedding_dups_ivf",
     "sim_embedding_dups_incremental",
+    "sim_decontaminate",
     "wh_fuzzy_supplier_names",
     "text_pii_stats",
     "text_pii_redact",

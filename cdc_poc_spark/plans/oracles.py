@@ -2063,6 +2063,51 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
+    # semantic decontamination (operators/similarity.py:
+    # semantic_decontaminate): mod-50 bench split probes the capped
+    # standing corpus index — the same CTE chain as the incremental path
+    # with the split predicate swapped, then a per-corpus-vector rollup
+    from ..operators.similarity import SEM_CONTAM_BENCH_MOD
+
+    sqls["sim_decontaminate"] = f"""
+        WITH banded0 AS ({_emb_banded}),
+        idx0 AS (SELECT * FROM banded0
+                 WHERE vec_id % {SEM_CONTAM_BENCH_MOD} <> 0),
+        kept AS (
+            SELECT band, bkey FROM idx0 GROUP BY band, bkey
+            HAVING count(*) <= {EMB_LSH_BUCKET_CAP}
+        ),
+        idx AS (
+            SELECT i.* FROM idx0 i
+            JOIN kept k ON i.band = k.band AND i.bkey = k.bkey
+        ),
+        bat AS (SELECT * FROM banded0
+                WHERE vec_id % {SEM_CONTAM_BENCH_MOD} = 0),
+        cands AS (
+            SELECT DISTINCT b.vec_id AS vec_batch, i.vec_id AS vec_index
+            FROM bat b
+            JOIN idx i ON b.band = i.band AND b.bkey = i.bkey
+        ),
+        nz AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE {dot_sql("embedding", "embedding")} > 0
+        ),
+        hits AS (
+            SELECT vec_batch, vec_index, cosine_sim
+            FROM (
+                SELECT c.vec_batch, c.vec_index,
+                       {cosine_sql("eb.embedding", "ei.embedding")} AS cosine_sim
+                FROM cands c
+                JOIN nz eb ON c.vec_batch = eb.vec_id
+                JOIN nz ei ON c.vec_index = ei.vec_id
+            )
+            WHERE cosine_sim >= {COSINE_TAU}
+        )
+        SELECT vec_index AS vec_id,
+               CAST(count(*) AS BIGINT) AS n_bench_matches,
+               max(cosine_sim) AS max_cosine
+        FROM hits GROUP BY vec_index"""
+
     # SemDeDup (operators/similarity.py:semantic_dedup): seed-IVF coarse
     # quantizer (same assign CTE shape as sim_ann_ivf), then in-cluster
     # lower-id-wins near-dup drops

@@ -1444,6 +1444,17 @@ def q_sim_embedding_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors near ANY held-out
+    benchmark vector (deterministic mod-50 bench split; bench probes the
+    corpus' standing banded LSH index — O(bench + candidates), the
+    embedding-space twin of pipeline_decontaminate)
+    (operators/similarity.py::semantic_decontaminate)."""
+    return similarity.semantic_decontaminate(
+        load_table(spark, sf_dir, "embeddings"), COSINE_TAU
+    )
+
+
 def q_sim_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations refining the IVF coarse quantizer, then the
     per-cell assignment counts — a genuinely ITERATIVE distributed
@@ -3190,6 +3201,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_scd2_native": q_stream_scd2_native,
         "mm_video_dedup": q_mm_video_dedup,
         "pipeline_keep_best": q_pipeline_keep_best,
+        "sim_decontaminate": q_sim_decontaminate,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -178,3 +178,33 @@ def test_ivfpq_candidates_confined_to_probed_cells(spark):
     }
     for r in got:
         assert abs(full[r["vec_id"]] - r["approx_l2sq"]) < 1e-12
+
+
+def test_semantic_decontaminate_flags_only_near_bench(spark):
+    """A corpus vector colinear with a bench vector (vec_id % 50 == 0) is
+    flagged with max_cosine ~1; orthogonal corpus vectors are not; bench
+    vectors themselves never appear in the output."""
+
+    def v(axis, dim=16, eps=0.0):
+        base = [0.0] * dim
+        base[axis] = 1.0
+        base[(axis + 1) % dim] = eps
+        return base
+
+    emb = spark.createDataFrame(
+        [
+            (0, v(1), "a"),      # bench (id % 50 == 0)
+            (50, v(5), "a"),     # bench
+            (1, v(1, eps=0.01), "a"),   # corpus, near bench 0
+            (2, v(9), "a"),      # corpus, orthogonal to both
+            (51, v(5), "a"),     # corpus, identical to bench 50
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {
+        r.vec_id: (r.n_bench_matches, r.max_cosine)
+        for r in similarity.semantic_decontaminate(emb, 0.9, dim=16).collect()
+    }
+    assert set(got) == {1, 51}
+    assert got[1][0] == 1 and got[1][1] > 0.99
+    assert got[51] == (1, 1.0)
