@@ -228,3 +228,79 @@ def knn_pagerank(
             F.expr(f"(rank_units * 1000000) div {PR_TOTAL}").alias("rank_ppm"),
         )
     )
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = LPA_ROUNDS,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, Phys. Rev. E 76) over an undirected edge list — the
+    community structure of the similarity graph, where connected
+    components only give its connectivity (CC merges everything touching;
+    LPA splits dense regions joined by thin bridges).
+
+    Determinism design: the classic algorithm visits nodes in RANDOM order
+    with asynchronous updates and random tie-breaks — unreproducible
+    across engines by construction. This variant is fully deterministic:
+    labels start as node ids, every round ALL nodes simultaneously adopt
+    the most frequent label among their neighbours with ties broken
+    toward the smallest label, and the round count is fixed (synchronous
+    LPA can oscillate on bipartite structures, so the contract is "the
+    label state after exactly `rounds` rounds", which both engines
+    reproduce bit-for-bit; integer counts, no floats anywhere).
+
+    Plan shape per round: one join of the label table to the symmetrized
+    edge list (keyed on node id) + one (node, label) count aggregate + a
+    per-node argmax window over neighbour-count rows (|V|·avg-degree
+    rows, never the corpus). Edge list materialized once.
+
+    Output: (node_id, community, community_size) for every node with at
+    least one edge."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("lbl")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(int(rounds)):
+        votes = (
+            e.join(labels, e["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "lbl")
+            .groupBy("id", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+    sz = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("id").alias("node_id"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(sz).alias("community_size"),
+    )
+
+
+def knn_communities(
+    embeddings: DataFrame, k: int | None = None, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Communities of the LSH-blocked k-NN cosine graph — the
+    topic-cluster discovery step of graph-based curation (diversity
+    sampling / per-community quotas operate on exactly this table). Same
+    blocked edge construction as :func:`knn_pagerank`."""
+    from .similarity import KNN_K, knn_join_lsh
+
+    kk = KNN_K if k is None else k
+    edges = knn_join_lsh(embeddings, kk).select("src_id", "nbr_id")
+    return label_propagation(edges, src="src_id", dst="nbr_id", rounds=rounds)

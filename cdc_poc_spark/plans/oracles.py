@@ -2294,6 +2294,62 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY r DESC, id
         LIMIT {_pr_topk}"""
 
+    # deterministic synchronous label propagation over the same blocked
+    # k-NN edges as sim_knn_pagerank, symmetrized; each round unrolls to
+    # one neighbour-label count + one per-node argmax
+    from ..operators.graph import LPA_ROUNDS
+
+    _lpa_rounds = "".join(
+        f""",
+        v{i} AS (
+            SELECT e.src AS id, l.lbl, count(*) AS cnt
+            FROM lpa_edges e JOIN l{i - 1} l ON e.dst = l.id
+            GROUP BY e.src, l.lbl
+        ),
+        l{i} AS (
+            SELECT id, lbl FROM (
+                SELECT id, lbl,
+                       row_number() OVER (
+                           PARTITION BY id ORDER BY cnt DESC, lbl
+                       ) AS rn
+                FROM v{i}
+            ) WHERE rn = 1
+        )"""
+        for i in range(1, LPA_ROUNDS + 1)
+    )
+    sqls["sim_knn_communities"] = f"""
+        WITH lpa_bn AS (
+            SELECT vec_id, embedding, {_bucket} AS bucket,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        lpa_scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   {dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+                       AS cosine_sim
+            FROM lpa_bn a JOIN lpa_bn b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        lpa_knn AS (
+            SELECT src_id, nbr_id FROM (
+                SELECT src_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY cosine_sim DESC, nbr_id
+                       ) AS nbr_rank
+                FROM lpa_scored
+            ) WHERE nbr_rank <= {KNN_K}
+        ),
+        lpa_edges AS (
+            SELECT src_id AS src, nbr_id AS dst FROM lpa_knn
+            UNION
+            SELECT nbr_id, src_id FROM lpa_knn
+        ),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM lpa_edges){_lpa_rounds}
+        SELECT id AS node_id, lbl AS community,
+               count(*) OVER (PARTITION BY lbl) AS community_size
+        FROM l{LPA_ROUNDS}"""
+
     # transitive closure of the near-dup pair graph — the recursive-CTE twin
     # of the engine's iterative min-label propagation
     sqls["dedup_clusters"] = f"""

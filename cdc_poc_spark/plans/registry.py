@@ -1403,6 +1403,16 @@ def q_sim_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.knn_pagerank(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_sim_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    LSH-blocked k-NN cosine graph (4 rounds, most-frequent-neighbour
+    label, min-label ties) — topic-cluster discovery for diversity
+    sampling (operators/graph.py::knn_communities)."""
+    from ..operators import graph
+
+    return graph.knn_communities(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
     return similarity.embedding_dup_pairs(
@@ -3202,6 +3212,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "mm_video_dedup": q_mm_video_dedup,
         "pipeline_keep_best": q_pipeline_keep_best,
         "sim_decontaminate": q_sim_decontaminate,
+        "sim_knn_communities": q_sim_knn_communities,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -150,3 +150,27 @@ def test_knn_pagerank_shape(spark, sf_dir):
     units = [r["rank_units"] for r in rows]
     assert units == sorted(units, reverse=True)
     assert all(r["rank_ppm"] == (r["rank_units"] * 10**6) // PR_TOTAL for r in rows)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: connected components
+    would merge them into one group; label propagation keeps them as two
+    communities (the bridge is outvoted by each clique's internal
+    majority)."""
+    from itertools import combinations
+
+    from cdc_poc_spark.operators.graph import label_propagation
+
+    a, b = [1, 2, 3, 4], [10, 11, 12, 13]
+    edges = (
+        [(x, y) for x, y in combinations(a, 2)]
+        + [(x, y) for x, y in combinations(b, 2)]
+        + [(4, 10)]  # the bridge
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node_id: (r.community, r.community_size)
+        for r in label_propagation(e).collect()
+    }
+    assert {got[n] for n in a} == {(1, 4)}
+    assert {got[n] for n in b} == {(10, 4)}
