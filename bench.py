@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "wh_entity_resolution",
     "sim_knn_pagerank",
     "sim_knn_communities",
+    "pipeline_diversity_sample",
     "pipeline_span_corrupt",
     "wh_attribution",
     # stream_* queries are deliberately absent: streaming is measured by the

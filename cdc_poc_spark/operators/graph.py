@@ -304,3 +304,44 @@ def knn_communities(
     kk = KNN_K if k is None else k
     edges = knn_join_lsh(embeddings, kk).select("src_id", "nbr_id")
     return label_propagation(edges, src="src_id", dst="nbr_id", rounds=rounds)
+
+
+DIVERSITY_CAP = 3
+DIVERSITY_SEED = "diversity"
+
+
+def diversity_sample(
+    embeddings: DataFrame,
+    cap: int = DIVERSITY_CAP,
+    k: int | None = None,
+    rounds: int = LPA_ROUNDS,
+    seed: str = DIVERSITY_SEED,
+) -> DataFrame:
+    """Per-community diversity quota over the k-NN similarity graph: keep
+    at most ``cap`` members of every :func:`knn_communities` community,
+    chosen by a seeded-hash rank (a deterministic uniform draw,
+    reproducible across engines and reruns) — the graph-side counterpart
+    of per-domain capping: where `domain_cap` bounds a metadata facet,
+    this bounds CONTENT redundancy (a topic crawled from 50 mirrors is one
+    community here regardless of source labels).
+
+    Same scale shape as `domain_cap` on top of the community table: one
+    shuffle on the community key, local per-community sort; hot-community
+    mitigation is the identical hash-threshold pre-prune.
+
+    Output: (vec_id, community, rank_in_community)."""
+    from ..functions.hashing import md5_long_seeded
+
+    comm = knn_communities(embeddings, k, rounds)
+    h = md5_long_seeded(F.col("node_id"), seed)
+    w = Window.partitionBy("community").orderBy(F.asc("_h"), F.asc("node_id"))
+    return (
+        comm.select("node_id", "community", h.alias("_h"))
+        .withColumn("rank_in_community", F.row_number().over(w))
+        .filter(F.col("rank_in_community") <= int(cap))
+        .select(
+            F.col("node_id").alias("vec_id"),
+            "community",
+            F.col("rank_in_community").cast("long").alias("rank_in_community"),
+        )
+    )

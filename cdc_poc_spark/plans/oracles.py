@@ -2350,6 +2350,24 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY lbl) AS community_size
         FROM l{LPA_ROUNDS}"""
 
+    # per-community diversity quota: the communities query composed
+    # verbatim (can never drift), then the domain_cap rank shape
+    from ..operators.graph import DIVERSITY_CAP, DIVERSITY_SEED
+
+    sqls["pipeline_diversity_sample"] = f"""
+        SELECT vec_id, community,
+               CAST(rank_in_community AS BIGINT) AS rank_in_community
+        FROM (
+            SELECT node_id AS vec_id, community,
+                   row_number() OVER (
+                       PARTITION BY community
+                       ORDER BY ({md5_long_seeded_sql("node_id", DIVERSITY_SEED)}),
+                                node_id
+                   ) AS rank_in_community
+            FROM ({sqls["sim_knn_communities"]})
+        )
+        WHERE rank_in_community <= {DIVERSITY_CAP}"""
+
     # transitive closure of the near-dup pair graph — the recursive-CTE twin
     # of the engine's iterative min-label propagation
     sqls["dedup_clusters"] = f"""

@@ -1413,6 +1413,16 @@ def q_sim_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.knn_communities(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_pipeline_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community diversity quota: keep at most 3 members of every
+    k-NN community by seeded-hash rank — bounds CONTENT redundancy where
+    domain_cap bounds a metadata facet
+    (operators/graph.py::diversity_sample)."""
+    from ..operators import graph
+
+    return graph.diversity_sample(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
     return similarity.embedding_dup_pairs(
@@ -3213,6 +3223,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_keep_best": q_pipeline_keep_best,
         "sim_decontaminate": q_sim_decontaminate,
         "sim_knn_communities": q_sim_knn_communities,
+        "pipeline_diversity_sample": q_pipeline_diversity_sample,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -174,3 +174,29 @@ def test_label_propagation_splits_bridged_cliques(spark):
     }
     assert {got[n] for n in a} == {(1, 4)}
     assert {got[n] for n in b} == {(10, 4)}
+
+
+def test_diversity_sample_cap_and_rank_invariants(spark):
+    """Per community: at most DIVERSITY_CAP survivors, ranks contiguous
+    from 1, and every survivor belongs to the community table."""
+    from collections import Counter
+
+    from cdc_poc_spark.operators.graph import (
+        DIVERSITY_CAP,
+        diversity_sample,
+        knn_communities,
+    )
+    from cdc_poc_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    picked = diversity_sample(emb).collect()
+    assert picked
+    per = Counter(r.community for r in picked)
+    assert max(per.values()) <= DIVERSITY_CAP
+    ranks: dict[int, list[int]] = {}
+    for r in picked:
+        ranks.setdefault(r.community, []).append(r.rank_in_community)
+    for c, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+    comm = {(r.node_id, r.community) for r in knn_communities(emb).collect()}
+    assert all((r.vec_id, r.community) in comm for r in picked)
