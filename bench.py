@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "sim_centroid_drift",
     "wh_quality_audit",
     "sketch_hll_users",
+    "sketch_kmv_setops",
     "ts_anomaly",
     "sim_hard_negatives",
     "sketch_hist_quantiles",

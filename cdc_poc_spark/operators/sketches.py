@@ -373,3 +373,150 @@ def hist_value_report(events: DataFrame) -> DataFrame:
         F.lit("ALL").alias("scope"), "quantile", "est_value", "n_rows"
     )
     return per.unionByName(allsc).orderBy("scope", "quantile")
+
+
+# ------------------------- KMV (theta) distinct sketch ----------------------
+
+KMV_K = 64
+KMV_HASH_SPACE = 1 << 60  # md5_long values are uniform in [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group (Beyer et al. 2007; the
+    theta-sketch family): the ``k`` smallest distinct 60-bit hashes of the
+    value column — a bounded, MERGEABLE summary that, unlike HLL, supports
+    set INTERSECTION, because the retained hashes are a uniform sample of
+    the distinct values below a known threshold.
+
+    Fully deterministic (no seed-dependent registers, no floats): two
+    engines retain the exact same hash sets, so estimates — integer
+    arithmetic throughout — hash-match across engines, not merely agree
+    within error bounds.
+
+    Plan: one distinct on (group, hash) then a per-group rank; the sort is
+    local to each group's reducer. On a cluster the same sketch is built
+    mergeably (per-partition k-smallest, then k-smallest of the union —
+    the rank formulation here is the semantic contract both reduce to).
+
+    Output: (group, h, rn) with rn = 1..k ascending by hash."""
+    h = hashing.md5_long(F.col(value_col).cast("string"))
+    d = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("grp", "h", "rn")
+    )
+
+
+def kmv_setops(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct-count set algebra across groups from KMV sketches: for
+    every group pair (a < b), the estimated distinct values of each side,
+    of the union, and of the intersection — the "how many users did BOTH
+    X and Y" question HLL structurally cannot answer.
+
+    Estimator (all integer, exact cross-engine):
+      - a group with fewer than k distinct hashes is EXACT (theta = the
+        whole hash space, estimate = retained count);
+      - otherwise theta = the k-th smallest hash and
+        est = (k-1) * SPACE div theta (the unbiased KMV estimator);
+      - union: k smallest of the merged hash sets, same rule;
+      - intersection: X = |common hashes below min(theta_a, theta_b)|,
+        est = X * SPACE div min_theta (Beyer et al.'s scaled sample).
+
+    Only sketch rows (|groups| x k) ever join — the fact table is touched
+    once by the sketch build."""
+    sk = kmv_sketch(events, group_col, value_col, k)
+    # per-group theta + exact-mode flag
+    stats = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    space = F.lit(KMV_HASH_SPACE).cast("long")
+    # (k-1) * 2^60 exceeds int64: the multiply runs in DECIMAL(38,0)
+    # (exact, = DuckDB's HUGEINT), the integral quotient is < 2^63 for any
+    # kth >= 8 (i.e. anything under ~2^57 distinct values) so the long
+    # cast is safe
+    _est_expr = (
+        f"cast((cast({k} - 1 as decimal(38,0))"
+        f" * cast({KMV_HASH_SPACE} as decimal(38,0)))"
+        " div cast({kth} as decimal(38,0)) as long)"
+    )
+    est = F.when(
+        F.col("n_kept") < int(k), F.col("n_kept").cast("long")
+    ).otherwise(F.expr(_est_expr.format(kth="kth")))
+    g_est = stats.select(
+        "grp", "n_kept", "kth", est.alias("est_distinct"),
+        F.when(F.col("n_kept") < int(k), space)
+        .otherwise(F.col("kth"))
+        .alias("theta"),
+    )
+    pairs = (
+        g_est.select(
+            F.col("grp").alias("type_a"),
+            F.col("est_distinct").alias("est_a"),
+            F.col("theta").alias("theta_a"),
+        )
+        .join(
+            g_est.select(
+                F.col("grp").alias("type_b"),
+                F.col("est_distinct").alias("est_b"),
+                F.col("theta").alias("theta_b"),
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # union sketch per pair: k smallest of the merged distinct hash sets
+    a = sk.select(F.col("grp").alias("type_a"), "h")
+    b = sk.select(F.col("grp").alias("type_b"), "h")
+    merged = (
+        a.join(pairs.select("type_a", "type_b"), "type_a")
+        .select("type_a", "type_b", "h")
+        .unionAll(
+            b.join(pairs.select("type_a", "type_b"), "type_b")
+            .select("type_a", "type_b", "h")
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy(F.asc("h"))
+    u = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= int(k))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("u_kept"), F.max("h").alias("u_kth"))
+    )
+    # intersection: common hashes below the smaller theta
+    common = (
+        a.join(b, "h")
+        .join(pairs.select("type_a", "type_b", "theta_a", "theta_b"),
+              ["type_a", "type_b"])
+        .filter(F.col("h") < F.least("theta_a", "theta_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("x_common"))
+    )
+    est_u = F.when(
+        F.col("u_kept") < int(k), F.col("u_kept").cast("long")
+    ).otherwise(F.expr(_est_expr.format(kth="u_kth")))
+    est_i = F.expr(
+        "cast((cast(x_common as decimal(38,0))"
+        f" * cast({KMV_HASH_SPACE} as decimal(38,0)))"
+        " div cast(least(theta_a, theta_b) as decimal(38,0)) as long)"
+    )
+    return (
+        pairs.join(u, ["type_a", "type_b"])
+        .join(common, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            est_u.alias("est_union"),
+            F.coalesce(est_i, F.lit(0)).cast("long").alias("est_intersect"),
+        )
+    )

@@ -3671,6 +3671,81 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN num = den THEN 1 ELSE 0 END AS INTEGER) AS passed
         FROM raw"""
 
+    # KMV theta sketch set algebra (operators/sketches.py::kmv_setops):
+    # identical deterministic hash sample + integer estimators; HUGEINT is
+    # DuckDB's native exact wide integer (Spark runs the same multiply in
+    # DECIMAL(38,0))
+    from ..operators.sketches import KMV_HASH_SPACE, KMV_K
+
+    _kmv_est = (
+        f"CAST((CAST({KMV_K} - 1 AS HUGEINT) * {KMV_HASH_SPACE})"
+        " // {kth} AS BIGINT)"
+    )
+    sqls["sketch_kmv_setops"] = f"""
+        WITH d AS (
+            SELECT DISTINCT event_type AS grp,
+                   {md5_long_sql('CAST(user_id AS VARCHAR)')} AS h
+            FROM events
+        ),
+        sk AS (
+            SELECT grp, h FROM (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM d
+            ) WHERE rn <= {KMV_K}
+        ),
+        stats AS (
+            SELECT grp, count(*) AS n_kept, max(h) AS kth FROM sk GROUP BY grp
+        ),
+        g AS (
+            SELECT grp,
+                   CASE WHEN n_kept < {KMV_K} THEN n_kept
+                        ELSE {_kmv_est.format(kth="kth")} END AS est_distinct,
+                   CASE WHEN n_kept < {KMV_K} THEN {KMV_HASH_SPACE}
+                        ELSE kth END AS theta
+            FROM stats
+        ),
+        pairs AS (
+            SELECT a.grp AS type_a, a.est_distinct AS est_a,
+                   a.theta AS theta_a,
+                   b.grp AS type_b, b.est_distinct AS est_b,
+                   b.theta AS theta_b
+            FROM g a JOIN g b ON a.grp < b.grp
+        ),
+        merged AS (
+            SELECT DISTINCT p.type_a, p.type_b, s.h
+            FROM pairs p JOIN sk s ON s.grp = p.type_a OR s.grp = p.type_b
+        ),
+        u AS (
+            SELECT type_a, type_b, count(*) AS u_kept, max(h) AS u_kth
+            FROM (
+                SELECT type_a, type_b, h,
+                       row_number() OVER (
+                           PARTITION BY type_a, type_b ORDER BY h
+                       ) AS rn
+                FROM merged
+            ) WHERE rn <= {KMV_K}
+            GROUP BY type_a, type_b
+        ),
+        common AS (
+            SELECT p.type_a, p.type_b, count(*) AS x_common
+            FROM pairs p
+            JOIN sk sa ON sa.grp = p.type_a
+            JOIN sk sb ON sb.grp = p.type_b AND sb.h = sa.h
+            WHERE sa.h < least(p.theta_a, p.theta_b)
+            GROUP BY p.type_a, p.type_b
+        )
+        SELECT p.type_a, p.type_b, p.est_a, p.est_b,
+               CASE WHEN u.u_kept < {KMV_K} THEN u.u_kept
+                    ELSE {_kmv_est.format(kth="u_kth")} END AS est_union,
+               CAST(COALESCE(
+                   (CAST(c.x_common AS HUGEINT) * {KMV_HASH_SPACE})
+                       // least(p.theta_a, p.theta_b),
+                   0) AS BIGINT) AS est_intersect
+        FROM pairs p
+        JOIN u USING (type_a, type_b)
+        LEFT JOIN common c USING (type_a, type_b)"""
+
     from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_W
 
     _hll_suf = f"(h >> {HLL_P}) & ((1::BIGINT << {HLL_W}) - 1)"

@@ -1883,6 +1883,17 @@ def q_wh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) distinct sketches with SET ALGEBRA: per event-type pair,
+    estimated distinct users of each side, their union, and their
+    INTERSECTION — the cross-segment overlap question HLL structurally
+    cannot answer. Deterministic hash sample + integer estimators, so the
+    oracle hash-matches exactly (operators/sketches.py::kmv_setops)."""
+    from ..operators import sketches
+
+    return sketches.kmv_setops(load_table(spark, sf_dir, "events"))
+
+
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable HLL cardinality sketch: per-event-type distinct
     users estimated from 1024-register md5-60 sketches, the ALL scope
@@ -3224,6 +3235,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_decontaminate": q_sim_decontaminate,
         "sim_knn_communities": q_sim_knn_communities,
         "pipeline_diversity_sample": q_pipeline_diversity_sample,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -117,3 +117,37 @@ def test_streaming_hll_merge_matches_batch(spark, tmp_path):
     direct = {(r.register, r.max_rho)
               for r in sketches.hll_registers(df, "v").collect()}
     assert merged == direct
+
+
+def test_kmv_setops_exact_mode_small_groups(spark):
+    """With fewer than K distinct values per group the KMV sketch IS the
+    distinct set: every estimate must be exactly right, including the
+    intersection."""
+    from cdc_poc_spark.operators.sketches import kmv_setops
+
+    rows = [("a", u) for u in range(30)] + [("b", u) for u in range(20, 60)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    r = {(x.type_a, x.type_b): x for x in kmv_setops(ev).collect()}
+    got = r[("a", "b")]
+    assert (got.est_a, got.est_b) == (30, 40)
+    assert got.est_union == 60
+    assert got.est_intersect == 10
+
+
+def test_kmv_setops_estimation_accuracy(spark):
+    """Above K distinct values the estimators engage: on constructed
+    overlapping groups (600/500 distinct, 200 common) every estimate must
+    land within the ~4/sqrt(K-1) relative-error envelope."""
+    from cdc_poc_spark.operators.sketches import KMV_K, kmv_setops
+
+    assert KMV_K == 64  # tolerance below is sized for this K
+    rows = [("a", u) for u in range(600)] + [("b", u) for u in range(400, 900)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {(x.type_a, x.type_b): x for x in kmv_setops(ev).collect()}[("a", "b")]
+    for est, true in [
+        (got.est_a, 600),
+        (got.est_b, 500),
+        (got.est_union, 900),
+        (got.est_intersect, 200),
+    ]:
+        assert abs(est - true) / true < 0.5, (est, true)
