@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_lm_score",
     "text_char_entropy",
     "pipeline_decontaminate",
+    "pipeline_contamination_report",
     "profile_documents",
     "profile_embeddings",
     "pipeline_pack_sequences",

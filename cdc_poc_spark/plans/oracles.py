@@ -4086,4 +4086,67 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS is_canonical
         FROM labeled l JOIN canon c ON l.cid = c.cid"""
 
+    # defense-in-depth contamination dashboard: composes the three
+    # verified detector texts verbatim (can never drift); the semantic
+    # detector is the incremental banded chain with the SAME seeded bench
+    # predicate applied to vec_id
+    _bench_vec_pred = (
+        f"{md5_long_seeded_sql('CAST(vec_id AS VARCHAR)', 'bench')}"
+        f" % {CONTAM_BENCH_MOD} = 0"
+    )
+    sqls["pipeline_contamination_report"] = f"""
+        WITH sem AS (
+            WITH banded0 AS ({_emb_banded}),
+            idx0 AS (SELECT * FROM banded0 WHERE NOT ({_bench_vec_pred})),
+            kept AS (
+                SELECT band, bkey FROM idx0 GROUP BY band, bkey
+                HAVING count(*) <= {EMB_LSH_BUCKET_CAP}
+            ),
+            idx AS (
+                SELECT i.* FROM idx0 i
+                JOIN kept k ON i.band = k.band AND i.bkey = k.bkey
+            ),
+            bat AS (SELECT * FROM banded0 WHERE {_bench_vec_pred}),
+            cands AS (
+                SELECT DISTINCT b.vec_id AS vec_batch, i.vec_id AS vec_index
+                FROM bat b
+                JOIN idx i ON b.band = i.band AND b.bkey = i.bkey
+            ),
+            nz AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE {dot_sql("embedding", "embedding")} > 0
+            )
+            SELECT DISTINCT vec_index AS doc_id
+            FROM (
+                SELECT c.vec_index,
+                       {cosine_sql("eb.embedding", "ei.embedding")} AS cosine_sim
+                FROM cands c
+                JOIN nz eb ON c.vec_batch = eb.vec_id
+                JOIN nz ei ON c.vec_index = ei.vec_id
+            )
+            WHERE cosine_sim >= {COSINE_TAU}
+        ),
+        hits AS (
+            SELECT doc_id, 'ngram' AS mode
+            FROM ({sqls["pipeline_decontaminate"]})
+            UNION ALL
+            SELECT DISTINCT
+                   CASE WHEN ({_bench_pred.replace("doc_id", "doc_a")})
+                        THEN doc_b ELSE doc_a END AS doc_id,
+                   'substring' AS mode
+            FROM ({sqls["dedup_substring"]})
+            WHERE ({_bench_pred.replace("doc_id", "doc_a")})
+                  <> ({_bench_pred.replace("doc_id", "doc_b")})
+            UNION ALL
+            SELECT doc_id, 'semantic' FROM sem
+        )
+        SELECT doc_id,
+               max(CASE WHEN mode = 'ngram' THEN 1 ELSE 0 END) = 1
+                   AS ngram_hit,
+               max(CASE WHEN mode = 'substring' THEN 1 ELSE 0 END) = 1
+                   AS substring_hit,
+               max(CASE WHEN mode = 'semantic' THEN 1 ELSE 0 END) = 1
+                   AS semantic_hit
+        FROM hits GROUP BY doc_id"""
+
     return sqls

@@ -1883,6 +1883,70 @@ def q_wh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defense-in-depth contamination dashboard: ONE seeded benchmark
+    split, THREE independent detectors — token-shingle overlap
+    (dedup.decontaminate), winnowed exact-substring overlap
+    (dedup.substring_dup_pairs restricted to cross bench/corpus pairs —
+    verbatim eval passages embedded in long docs), and embedding
+    similarity (embedding_dup_batch_lsh: paraphrased leakage sharing no
+    surface n-grams; vec_id == doc_id in the driver tables). One row per
+    flagged corpus doc with a boolean per mode — the audit that shows
+    WHY a doc is quarantined, composing three verified operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, bench = dedup.benchmark_split(docs)
+    ng = dedup.decontaminate(corpus, bench).select(
+        "doc_id", F.lit("ngram").alias("mode")
+    )
+    is_bench_a = (
+        hashing.md5_long_seeded(F.col("doc_a"), "bench") % dedup.CONTAM_BENCH_MOD
+        == 0
+    )
+    is_bench_b = (
+        hashing.md5_long_seeded(F.col("doc_b"), "bench") % dedup.CONTAM_BENCH_MOD
+        == 0
+    )
+    sub = (
+        dedup.substring_dup_pairs(docs)
+        .filter(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_id"
+            ),
+            F.lit("substring").alias("mode"),
+        )
+        .distinct()
+    )
+    is_bench_vec = (
+        hashing.md5_long_seeded(F.col("vec_id"), "bench") % dedup.CONTAM_BENCH_MOD
+        == 0
+    )
+    sem = (
+        similarity.embedding_dup_batch_lsh(
+            emb.filter(~is_bench_vec), emb.filter(is_bench_vec), COSINE_TAU
+        )
+        .select(F.col("vec_index").alias("doc_id"), F.lit("semantic").alias("mode"))
+        .distinct()
+    )
+    return (
+        ng.unionAll(sub)
+        .unionAll(sem)
+        .groupBy("doc_id")
+        .agg(
+            (F.max(F.when(F.col("mode") == "ngram", 1).otherwise(0)) == 1).alias(
+                "ngram_hit"
+            ),
+            (F.max(F.when(F.col("mode") == "substring", 1).otherwise(0)) == 1).alias(
+                "substring_hit"
+            ),
+            (F.max(F.when(F.col("mode") == "semantic", 1).otherwise(0)) == 1).alias(
+                "semantic_hit"
+            ),
+        )
+    )
+
+
 def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (theta) distinct sketches with SET ALGEBRA: per event-type pair,
     estimated distinct users of each side, their union, and their
@@ -3236,6 +3300,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sim_knn_communities": q_sim_knn_communities,
         "pipeline_diversity_sample": q_pipeline_diversity_sample,
         "sketch_kmv_setops": q_sketch_kmv_setops,
+        "pipeline_contamination_report": q_pipeline_contamination_report,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
