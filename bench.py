@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "wh_top_orders",
     "wh_hourly_events",
     "wh_value_histogram",
+    "wh_winsorize",
     "wh_funnel",
     "wh_cohort_retention",
     "wh_value_anomalies",

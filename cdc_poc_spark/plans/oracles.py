@@ -2498,6 +2498,21 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY event_type"""
 
+    sqls["wh_winsorize"] = """
+        WITH caps AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.05), 4) AS lo,
+                   ROUND(quantile_cont(value, 0.95), 4) AS hi
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               ROUND(value, 4) AS value,
+               ROUND(least(greatest(value, lo), hi), 4) AS value_winsorized,
+               (value < lo OR value > hi) AS clipped
+        FROM events e JOIN caps USING (event_type)
+        WHERE value IS NOT NULL"""
+
     sqls["wh_explode_tokens"] = f"""
         WITH {TOKS_CTE},
         t AS (SELECT unnest(toks) AS token FROM toks)

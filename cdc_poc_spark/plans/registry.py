@@ -2287,6 +2287,35 @@ def q_wh_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier treatment: winsorize `value` at the per-event-type
+    [p05, p95] percentile caps — the standard tail-clamping step before
+    mean-based metrics on heavy-tailed telemetry. Caps are rounded to 4dp
+    BEFORE clamping/comparison so the cross-engine contract never rests on
+    the last ulp of percentile interpolation; per-row output, no
+    order-dependent aggregate. One tiny caps aggregate broadcast back
+    over the scan."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    caps = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.05)), 4).alias("_lo"),
+        F.round(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("_hi"),
+    )
+    v = F.col("value")
+    return ev.join(F.broadcast(caps), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(v, 4).alias("value"),
+        F.round(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")), 4).alias(
+            "value_winsorized"
+        ),
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("clipped"),
+    )
+
+
 def q_wh_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator/UDTF surface: explode the token array (lateral unnest) into
     global token frequencies, deterministic top-50 (count desc, token asc —
@@ -3301,6 +3330,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_diversity_sample": q_pipeline_diversity_sample,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipeline_contamination_report": q_pipeline_contamination_report,
+        "wh_winsorize": q_wh_winsorize,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
