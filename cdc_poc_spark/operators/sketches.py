@@ -520,3 +520,18 @@ def kmv_setops(
             F.coalesce(est_i, F.lit(0)).cast("long").alias("est_intersect"),
         )
     )
+
+
+def kmv_merge(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge two KMV sketches (same group key): k smallest of the combined
+    hash sets — the property that makes KMV a real distributed sketch:
+    per-partition sketches merge to EXACTLY the sketch of the union
+    (tested as such), so partial aggregation / micro-batch accumulation
+    never changes the estimate."""
+    merged = sk_a.select("grp", "h").unionAll(sk_b.select("grp", "h")).distinct()
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("grp", "h", "rn")
+    )

@@ -151,3 +151,23 @@ def test_kmv_setops_estimation_accuracy(spark):
         (got.est_intersect, 200),
     ]:
         assert abs(est - true) / true < 0.5, (est, true)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The defining mergeability property: kmv_merge(sketch(A), sketch(B))
+    must equal sketch(A UNION B) exactly — so per-partition / per-micro-
+    batch accumulation can never change an estimate."""
+    from cdc_poc_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    rows_a = [("x", u) for u in range(0, 300, 2)] + [("y", u) for u in range(40)]
+    rows_b = [("x", u) for u in range(150, 400)] + [("y", u) for u in range(20, 90)]
+    a = spark.createDataFrame(rows_a, "event_type string, user_id long")
+    b = spark.createDataFrame(rows_b, "event_type string, user_id long")
+    direct = kmv_sketch(a.unionAll(b), "event_type", "user_id")
+    merged = kmv_merge(
+        kmv_sketch(a, "event_type", "user_id"),
+        kmv_sketch(b, "event_type", "user_id"),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
