@@ -1726,13 +1726,15 @@ def oracle_sql() -> dict[str, str]:
     from ..operators.similarity import EMBED_DIM, PQ_CENTROID_MOD, PQ_M
 
     _sd = EMBED_DIM // PQ_M
+
     # shared PQ CTE chain: per-subspace codebooks from the deterministic
     # centroid seed, per-(vector, subspace) nearest-codebook assignment
-    # (ties -> lowest cell), folded in fixed subspace order
-    _PQ_CTES = f"""
+    # (ties -> lowest cell), folded in fixed subspace order; seeds_sql is
+    # parameterized so the capped IVF-PQ variant shares the exact text
+    def _pq_ctes(seeds_sql: str) -> str:
+        return f"""
         subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
-        seeds AS (SELECT vec_id AS cell, embedding FROM embeddings
-                  WHERE vec_id % {PQ_CENTROID_MOD} = 0),
+        seeds AS ({seeds_sql}),
         cb AS (SELECT cell, sub,
                       list_slice(embedding, sub*{_sd}+1, sub*{_sd}+{_sd}) AS c_sub
                FROM seeds CROSS JOIN subs),
@@ -1748,6 +1750,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM vecs v JOIN cb c ON v.sub = c.sub)
         ),
         best AS (SELECT vec_id, sub, cell, d FROM dist WHERE rn = 1)"""
+
+    _PQ_CTES = _pq_ctes(
+        f"SELECT vec_id AS cell, embedding FROM embeddings"
+        f" WHERE vec_id % {PQ_CENTROID_MOD} = 0"
+    )
+    from ..operators.similarity import IVFPQ_COARSE_CELLS, IVFPQ_MAX_CODES
+
+    # capped codebook for the IVF-PQ path: first max_codes seeds by vec_id
+    # rank (classic fixed-size PQ codebook)
+    _PQ_CTES_CAP = _pq_ctes(
+        f"SELECT cell, embedding FROM ("
+        f"SELECT vec_id AS cell, embedding,"
+        f" row_number() OVER (ORDER BY vec_id) AS _rk"
+        f" FROM embeddings WHERE vec_id % {PQ_CENTROID_MOD} = 0)"
+        f" WHERE _rk <= {IVFPQ_MAX_CODES}"
+    )
 
     sqls["sim_pq_encode"] = f"""
         WITH {_PQ_CTES.strip()}
@@ -1782,10 +1800,13 @@ def oracle_sql() -> dict[str, str]:
     # Sharing both CTE texts verbatim means this oracle can never drift
     # from either building block's.
     sqls["sim_ivfpq_topk"] = f"""
-        WITH {_PQ_CTES.strip()},
+        WITH {_PQ_CTES_CAP.strip()},
         cent AS (
-            SELECT vec_id AS cell2, embedding AS c_vec
-            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+            SELECT cell2, c_vec FROM (
+                SELECT vec_id AS cell2, embedding AS c_vec,
+                       row_number() OVER (ORDER BY vec_id) AS _rk
+                FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+            ) WHERE _rk <= {IVFPQ_COARSE_CELLS}
         ),
         qv AS (SELECT embedding AS q_vec FROM embeddings
                WHERE vec_id = {SIM_QUERY_VEC_ID}),

@@ -116,13 +116,50 @@ OPS = {
     "cdc_chunk_report": lambda d, v: dedup.cdc_dedup_report(d),
     "tfidf_topk": lambda d, v: text_analysis.tfidf_terms(d),
     "ngram_diversity": lambda d, v: text_analysis.ngram_diversity(d),
+    # late-r3 ops: IVF-PQ queries only code rows of probed cells (expect
+    # ~flat after the encode scans); LPA is per-round joins over the
+    # blocked k-NN edge list; video dedup is a df-capped inverted-index
+    # join over frame signatures; semantic decontamination probes the
+    # banded index with the fixed-fraction bench side
+    "ivfpq_topk": lambda d, v: _sim().ivfpq_topk(v, 17, 10),
+    "knn_communities (LPA)": lambda d, v: _graph().knn_communities(v),
+    "video_dedup (frame sigs)": lambda d, v: _mm().video_dup_pairs(
+        _mm().synthesize_media(d)
+    ),
+    "semantic_decontaminate": lambda d, v: _sim().semantic_decontaminate(v, 0.4),
 }
+
+
+def _sim():
+    return similarity
+
+
+def _graph():
+    from cdc_poc_spark.operators import graph
+
+    return graph
+
+
+def _mm():
+    from cdc_poc_spark.operators import multimodal
+
+    return multimodal
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated substring filter over operator names",
+    )
     args = ap.parse_args()
+    if args.ops:
+        pats = [p.strip().lower() for p in args.ops.split(",")]
+        keep = {k: v for k, v in OPS.items() if any(p in k.lower() for p in pats)}
+        OPS.clear()
+        OPS.update(keep)
     spark = get_spark(
         "scaling-curve", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
