@@ -433,7 +433,15 @@ def kmv_setops(
 
     Only sketch rows (|groups| x k) ever join — the fact table is touched
     once by the sketch build."""
-    sk = kmv_sketch(events, group_col, value_col, k)
+    return kmv_setops_from_sketch(kmv_sketch(events, group_col, value_col, k), k)
+
+
+def kmv_setops_from_sketch(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The set-algebra half of :func:`kmv_setops`, computable from any
+    (grp, h, rn) sketch frame — including one ACCUMULATED incrementally
+    with :func:`kmv_merge` (the streaming twin maintains exactly this
+    frame and must produce identical estimates, by the mergeability
+    property)."""
     # per-group theta + exact-mode flag
     stats = sk.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")

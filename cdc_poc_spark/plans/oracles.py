@@ -3782,6 +3782,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN u USING (type_a, type_b)
         LEFT JOIN common c USING (type_a, type_b)"""
 
+    # streaming KMV accumulation converges to exactly the batch sketch
+    # (mergeability identity) — same oracle text
+    sqls["stream_kmv_native"] = sqls["sketch_kmv_setops"]
+
     from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_W
 
     _hll_suf = f"(h >> {HLL_P}) & ((1::BIGINT << {HLL_W}) - 1)"

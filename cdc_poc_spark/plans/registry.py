@@ -1958,6 +1958,44 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_setops(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_kmv_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketch maintenance: events arrive as four
+    micro-batches (file source, maxFilesPerTrigger=1), each batch's sketch
+    merged into the standing per-group state
+    (streaming/sinks.py::kmv_maintain); the final set-algebra estimates
+    must hash-match the one-shot batch rebuild (sketch_kmv_setops' own
+    oracle) — the mergeability identity, driver-proven. Batch order is
+    irrelevant by construction (hash-set union commutes)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import sketches
+    from ..streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    workdir = tempfile.mkdtemp(prefix="stream_kmv_")
+    ind = os.path.join(workdir, "in")
+    os.makedirs(ind)
+    for i in range(4):
+        tmp = os.path.join(workdir, f"b{i}")
+        ev.filter(F.col("user_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(ind, f"batch_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    state_path = os.path.join(workdir, "kmv_state")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    sinks.kmv_maintain(stream, state_path).awaitTermination()
+    shutil.rmtree(ind, ignore_errors=True)
+    sk = spark.read.schema(sinks.KMV_STATE_SCHEMA).parquet(state_path)
+    return sketches.kmv_setops_from_sketch(sk)
+
+
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable HLL cardinality sketch: per-event-type distinct
     users estimated from 1024-register md5-60 sketches, the ALL scope
@@ -3331,6 +3369,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipeline_contamination_report": q_pipeline_contamination_report,
         "wh_winsorize": q_wh_winsorize,
+        "stream_kmv_native": q_stream_kmv_native,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -261,3 +261,47 @@ def scd2_maintain(versions_stream: DataFrame, state_path: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+KMV_STATE_SCHEMA = "grp string, h bigint, rn int"
+
+
+def kmv_maintain(
+    events_stream: DataFrame,
+    state_path: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+):
+    """Streaming KMV sketch maintenance: each micro-batch is sketched and
+    merged into the standing per-group sketch with
+    `operators/sketches.py::kmv_merge` — by the mergeability property
+    (tested in tests/test_hll.py) the accumulated state equals the sketch
+    of all events seen, so downstream set-algebra estimates are exactly
+    what a batch rebuild would give. State is (|groups| x k) rows — the
+    rewrite-per-batch is trivially cheap, and idempotent under replay
+    (merging a batch twice is a no-op on a hash SET).
+
+    Returns the StreamingQuery; read the sketch at ``state_path`` after
+    termination and feed it to `kmv_setops_from_sketch`."""
+    from ..operators.sketches import kmv_merge, kmv_sketch
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, root = _fs(spark, state_path)
+        batch_sk = kmv_sketch(batch_df, group_col, value_col)
+        if fs.exists(root):
+            state = spark.read.schema(KMV_STATE_SCHEMA).parquet(state_path)
+            merged = kmv_merge(state, batch_sk)
+        else:
+            merged = batch_sk
+        tmp = state_path.rstrip("/") + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        fs.delete(root, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), root)
+
+    return (
+        events_stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
