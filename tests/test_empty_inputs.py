@@ -199,3 +199,45 @@ def test_r3_curation_ops_empty(spark):
     got = dedup.cdc_incremental_dedup(docs, full.limit(5))
     assert got.count() == 5
     assert got.filter(F.col("n_known_chunks") != 0).count() == 0
+
+
+def test_late_r3_operators_empty(spark):
+    """Zero-row robustness for the late-round-3 operators: capped IVF-PQ,
+    LPA communities + diversity sampling, video frame dedup, semantic
+    decontamination, KMV set algebra, keeper selection, SCD2 merge."""
+    from cdc_poc_spark.operators import graph, multimodal, similarity, sketches
+    from cdc_poc_spark.operators.clustering import keep_best_per_cluster
+    from cdc_poc_spark.operators.incremental import scd2_merge
+
+    emb = _empty_like(load_table(spark, SF, "embeddings"))
+    assert similarity.ivfpq_topk(emb, 0, 10).count() == 0
+    assert similarity.semantic_decontaminate(emb, 0.4).count() == 0
+    assert graph.knn_communities(emb).count() == 0
+    assert graph.diversity_sample(emb).count() == 0
+
+    docs = _empty_like(load_table(spark, SF, "documents"))
+    media = multimodal.synthesize_media(docs)
+    assert multimodal.frame_signatures(media).count() == 0
+    assert multimodal.video_dup_pairs(media).count() == 0
+    assert keep_best_per_cluster(docs, 0.5).count() == 0
+
+    ev = _empty_like(
+        load_table(spark, SF, "events").select("event_type", "user_id")
+    )
+    assert sketches.kmv_setops(ev).count() == 0
+    assert sketches.kmv_merge(
+        sketches.kmv_sketch(ev, "event_type", "user_id"),
+        sketches.kmv_sketch(ev, "event_type", "user_id"),
+    ).count() == 0
+
+    state = spark.createDataFrame(
+        [],
+        "content_id bigint, version_title string, version_length_seconds int,"
+        " valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [],
+        "content_id bigint, version_title string, version_length_seconds int,"
+        " version_ts timestamp_ntz",
+    )
+    assert scd2_merge(state, batch).count() == 0
