@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "wh_value_anomalies",
     "pipeline_weighted_sample",
     "wh_event_transitions",
+    "wh_event_pattern",
     "wh_window_frames",
     "wh_sessions",
     "ts_subsequence_search",

@@ -2519,6 +2519,29 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY event_type"""
 
+    from .registry import CONVERSION_PATTERN, EVENT_LETTER
+
+    _letter_case = (
+        "CASE event_type "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in EVENT_LETTER.items())
+        + " ELSE NULL END"
+    )
+    sqls["wh_event_pattern"] = f"""
+        WITH lt AS (
+            SELECT user_id, ts, event_id, {_letter_case} AS l
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        j AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(l, '' ORDER BY ts, event_id) AS journey
+            FROM lt GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(length(journey) AS INTEGER) AS journey_len,
+               CAST(len(regexp_extract_all(journey, '{CONVERSION_PATTERN}'))
+                    AS INTEGER) AS n_conversions
+        FROM j"""
+
     sqls["wh_winsorize"] = """
         WITH caps AS (
             SELECT event_type,

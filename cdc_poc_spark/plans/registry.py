@@ -2325,6 +2325,56 @@ def q_wh_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_LETTER = {"view": "v", "click": "c", "purchase": "p", "signup": "s",
+                "error": "e"}
+# conversion journey: a view, then a click with no purchase between, then
+# the first purchase after — non-overlapping count; pattern restricted to
+# the Java-regex ∩ RE2 syntax subset (same discipline as the PII patterns)
+CONVERSION_PATTERN = "v[^p]*c[^p]*p"
+
+
+def q_wh_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE / CEP
+    capability as a portable stand-in): per user, the time-ordered event
+    stream is folded to a letter sequence and a conversion journey regex
+    (view -> click -> purchase, no purchase in between) is counted
+    non-overlapping. Plan: one user_id shuffle, sequence built with
+    array_sort(collect_list(struct)) — the regex runs once per user, not
+    per event; no self-joins, no windows over the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    letter = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in EVENT_LETTER.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), letter.alias("l")))
+            ),
+            lambda x: x["l"],
+        ),
+    )
+    return (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            seq.alias("journey"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.length("journey").alias("journey_len"),
+            F.regexp_count(F.col("journey"), F.lit(CONVERSION_PATTERN)).alias(
+                "n_conversions"
+            ),
+        )
+    )
+
+
 def q_wh_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier treatment: winsorize `value` at the per-event-type
     [p05, p95] percentile caps — the standard tail-clamping step before
@@ -3370,6 +3420,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_contamination_report": q_pipeline_contamination_report,
         "wh_winsorize": q_wh_winsorize,
         "stream_kmv_native": q_stream_kmv_native,
+        "wh_event_pattern": q_wh_event_pattern,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -160,3 +160,29 @@ def test_attribution_semantics(spark):
         ("last", "view"): (1, 5.0),
         ("last", "direct"): (1, 7.0),
     }
+
+
+def test_event_pattern_regex_semantics(spark):
+    """Pin the conversion-pattern semantics on constructed journeys:
+    non-overlapping counting, and the no-purchase-between constraint."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.plans.registry import CONVERSION_PATTERN
+
+    cases = {
+        "vcp": 1,        # the plain journey
+        "vcpvcp": 2,     # non-overlapping repeat
+        "vpc": 0,        # purchase between view and click kills the match
+        "vcvcp": 1,      # one match spans the detour
+        "vsecp": 1,      # signup/error noise inside the journey is fine
+        "ssee": 0,       # no journey at all
+        "cpv": 0,        # wrong order
+    }
+    df = spark.createDataFrame(list(cases.items()), "journey string, want int")
+    got = df.select(
+        "journey",
+        "want",
+        F.regexp_count(F.col("journey"), F.lit(CONVERSION_PATTERN)).alias("got"),
+    ).collect()
+    for r in got:
+        assert r.got == r.want, (r.journey, r.got, r.want)
