@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "pipeline_contamination_report",
     "profile_documents",
     "profile_embeddings",
+    "profile_drift",
     "pipeline_pack_sequences",
     "pipeline_shuffle_export",
     "dedup_exact",

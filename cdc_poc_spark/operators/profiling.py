@@ -92,3 +92,51 @@ def profile_vectors(embeddings: DataFrame) -> DataFrame:
         F.round(F.max(norm), 6).alias("max_norm"),
         F.sum(norm.cast("decimal(25,6)")).cast("double").alias("sum_norm"),
     )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column drift report between two snapshots of the same table —
+    the observability step between `profile` (one snapshot's gate) and
+    `snapshot_diff` (row-level delta): both snapshots are profiled with
+    the same single-pass aggregate, joined on column name, and the report
+    emits exact integer deltas plus a range-change flag. A schema-stable
+    upstream that suddenly doubles null counts or collapses distinct
+    values fails THIS check long before row-level diffs are affordable.
+
+    All outputs are exact integers / booleans (no ratios), so the report
+    is deterministic across engines and partitionings.
+
+    Output: (column, rows_old, rows_new, nulls_old, nulls_new,
+    distinct_old, distinct_new, distinct_delta, range_changed)."""
+    po = profile(old, columns).select(
+        "column",
+        F.col("n_rows").alias("rows_old"),
+        F.col("n_nulls").alias("nulls_old"),
+        F.col("n_distinct").alias("distinct_old"),
+        F.col("min_str").alias("_min_o"),
+        F.col("max_str").alias("_max_o"),
+    )
+    pn = profile(new, columns).select(
+        "column",
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_nulls").alias("nulls_new"),
+        F.col("n_distinct").alias("distinct_new"),
+        F.col("min_str").alias("_min_n"),
+        F.col("max_str").alias("_max_n"),
+    )
+    return po.join(pn, "column").select(
+        "column",
+        "rows_old",
+        "rows_new",
+        "nulls_old",
+        "nulls_new",
+        "distinct_old",
+        "distinct_new",
+        (F.col("distinct_new") - F.col("distinct_old")).alias("distinct_delta"),
+        (
+            ~F.col("_min_o").eqNullSafe(F.col("_min_n"))
+            | ~F.col("_max_o").eqNullSafe(F.col("_max_n"))
+        ).alias("range_changed"),
+    )

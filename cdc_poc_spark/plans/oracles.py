@@ -2954,6 +2954,31 @@ def oracle_sql() -> dict[str, str]:
         for c in PROFILE_COLUMNS
     )
 
+    # drift report: the profile text per column, once per snapshot half
+    def _prof_half(pred: str, suffix: str) -> str:
+        return "\n            UNION ALL\n".join(
+            f"""
+            SELECT '{c}' AS "column", COUNT(*) AS rows_{suffix},
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nulls_{suffix},
+                   COUNT(DISTINCT {c}) AS distinct_{suffix},
+                   CAST(MIN({c}) AS VARCHAR) AS min_{suffix},
+                   CAST(MAX({c}) AS VARCHAR) AS max_{suffix}
+            FROM documents WHERE {pred}"""
+            for c in PROFILE_COLUMNS
+        )
+
+    sqls["profile_drift"] = f"""
+        WITH po AS ({_prof_half("doc_id % 2 = 0", "old")}),
+        pn AS ({_prof_half("doc_id % 2 = 1", "new")})
+        SELECT po."column", rows_old, rows_new, nulls_old, nulls_new,
+               distinct_old, distinct_new,
+               distinct_new - distinct_old AS distinct_delta,
+               (NOT (min_old IS NOT DISTINCT FROM min_new))
+               OR (NOT (max_old IS NOT DISTINCT FROM max_new))
+                   AS range_changed
+        FROM po JOIN pn ON po."column" = pn."column" """
+
     from ..sources.generator import (
         DEVICES,
         DURATION_BANDS,

@@ -2752,6 +2752,21 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "documents"), PROFILE_COLUMNS)
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column drift between two corpus snapshots (deterministic even/
+    odd doc_id halves as the stand-ins): exact integer count deltas +
+    range-change flags from two single-pass profiles
+    (operators/profiling.py::profile_drift)."""
+    from ..operators.profiling import profile_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        PROFILE_COLUMNS,
+    )
+
+
 def q_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column ingest gate: dims, NaN/zero-vector counts, norm range
     — one aggregate over one scan (operators/profiling.py)."""
@@ -3421,6 +3436,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_winsorize": q_wh_winsorize,
         "stream_kmv_native": q_stream_kmv_native,
         "wh_event_pattern": q_wh_event_pattern,
+        "profile_drift": q_profile_drift,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
