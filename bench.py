@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "wh_hourly_events",
     "wh_value_histogram",
     "wh_winsorize",
+    "wh_negative_samples",
     "wh_funnel",
     "wh_cohort_retention",
     "wh_value_anomalies",

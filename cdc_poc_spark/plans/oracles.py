@@ -2519,6 +2519,43 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY event_type"""
 
+    from .registry import NEG_SAMPLE_SEED, NEG_SAMPLES_K
+
+    _pair_hash = md5_long_seeded_sql(
+        "CAST(user_id AS VARCHAR) || '_' || CAST(content_id AS VARCHAR)",
+        NEG_SAMPLE_SEED,
+    )
+    sqls["wh_negative_samples"] = f"""
+        WITH users AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+        ),
+        content AS (SELECT p_partkey AS content_id FROM part),
+        inter AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS content_id
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        cand AS (
+            SELECT u.user_id, c.content_id FROM users u CROSS JOIN content c
+        ),
+        neg AS (
+            SELECT cand.user_id, cand.content_id
+            FROM cand ANTI JOIN inter USING (user_id, content_id)
+        ),
+        ranked AS (
+            SELECT user_id, content_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ({_pair_hash}), content_id
+                   ) AS neg_rank
+            FROM neg
+        )
+        SELECT user_id, content_id, CAST(neg_rank AS BIGINT) AS neg_rank
+        FROM ranked WHERE neg_rank <= {NEG_SAMPLES_K}"""
+
     from .registry import CONVERSION_PATTERN, EVENT_LETTER
 
     _letter_case = (

@@ -2375,6 +2375,44 @@ def q_wh_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_SAMPLES_K = 5
+NEG_SAMPLE_SEED = "negsample"
+
+
+def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user negative sampling for recommendation/contrastive training:
+    for every active user, the K content items they NEVER interacted
+    with, chosen by seeded (user, content) hash rank — deterministic
+    negatives, the id-space complement of sim_hard_negatives'
+    embedding-space mining. Plan: users x broadcast dimension (linear in
+    |users| x |dim|), interacted pairs removed with one left-anti join,
+    per-user rank over the hash. At real scale the dim side is
+    hash-thinned first (keep candidates whose hash falls under an
+    oversampled quantile) — a pre-prune that cannot change the result."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events"))
+    users = ev.select("user_id").filter(F.col("user_id").isNotNull()).distinct()
+    content = m.content_dim(load_table(spark, sf_dir, "part")).select(
+        F.col("id").alias("content_id")
+    )
+    inter = (
+        ev.select("user_id", "content_id")
+        .filter(F.col("user_id").isNotNull() & F.col("content_id").isNotNull())
+        .distinct()
+    )
+    cand = users.crossJoin(F.broadcast(content))
+    neg = cand.join(inter, ["user_id", "content_id"], "left_anti")
+    h = hashing.md5_long_seeded(
+        F.concat_ws("_", F.col("user_id"), F.col("content_id")), NEG_SAMPLE_SEED
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("_h"), F.asc("content_id"))
+    return (
+        neg.select("user_id", "content_id", h.alias("_h"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_SAMPLES_K)
+        .select("user_id", "content_id", F.col("neg_rank").cast("long").alias("neg_rank"))
+    )
+
+
 def q_wh_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier treatment: winsorize `value` at the per-event-type
     [p05, p95] percentile caps — the standard tail-clamping step before
@@ -3437,6 +3475,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_kmv_native": q_stream_kmv_native,
         "wh_event_pattern": q_wh_event_pattern,
         "profile_drift": q_profile_drift,
+        "wh_negative_samples": q_wh_negative_samples,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -186,3 +186,34 @@ def test_event_pattern_regex_semantics(spark):
     ).collect()
     for r in got:
         assert r.got == r.want, (r.journey, r.got, r.want)
+
+
+def test_negative_samples_never_interacted(spark):
+    """Every sampled negative must be a (user, content) pair absent from
+    the interaction set, with exactly K per user and contiguous ranks."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.plans import cdc_mapping as m
+    from cdc_poc_spark.plans.registry import NEG_SAMPLES_K, q_wh_negative_samples
+    from cdc_poc_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    neg = q_wh_negative_samples(spark, sf).collect()
+    assert neg
+    inter = {
+        (r.user_id, r.content_id)
+        for r in m.engagement_events(load_table(spark, sf, "events"))
+        .select("user_id", "content_id")
+        .filter(F.col("content_id").isNotNull())
+        .distinct()
+        .collect()
+    }
+    assert all((r.user_id, r.content_id) not in inter for r in neg)
+    per = Counter(r.user_id for r in neg)
+    assert set(per.values()) == {NEG_SAMPLES_K}
+    ranks: dict[int, list[int]] = {}
+    for r in neg:
+        ranks.setdefault(r.user_id, []).append(r.neg_rank)
+    assert all(sorted(v) == list(range(1, NEG_SAMPLES_K + 1)) for v in ranks.values())
