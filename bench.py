@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "wh_value_histogram",
     "wh_winsorize",
     "wh_negative_samples",
+    "wh_spatial_join",
     "wh_funnel",
     "wh_cohort_retention",
     "wh_value_anomalies",

@@ -1,0 +1,111 @@
+"""Spatial distance self-join — grid-bucketed, the classic distributed
+spatial join (the same blocked shape as the LSH/IVF candidate generators,
+but over 2-D geometry instead of hash space).
+
+Not present in the reference (no geometry anywhere); included as an
+M6-class extension: event streams routinely carry coordinates (the
+reference generator writes a ``coordinates:{x,y}`` payload field,
+reference data-generator/generator.py:138-161), and "which events happened
+within distance d of each other" is the canonical proximity query.
+
+Scale shape: each point lands in ONE grid cell of side ``eps``; the LEFT
+side of the candidate join is exploded to its 3x3 cell neighbourhood (a
+fixed 9-way flatMap, not a data-sized blowup), so every true pair within
+``eps`` shares a (cell_x, cell_y) key with certainty — candidates are
+cell-blocked, never all-pairs, and the exact euclidean check verifies.
+Degenerate-density cells are the spatial analog of hot LSH buckets; the
+``cell_cap`` guard drops cells holding more points than the cap (same
+device as EMB_LSH_BUCKET_CAP, documented recall trade).
+
+Determinism: coordinates are doubles, but both engines compute the same
+IEEE expressions in the same order (squared distance, no sqrt in the
+filter), so the pair set and rounded distances hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_seeded
+
+SPATIAL_EPS = 1.5
+SPATIAL_CELL_CAP = 1000
+# synthesized coordinate space: uniform in [0, 1000) x [0, 1000)
+COORD_MOD = 1_000_000
+COORD_SCALE = 1000.0
+
+
+def synthesize_points(events: DataFrame) -> DataFrame:
+    """Deterministic (point_id, x, y) from the event stream — the stand-in
+    for the reference generator's ``coordinates:{x,y}`` payload field
+    (the driver's events.parquet carries only the FK payload). Seeded
+    60-bit hashes scaled to [0, 1000): integer-derived doubles, identical
+    in both engines."""
+    x = (md5_long_seeded(F.col("event_id"), "px") % COORD_MOD) / F.lit(COORD_SCALE)
+    y = (md5_long_seeded(F.col("event_id"), "py") % COORD_MOD) / F.lit(COORD_SCALE)
+    return events.select(
+        F.col("event_id").alias("point_id"), x.alias("x"), y.alias("y")
+    )
+
+
+def grid_distance_join(
+    points: DataFrame,
+    eps: float = SPATIAL_EPS,
+    cell_cap: int | None = SPATIAL_CELL_CAP,
+) -> DataFrame:
+    """All point pairs within euclidean distance ``eps``: grid cells of
+    side eps, left side exploded to the 3x3 neighbourhood, exact
+    squared-distance verification. Output (id_a, id_b, dist) with
+    dist rounded to 6dp (the only sqrt, applied after the exact filter).
+    """
+    cx = F.floor(F.col("x") / F.lit(float(eps))).cast("long")
+    cy = F.floor(F.col("y") / F.lit(float(eps))).cast("long")
+    cells = points.select("point_id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    if cell_cap is not None:
+        hot = (
+            cells.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(cell_cap))
+            .select("cx", "cy")
+        )
+        cells = cells.join(F.broadcast(hot), ["cx", "cy"], "left_anti")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = cells.select(
+        F.col("point_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = cells.select(
+        F.col("point_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(float(eps)) * F.lit(float(eps)))
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
+        # no distinct needed: b sits in exactly one cell and a probes each
+        # neighbour key once, so a qualifying pair matches exactly once
+    )

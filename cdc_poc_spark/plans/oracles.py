@@ -2519,6 +2519,57 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY event_type"""
 
+    from ..operators.spatial import (
+        COORD_MOD,
+        COORD_SCALE,
+        SPATIAL_CELL_CAP,
+        SPATIAL_EPS,
+    )
+
+    _px = md5_long_seeded_sql("CAST(event_id AS VARCHAR)", "px")
+    _py = md5_long_seeded_sql("CAST(event_id AS VARCHAR)", "py")
+    _e = float(SPATIAL_EPS)
+    sqls["wh_spatial_join"] = f"""
+        WITH pts AS (
+            SELECT event_id AS point_id,
+                   (({_px}) % {COORD_MOD}) / {COORD_SCALE} AS x,
+                   (({_py}) % {COORD_MOD}) / {COORD_SCALE} AS y
+            FROM events
+        ),
+        cells AS (
+            SELECT point_id, x, y,
+                   CAST(floor(x / {_e}) AS BIGINT) AS cx,
+                   CAST(floor(y / {_e}) AS BIGINT) AS cy
+            FROM pts
+        ),
+        hot AS (
+            SELECT cx, cy FROM cells GROUP BY cx, cy
+            HAVING count(*) > {SPATIAL_CELL_CAP}
+        ),
+        kept AS (SELECT c.* FROM cells c ANTI JOIN hot USING (cx, cy)),
+        offs AS (
+            SELECT a.dx, b.dy
+            FROM (SELECT unnest([-1, 0, 1]::BIGINT[]) AS dx) a
+            CROSS JOIN (SELECT unnest([-1, 0, 1]::BIGINT[]) AS dy) b
+        ),
+        ea AS (
+            SELECT point_id AS id_a, x AS xa, y AS ya,
+                   cx + dx AS jx, cy + dy AS jy
+            FROM kept CROSS JOIN offs
+        ),
+        eb AS (
+            SELECT point_id AS id_b, x AS xb, y AS yb,
+                   cx AS jx, cy AS jy
+            FROM kept
+        )
+        SELECT id_a, id_b,
+               round(sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)), 6)
+                   AS dist
+        FROM ea JOIN eb USING (jx, jy)
+        WHERE id_a < id_b
+          AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+              <= {_e} * {_e}"""
+
     from .registry import NEG_SAMPLE_SEED, NEG_SAMPLES_K
 
     _pair_hash = md5_long_seeded_sql(

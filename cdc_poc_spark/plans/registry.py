@@ -2375,6 +2375,18 @@ def q_wh_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wh_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial distance self-join: all event-point pairs
+    within euclidean eps — candidates cell-blocked via a fixed 3x3
+    neighbourhood explode, never all-pairs; exact squared-distance verify
+    (operators/spatial.py::grid_distance_join over deterministic
+    synthesized coordinates)."""
+    from ..operators import spatial
+
+    pts = spatial.synthesize_points(load_table(spark, sf_dir, "events"))
+    return spatial.grid_distance_join(pts)
+
+
 NEG_SAMPLES_K = 5
 NEG_SAMPLE_SEED = "negsample"
 
@@ -3476,6 +3488,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_event_pattern": q_wh_event_pattern,
         "profile_drift": q_profile_drift,
         "wh_negative_samples": q_wh_negative_samples,
+        "wh_spatial_join": q_wh_spatial_join,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -569,3 +569,32 @@ def test_fold_kernels_bit_identical(spark, vecs):
     key_ok = " AND ".join(f"k{b} = keys[{b}]" for b in range(bands))
     bad = joined.filter(~F.expr(f"({key_ok}) AND d_expr <=> d_kern"))
     assert bad.count() == 0, bad.collect()
+
+
+def test_grid_distance_join_matches_brute_force(spark):
+    """Spatial-join completeness: the 3x3 cell-neighbourhood candidates
+    must recover EXACTLY the brute-force pair set within eps, including
+    pairs straddling cell borders (the pigeonhole the neighbourhood
+    explode exists for)."""
+    from itertools import combinations
+
+    from cdc_poc_spark.operators.spatial import grid_distance_join
+
+    eps = 1.5
+    pts = [
+        (0, 0.1, 0.1),
+        (1, 1.45, 0.1),    # same-ish row, 1.35 apart -> pair with 0
+        (2, 1.6, 1.6),     # diagonal cell from 0, ~2.1 from 0 (no), 1.51 from 1 (no)
+        (3, 2.9, 0.1),     # cell border straddle: 1.45 from 1 -> pair
+        (4, 2.95, 0.2),    # 0.11 from 3 -> pair; 1.50 from 1 (boundary-ish)
+        (5, 50.0, 50.0),   # isolated
+        (6, 49.0, 50.5),   # 1.118 from 5 -> pair
+    ]
+    df = spark.createDataFrame(pts, "point_id long, x double, y double")
+    got = {(r.id_a, r.id_b) for r in grid_distance_join(df, eps).collect()}
+    want = {
+        (a, b)
+        for (a, xa, ya), (b, xb, yb) in combinations(pts, 2)
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps
+    }
+    assert got == want and want  # non-empty and exact
