@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "wh_winsorize",
     "wh_negative_samples",
     "wh_spatial_join",
+    "wh_dbscan",
     "wh_funnel",
     "wh_cohort_retention",
     "wh_value_anomalies",

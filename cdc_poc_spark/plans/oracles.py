@@ -2528,8 +2528,12 @@ def oracle_sql() -> dict[str, str]:
 
     _px = md5_long_seeded_sql("CAST(event_id AS VARCHAR)", "px")
     _py = md5_long_seeded_sql("CAST(event_id AS VARCHAR)", "py")
-    _e = float(SPATIAL_EPS)
-    sqls["wh_spatial_join"] = f"""
+
+    def _spatial_pairs_sql(_e) -> str:
+        # _e: a float literal or an SQL scalar expression string (the
+        # adaptive-eps path embeds sqrt(...count...) — verified to produce
+        # the bit-identical double the Python side computes)
+        return f"""
         WITH pts AS (
             SELECT event_id AS point_id,
                    (({_px}) % {COORD_MOD}) / {COORD_SCALE} AS x,
@@ -2538,8 +2542,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         cells AS (
             SELECT point_id, x, y,
-                   CAST(floor(x / {_e}) AS BIGINT) AS cx,
-                   CAST(floor(y / {_e}) AS BIGINT) AS cy
+                   CAST(floor(x / ({_e})) AS BIGINT) AS cx,
+                   CAST(floor(y / ({_e})) AS BIGINT) AS cy
             FROM pts
         ),
         hot AS (
@@ -2568,7 +2572,62 @@ def oracle_sql() -> dict[str, str]:
         FROM ea JOIN eb USING (jx, jy)
         WHERE id_a < id_b
           AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
-              <= {_e} * {_e}"""
+              <= ({_e}) * ({_e})"""
+
+    sqls["wh_spatial_join"] = _spatial_pairs_sql(float(SPATIAL_EPS))
+
+    from ..operators.spatial import (
+        COORD_AREA,
+        DBSCAN_MIN_PTS,
+        DBSCAN_TARGET_DEG,
+    )
+
+    # density-adaptive eps: the same IEEE expression adaptive_eps computes
+    # (sqrt of 2.5 * area / (pi * n)) — verified bit-identical to Python
+    _adaptive_eps_sql = (
+        f"(SELECT sqrt({DBSCAN_TARGET_DEG} * {COORD_AREA!r}"
+        f" / (pi() * count(*))) FROM events)"
+    )
+
+    # DBSCAN: the spatial pair SQL composed verbatim, then degree/core,
+    # recursive-CTE closure over the core subgraph, min-cluster border
+    # attachment — mirroring operators/spatial.py::dbscan exactly
+    sqls["wh_dbscan"] = f"""
+        WITH RECURSIVE p AS (
+            SELECT id_a, id_b FROM ({_spatial_pairs_sql(_adaptive_eps_sql)})
+        ),
+        sym AS (
+            SELECT id_a, id_b FROM p
+            UNION ALL
+            SELECT id_b, id_a FROM p
+        ),
+        deg AS (SELECT id_a AS pid, count(*) AS d FROM sym GROUP BY id_a),
+        core AS (SELECT pid FROM deg WHERE d >= {DBSCAN_MIN_PTS} - 1),
+        ce AS (
+            SELECT s.id_a, s.id_b FROM sym s
+            JOIN core a ON s.id_a = a.pid
+            JOIN core b ON s.id_b = b.pid
+        ),
+        reach(node, lbl) AS (
+            SELECT id_a, id_a FROM ce
+            UNION
+            SELECT e.id_a, r.lbl FROM ce e JOIN reach r ON e.id_b = r.node
+        ),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        corec AS (
+            SELECT c.pid, COALESCE(cc.cluster_id, c.pid) AS cluster_id
+            FROM core c LEFT JOIN cc ON c.pid = cc.node
+        ),
+        borderc AS (
+            SELECT s.id_a AS pid, min(k.cluster_id) AS cluster_id
+            FROM sym s
+            ANTI JOIN core a ON s.id_a = a.pid
+            JOIN corec k ON s.id_b = k.pid
+            GROUP BY s.id_a
+        )
+        SELECT pid AS point_id, cluster_id, 'core' AS role FROM corec
+        UNION ALL
+        SELECT pid, cluster_id, 'border' FROM borderc"""
 
     from .registry import NEG_SAMPLE_SEED, NEG_SAMPLES_K
 

@@ -2387,6 +2387,18 @@ def q_wh_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.grid_distance_join(pts)
 
 
+def q_wh_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DBSCAN density clustering over the grid-blocked
+    eps-neighbour graph: core points by neighbour count, clusters by CC of
+    the core subgraph, border points attached to the smallest neighbouring
+    cluster, noise excluded (operators/spatial.py::dbscan; oracle:
+    recursive-CTE closure over the same spatial pair SQL)."""
+    from ..operators import spatial
+
+    pts = spatial.synthesize_points(load_table(spark, sf_dir, "events"))
+    return spatial.dbscan(pts)
+
+
 NEG_SAMPLES_K = 5
 NEG_SAMPLE_SEED = "negsample"
 
@@ -3489,6 +3501,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "profile_drift": q_profile_drift,
         "wh_negative_samples": q_wh_negative_samples,
         "wh_spatial_join": q_wh_spatial_join,
+        "wh_dbscan": q_wh_dbscan,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

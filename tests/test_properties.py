@@ -598,3 +598,27 @@ def test_grid_distance_join_matches_brute_force(spark):
         if (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps
     }
     assert got == want and want  # non-empty and exact
+
+
+def test_dbscan_constructed_clusters(spark):
+    """DBSCAN semantics on constructed geometry: two dense blobs separated
+    by more than eps form two clusters; a point within eps of one blob but
+    with too few neighbours is a border member; a far point is noise
+    (absent from the output)."""
+    from cdc_poc_spark.operators.spatial import dbscan
+
+    eps, blob = 1.0, []
+    # blob A around (0,0): 5 mutually-close points -> all core
+    blob += [(i, 0.0 + i * 0.1, 0.0) for i in range(5)]
+    # blob B around (100,100): 4 mutually-close points -> all core
+    blob += [(10 + i, 100.0 + i * 0.1, 100.0) for i in range(4)]
+    # border: 0.9 from blob A's edge point (id 4 at x=0.4), neighbours = {4} only
+    blob += [(20, 1.3, 0.0)]
+    # noise: nowhere near anything
+    blob += [(30, 500.0, 500.0)]
+    df = spark.createDataFrame(blob, "point_id long, x double, y double")
+    got = {r.point_id: (r.cluster_id, r.role) for r in dbscan(df, eps=eps).collect()}
+    assert 30 not in got                       # noise excluded
+    assert got[20] == (0, "border")            # attached to blob A's cluster
+    assert {got[i] for i in range(5)} == {(0, "core")}
+    assert {got[10 + i] for i in range(4)} == {(10, "core")}
