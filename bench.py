@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "wh_negative_samples",
     "wh_spatial_join",
     "wh_dbscan",
+    "wh_co_engagement",
     "wh_funnel",
     "wh_cohort_retention",
     "wh_value_anomalies",

@@ -2519,6 +2519,36 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY event_type"""
 
+    from .registry import CO_ENGAGE_MIN_USERS, CO_ENGAGE_TOPK
+
+    sqls["wh_co_engagement"] = f"""
+        WITH per AS (
+            SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS content_id,
+                   count(*) AS n_events
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT user_id, content_id FROM (
+                SELECT user_id, content_id,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n_events DESC, content_id
+                       ) AS rk
+                FROM per
+            ) WHERE rk <= {CO_ENGAGE_TOPK}
+        )
+        SELECT a.content_id AS content_a, b.content_id AS content_b,
+               CAST(count(*) AS BIGINT) AS n_common_users
+        FROM top a JOIN top b
+          ON a.user_id = b.user_id AND a.content_id < b.content_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {CO_ENGAGE_MIN_USERS}"""
+
     from ..operators.spatial import (
         COORD_MOD,
         COORD_SCALE,

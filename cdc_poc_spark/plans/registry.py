@@ -2375,6 +2375,45 @@ def q_wh_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CO_ENGAGE_TOPK = 50  # per-user itemset bound (the market-basket blowup cap)
+CO_ENGAGE_MIN_USERS = 3
+
+
+def q_wh_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content co-engagement pairs (market-basket / association analysis):
+    content pairs that appear together in >= CO_ENGAGE_MIN_USERS users'
+    top-K engaged items. The per-user itemset is bounded to the top-K
+    contents by engagement count (ties -> lowest content id) — the
+    standard production cap on the quadratic per-user pair blowup: pair
+    volume is |users| x K^2/2 regardless of activity skew, where the
+    uncapped projection grows with the square of the busiest user.
+    One user shuffle for the itemsets, one (content_a, content_b) hash
+    aggregate for the pair counts."""
+    ev = m.engagement_events(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull() & F.col("content_id").isNotNull()
+    )
+    per = ev.groupBy("user_id", "content_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.asc("content_id")
+    )
+    top = (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CO_ENGAGE_TOPK)
+        .select("user_id", "content_id")
+    )
+    a = top.select("user_id", F.col("content_id").alias("content_a"))
+    b = top.select("user_id", F.col("content_id").alias("content_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("content_a") < F.col("content_b"))
+        .groupBy("content_a", "content_b")
+        .agg(F.count(F.lit(1)).alias("n_common_users"))
+        .filter(F.col("n_common_users") >= CO_ENGAGE_MIN_USERS)
+    )
+
+
 def q_wh_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial distance self-join: all event-point pairs
     within euclidean eps — candidates cell-blocked via a fixed 3x3
@@ -3502,6 +3541,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_negative_samples": q_wh_negative_samples,
         "wh_spatial_join": q_wh_spatial_join,
         "wh_dbscan": q_wh_dbscan,
+        "wh_co_engagement": q_wh_co_engagement,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
