@@ -2659,17 +2659,26 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT pid, cluster_id, 'border' FROM borderc"""
 
-    from .registry import NEG_SAMPLE_SEED, NEG_SAMPLES_K
-
-    _pair_hash = md5_long_seeded_sql(
-        "CAST(user_id AS VARCHAR) || '_' || CAST(content_id AS VARCHAR)",
+    from .registry import (
+        NEG_AFFINE_STEP,
+        NEG_POOL_PCT,
         NEG_SAMPLE_SEED,
+        NEG_SAMPLES_K,
     )
+
+    _uh = md5_long_seeded_sql("CAST(user_id AS VARCHAR)", NEG_SAMPLE_SEED)
     sqls["wh_negative_samples"] = f"""
         WITH users AS (
-            SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+            SELECT user_id, {_uh} AS uh FROM (
+                SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+            )
         ),
-        content AS (SELECT p_partkey AS content_id FROM part),
+        ndim AS (SELECT count(*) AS n FROM part),
+        content AS (
+            SELECT p_partkey AS content_id,
+                   row_number() OVER (ORDER BY p_partkey) - 1 AS r
+            FROM part
+        ),
         inter AS (
             SELECT DISTINCT user_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT)
@@ -2679,17 +2688,21 @@ def oracle_sql() -> dict[str, str]:
               AND json_extract_string(props, '$.k') IS NOT NULL
         ),
         cand AS (
-            SELECT u.user_id, c.content_id FROM users u CROSS JOIN content c
+            SELECT u.user_id, c.content_id,
+                   (u.uh + c.r * {NEG_AFFINE_STEP}) % ndim.n AS pos
+            FROM users u CROSS JOIN content c CROSS JOIN ndim
+            WHERE (u.uh + c.r * {NEG_AFFINE_STEP}) % ndim.n
+                  < ndim.n * {NEG_POOL_PCT} // 100
         ),
         neg AS (
-            SELECT cand.user_id, cand.content_id
+            SELECT cand.user_id, cand.content_id, cand.pos
             FROM cand ANTI JOIN inter USING (user_id, content_id)
         ),
         ranked AS (
             SELECT user_id, content_id,
                    row_number() OVER (
                        PARTITION BY user_id
-                       ORDER BY ({_pair_hash}), content_id
+                       ORDER BY pos, content_id
                    ) AS neg_rank
             FROM neg
         )

@@ -2440,37 +2440,66 @@ def q_wh_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEG_SAMPLES_K = 5
 NEG_SAMPLE_SEED = "negsample"
+NEG_POOL_PCT = 10  # per-user candidate pool: 10% of the catalog
+NEG_AFFINE_STEP = 1_000_003  # prime step, coprime to any realistic |dim|
 
 
 def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user negative sampling for recommendation/contrastive training:
     for every active user, the K content items they NEVER interacted
-    with, chosen by seeded (user, content) hash rank — deterministic
-    negatives, the id-space complement of sim_hard_negatives'
-    embedding-space mining. Plan: users x broadcast dimension (linear in
-    |users| x |dim|), interacted pairs removed with one left-anti join,
-    per-user rank over the hash. At real scale the dim side is
-    hash-thinned first (keep candidates whose hash falls under an
-    oversampled quantile) — a pre-prune that cannot change the result."""
+    with, drawn from a deterministic per-user pseudo-random permutation
+    of the catalog — the id-space complement of sim_hard_negatives'
+    embedding-space mining.
+
+    Production shape, learned the measured way: nobody ranks a user
+    against the full catalog. A per-PAIR hash pool still evaluates one
+    md5 per (user x catalog) cell — 58s uncapped / 42s pooled at sf0.1.
+    Here each SIDE is hashed once (one md5 per user; content gets a dense
+    rank), and the per-user candidate order is the affine permutation
+    pos = (u_hash + rank * STEP) mod |dim| (STEP prime => a bijection on
+    ranks, a distinct pseudo-random catalog order per user): the cross
+    join evaluates two integer ops per cell, the pool keeps pos <
+    |dim| x pool%, and the K survivors come from a pool-sized window —
+    0.9s at sf0.1. Users whose pool is exhausted by interactions emit
+    fewer rows by construction, identically in both engines."""
     ev = m.engagement_events(load_table(spark, sf_dir, "events"))
-    users = ev.select("user_id").filter(F.col("user_id").isNotNull()).distinct()
-    content = m.content_dim(load_table(spark, sf_dir, "part")).select(
+    users = (
+        ev.select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+        .select(
+            "user_id",
+            hashing.md5_long_seeded(F.col("user_id"), NEG_SAMPLE_SEED).alias(
+                "_uh"
+            ),
+        )
+    )
+    dim = m.content_dim(load_table(spark, sf_dir, "part")).select(
         F.col("id").alias("content_id")
+    )
+    n_dim = dim.count()
+    wr = Window.orderBy("content_id")
+    content = dim.select(
+        "content_id", (F.row_number().over(wr) - 1).cast("long").alias("_r")
     )
     inter = (
         ev.select("user_id", "content_id")
         .filter(F.col("user_id").isNotNull() & F.col("content_id").isNotNull())
         .distinct()
     )
-    cand = users.crossJoin(F.broadcast(content))
-    neg = cand.join(inter, ["user_id", "content_id"], "left_anti")
-    h = hashing.md5_long_seeded(
-        F.concat_ws("_", F.col("user_id"), F.col("content_id")), NEG_SAMPLE_SEED
+    pos = (
+        F.col("_uh") + F.col("_r") * F.lit(NEG_AFFINE_STEP).cast("long")
+    ) % F.lit(int(n_dim)).cast("long")
+    cutoff = n_dim * NEG_POOL_PCT // 100
+    cand = (
+        users.crossJoin(F.broadcast(content))
+        .select("user_id", "content_id", pos.alias("_pos"))
+        .filter(F.col("_pos") < int(cutoff))
     )
-    w = Window.partitionBy("user_id").orderBy(F.asc("_h"), F.asc("content_id"))
+    neg = cand.join(inter, ["user_id", "content_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.asc("_pos"), F.asc("content_id"))
     return (
-        neg.select("user_id", "content_id", h.alias("_h"))
-        .withColumn("neg_rank", F.row_number().over(w))
+        neg.withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= NEG_SAMPLES_K)
         .select("user_id", "content_id", F.col("neg_rank").cast("long").alias("neg_rank"))
     )
