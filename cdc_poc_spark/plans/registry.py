@@ -2460,8 +2460,9 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks, a distinct pseudo-random catalog order per user): the cross
     join evaluates two integer ops per cell, the pool keeps pos <
     |dim| x pool%, and the K survivors come from a pool-sized window —
-    0.9s at sf0.1. Users whose pool is exhausted by interactions emit
-    fewer rows by construction, identically in both engines."""
+    measured 4s at sf0.1 (1500 users x 20k catalog). Users whose pool is
+    exhausted by interactions emit fewer rows by construction,
+    identically in both engines."""
     ev = m.engagement_events(load_table(spark, sf_dir, "events"))
     users = (
         ev.select("user_id")
