@@ -524,3 +524,24 @@ def test_lang_balance_floor_broadcasts(spark):
     plan = _plan(queries()["pipeline_lang_balance"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bench_list_resolves_against_registry():
+    """Every bench.py headline query must exist in the registry, with no
+    duplicates — a rename or registry drop must fail here, not in the
+    driver's per-round bench run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_module",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from cdc_poc_spark.plans.registry import queries
+
+    reg = queries(fresh=False)
+    missing = [n for n in bench.BENCH_QUERIES if n not in reg]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
