@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "dedup_clusters",
+    "dedup_clusters_incremental",
     "pipeline_keep_best",
     "pipeline_split_assign",
     "mm_decode_features",

@@ -223,3 +223,67 @@ def keep_best_per_cluster(
             (-F.col("_b.neg_len")).cast("int").alias("keep_len"),
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incremental connected components: fold a NEW edge batch into a
+    standing (node, cluster_id) labeling WITHOUT re-running CC over the
+    full graph — the graph twin of `incremental.incremental_agg` and the
+    shape cluster maintenance actually takes in a continuously-ingesting
+    dedup pipeline (the pair generators are already incremental;
+    this closes the loop so the CLUSTERS are too).
+
+    Mechanics: batch endpoints map to their standing labels (unseen nodes
+    label themselves); the batch then CONTRACTS to edges between cluster
+    ids, CC runs on that contracted graph — bounded by the BATCH size,
+    never the corpus — and a delta-sized remap (broadcast) rewrites only
+    the labels of merged clusters. Because a standing cluster_id is the
+    min id of its component, the contracted min is the global min: the
+    result is IDENTICAL to full CC over (old edges ∪ batch), which is
+    exactly what the oracle differential proves.
+
+    Returns the updated (node, cluster_id) — standing nodes plus any new
+    nodes the batch introduced."""
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    lab_src = labels.select(
+        F.col("node").alias("src"), F.col("cluster_id").alias("_c_src")
+    )
+    lab_dst = labels.select(
+        F.col("node").alias("dst"), F.col("cluster_id").alias("_c_dst")
+    )
+    mapped = (
+        e.join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce(F.col("_c_src"), F.col("src")).alias("c_src"),
+            F.coalesce(F.col("_c_dst"), F.col("dst")).alias("c_dst"),
+        )
+    )
+    contracted = mapped.filter(F.col("c_src") != F.col("c_dst"))
+    merged = connected_components(contracted, src="c_src", dst="c_dst")
+    # remap is delta-sized: only labels touched by the batch appear
+    remap = merged.select(
+        F.col("node").alias("_old"), F.col("cluster_id").alias("_new")
+    )
+    updated_old = labels.join(
+        F.broadcast(remap), labels["cluster_id"] == F.col("_old"), "left"
+    ).select(
+        "node", F.coalesce(F.col("_new"), F.col("cluster_id")).alias("cluster_id")
+    )
+    batch_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+    )
+    new_labeled = batch_nodes.join(
+        F.broadcast(remap), batch_nodes["node"] == F.col("_old"), "left"
+    ).select(
+        "node", F.coalesce(F.col("_new"), F.col("node")).alias("cluster_id")
+    )
+    return updated_old.unionAll(new_labeled)

@@ -2443,6 +2443,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_len AS INTEGER) AS keep_len
         FROM sized WHERE rn = 1"""
 
+    # incremental cluster maintenance must converge to exactly the full
+    # recompute — same oracle text (the incremental/full identity)
+    sqls["dedup_clusters_incremental"] = sqls["dedup_clusters"]
+
     from ..operators.sampling import SHUFFLE_EXPORT_SEED, SHUFFLE_EXPORT_SHARDS
 
     # deterministic shuffle-to-shards export

@@ -1541,6 +1541,37 @@ def q_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: the standing clustering
+    (CC over index-doc pairs, docs with id % 5 != 4) absorbs the NEW
+    batch's pairs via cluster contraction
+    (operators/clustering.py::incremental_components) — CC runs only on
+    the batch-sized contracted graph, the remap is broadcast-delta-sized,
+    and the result must hash-match the full recompute (dedup_clusters'
+    own oracle): the incremental/full identity, driver-proven."""
+    docs = load_table(spark, sf_dir, "documents")
+    all_pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    is_batch_a = F.col("doc_a") % 5 == 4
+    is_batch_b = F.col("doc_b") % 5 == 4
+    idx_pairs = all_pairs.filter(~is_batch_a & ~is_batch_b)
+    batch_pairs = all_pairs.filter(is_batch_a | is_batch_b)
+    standing = clustering.connected_components(
+        idx_pairs, src="doc_a", dst="doc_b"
+    )
+    updated = clustering.incremental_components(
+        standing, batch_pairs, src="doc_a", dst="doc_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    return updated.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test assignment per document."""
     return sampling.assign_splits(load_table(spark, sf_dir, "documents"))
@@ -3572,6 +3603,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_spatial_join": q_wh_spatial_join,
         "wh_dbscan": q_wh_dbscan,
         "wh_co_engagement": q_wh_co_engagement,
+        "dedup_clusters_incremental": q_dedup_clusters_incremental,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

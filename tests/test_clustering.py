@@ -142,3 +142,36 @@ def test_keep_best_longest_wins_with_id_tiebreak(spark):
     assert (size0, keep0) == (3, 2) and len0 == len(rows[2][1])
     size1, keep1, len1 = got[10]
     assert (size1, keep1) == (2, 10) and len1 == len(rows[3][1])
+
+
+def test_incremental_components_merge_cases(spark):
+    """Constructed merge cases: a batch edge merging two standing
+    clusters, a new node attaching to a cluster, and a brand-new isolated
+    pair — all must match full CC over the union of edges."""
+    from cdc_poc_spark.operators.clustering import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src long, dst long"
+    )
+    batch = spark.createDataFrame(
+        [
+            (3, 10),    # merges cluster {1,2,3} with {10,11}
+            (21, 30),   # new node 30 joins cluster {20,21}
+            (40, 41),   # brand-new isolated pair
+        ],
+        "src long, dst long",
+    )
+    standing = connected_components(old_edges)
+    got = {
+        (r.node, r.cluster_id)
+        for r in incremental_components(standing, batch).collect()
+    }
+    want = {
+        (r.node, r.cluster_id)
+        for r in connected_components(old_edges.unionAll(batch)).collect()
+    }
+    assert got == want
+    assert (30, 20) in got and (41, 40) in got and (11, 1) in got
