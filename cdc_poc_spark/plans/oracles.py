@@ -2444,8 +2444,10 @@ def oracle_sql() -> dict[str, str]:
         FROM sized WHERE rn = 1"""
 
     # incremental cluster maintenance must converge to exactly the full
-    # recompute — same oracle text (the incremental/full identity)
+    # recompute — same oracle text (the incremental/full identity); the
+    # streaming accumulation twin shares the same convergence target
     sqls["dedup_clusters_incremental"] = sqls["dedup_clusters"]
+    sqls["stream_clusters_native"] = sqls["dedup_clusters"]
 
     from ..operators.sampling import SHUFFLE_EXPORT_SEED, SHUFFLE_EXPORT_SHARDS
 

@@ -1572,6 +1572,54 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_clusters_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming duplicate-cluster maintenance: the corpus' near-dup pairs
+    arrive as four micro-batches (file source, maxFilesPerTrigger=1) and
+    each folds into the standing labeling via the contracted-graph merge
+    (streaming/sinks.py::clusters_maintain). The final labeling must
+    hash-match the one-shot batch CC (dedup_clusters' oracle) — batch
+    order is irrelevant by construction (labels converge to component
+    min ids under any merge sequence)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_clusters_")
+    ind = os.path.join(workdir, "in")
+    os.makedirs(ind)
+    for i in range(4):
+        tmp = os.path.join(workdir, f"b{i}")
+        pairs.filter((F.col("doc_a") + F.col("doc_b")) % 4 == i).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(ind, f"batch_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    state_path = os.path.join(workdir, "cluster_state")
+    stream = (
+        spark.readStream.schema("doc_a bigint, doc_b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    sinks.clusters_maintain(stream, state_path).awaitTermination()
+    shutil.rmtree(ind, ignore_errors=True)
+    labels = spark.read.schema(sinks.CLUSTER_STATE_SCHEMA).parquet(state_path)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val/test assignment per document."""
     return sampling.assign_splits(load_table(spark, sf_dir, "documents"))
@@ -3604,6 +3652,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_dbscan": q_wh_dbscan,
         "wh_co_engagement": q_wh_co_engagement,
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
+        "stream_clusters_native": q_stream_clusters_native,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -305,3 +305,40 @@ def kmv_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CLUSTER_STATE_SCHEMA = "node bigint, cluster_id bigint"
+
+
+def clusters_maintain(pairs_stream: DataFrame, state_path: str):
+    """Streaming duplicate-cluster maintenance: each micro-batch of
+    near-dup PAIRS folds into the standing (node, cluster_id) labeling
+    with `operators/clustering.py::incremental_components` — CC runs only
+    on the batch-sized contracted graph, so cluster state stays fresh at
+    the cost of the delta, never the corpus. Batch order cannot change
+    the result (labels converge to per-component min ids whatever the
+    merge sequence), which also makes replay idempotent.
+
+    Returns the StreamingQuery; the maintained labeling lives at
+    ``state_path`` after termination."""
+    from ..operators.clustering import incremental_components
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, root = _fs(spark, state_path)
+        if fs.exists(root):
+            state = spark.read.schema(CLUSTER_STATE_SCHEMA).parquet(state_path)
+        else:
+            state = spark.createDataFrame([], CLUSTER_STATE_SCHEMA)
+        merged = incremental_components(state, batch_df, src="doc_a", dst="doc_b")
+        tmp = state_path.rstrip("/") + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        fs.delete(root, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), root)
+
+    return (
+        pairs_stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
