@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "wh_sessions",
     "ts_subsequence_search",
     "ts_autocorr",
+    "ts_trend_lines",
     "wh_skew_salted_join",
     "wh_payload_json",
     "wh_scalar_subquery",

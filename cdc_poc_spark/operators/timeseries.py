@@ -279,3 +279,70 @@ def score_minute_counts(
         )
         .orderBy("event_type", "minute")
     )
+
+
+def trend_lines(events: DataFrame) -> DataFrame:
+    """Per-type OLS trend of the minute value series — slope (value units
+    per minute), intercept, and r² — the trend-detection step between the
+    autocorrelation diagnostic and forecasting.
+
+    Same determinism design as :func:`autocorrelation`: a float
+    regression aggregate is partition-order dependent, so the five
+    sufficient statistics accumulate EXACTLY (x is integer minutes since
+    the group's first minute — tz-free calendar arithmetic, never
+    unix_*/epoch on NTZ; y totals are DECIMAL(18,2)), and only the final
+    slope/intercept/r² are computed in double, in the same expression
+    order as the SQL twin. Zero-variance groups emit NULLs identically.
+
+    Shape: one minute rollup, a per-type window min for the time origin,
+    one tiny per-type aggregate."""
+    from pyspark.sql import Window as W
+
+    from ..functions.timeutil import ntz_trunc
+
+    minutes = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            ntz_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    m0 = F.min("minute").over(W.partitionBy("event_type"))
+    t = minutes.withColumn("m0", m0).select(
+        "event_type",
+        F.expr("timestampdiff(MINUTE, m0, minute)").cast("long").alias("x"),
+        "v",
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("v")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    syy_d = F.col("syy").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    den = n_d * sxx_d - sx_d * sx_d
+    den_y = n_d * syy_d - sy_d * sy_d
+    slope_raw = num / F.when(den != 0.0, den)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_minutes"),
+        (F.round(slope_raw, 6) + F.lit(0.0)).alias("slope_per_minute"),
+        (F.round((sy_d - slope_raw * sx_d) / n_d, 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        (
+            F.round(
+                (num * num) / F.when(den * den_y != 0.0, den * den_y), 6
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )

@@ -926,6 +926,51 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         GROUP BY 1, 2"""
 
+    sqls["ts_trend_lines"] = """
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        mm AS (
+            SELECT event_type, minute, v,
+                   min(minute) OVER (PARTITION BY event_type) AS m0
+            FROM m
+        ),
+        t AS (
+            SELECT event_type,
+                   CAST(date_diff('minute', m0, minute) AS BIGINT) AS x, v
+            FROM mm
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   SUM(v) AS sy,
+                   SUM(CAST(x AS DECIMAL(18,0)) * v) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   SUM(v * v) AS syy
+            FROM t GROUP BY 1
+        ),
+        r AS (
+            SELECT event_type, n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+                   CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d
+            FROM s
+        )
+        SELECT event_type, n AS n_minutes,
+               ROUND(num / NULLIF(den, 0.0), 6) + 0.0 AS slope_per_minute,
+               ROUND((sy_d - (num / NULLIF(den, 0.0)) * sx_d)
+                     / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+               ROUND((num * num) / NULLIF(den * den_y, 0.0), 6) + 0.0 AS r2
+        FROM r"""
+
     sqls["ts_subsequence_search"] = f"""
         WITH win AS (
             SELECT user_id, event_id,

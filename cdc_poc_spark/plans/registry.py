@@ -36,6 +36,7 @@ from ..operators import (
     similarity,
     skew,
     text_analysis,
+    timeseries,
 )
 from ..operators.enrich import enrichment_misses
 from ..schemas import ENGAGEMENT_EVENT_SCHEMA
@@ -2910,6 +2911,14 @@ GEN_WORKLOAD_N = 10_000
 GEN_CONTENT_N = 15
 
 
+def q_ts_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of the minute value series: slope/intercept/r²
+    from exact DECIMAL sufficient statistics (order-independent; x is
+    tz-free minutes since the group's first minute)
+    (operators/timeseries.py::trend_lines)."""
+    return timeseries.trend_lines(load_table(spark, sf_dir, "events"))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates: duplicate-line fraction (pure array
     expression) + most-frequent-bigram fraction (explode -> two hash aggs;
@@ -3653,6 +3662,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_co_engagement": q_wh_co_engagement,
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
         "stream_clusters_native": q_stream_clusters_native,
+        "ts_trend_lines": q_ts_trend_lines,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -66,3 +66,30 @@ def test_types_scored_independently(spark):
     b = _events(spark, [9, 11] * 20 + [10], "b")
     out = rate_anomalies(a.unionByName(b), min_n=30).collect()
     assert [r.event_type for r in out] == ["a"]
+
+
+def test_trend_lines_exact_fit(spark):
+    """A constructed exact line y = 3x + 7 over 10 minutes must recover
+    slope 3, intercept 7, r² = 1; a constant series has slope 0 and an
+    undefined (NULL) r²."""
+    from datetime import datetime
+
+    from cdc_poc_spark.operators.timeseries import trend_lines
+
+    rows = []
+    for x in range(10):
+        rows.append((x, datetime(2024, 1, 1, 0, x), "lin", 3.0 * x + 7.0))
+        rows.append((100 + x, datetime(2024, 1, 1, 0, x), "flat", 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    got = {r.event_type: r for r in trend_lines(ev).collect()}
+    lin = got["lin"]
+    assert lin.n_minutes == 10
+    assert abs(lin.slope_per_minute - 3.0) < 1e-9
+    assert abs(lin.intercept - 7.0) < 1e-9
+    assert abs(lin.r2 - 1.0) < 1e-9
+    flat = got["flat"]
+    assert flat.slope_per_minute == 0.0
+    assert flat.intercept == 5.0
+    assert flat.r2 is None  # zero variance -> undefined, both engines
