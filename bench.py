@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ts_subsequence_search",
     "ts_autocorr",
     "ts_trend_lines",
+    "ts_robust_trend",
     "wh_skew_salted_join",
     "wh_payload_json",
     "wh_scalar_subquery",

@@ -346,3 +346,65 @@ def trend_lines(events: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("r2"),
     )
+
+
+ROBUST_MAX_GAP = 30  # bounded-gap pair window, minutes
+
+
+def robust_trend(events: DataFrame, max_gap: int = ROBUST_MAX_GAP) -> DataFrame:
+    """Bounded-gap Theil–Sen robust slope of the minute value series per
+    type — the outlier-resistant complement to :func:`trend_lines`'s OLS
+    (a single corrupted minute can move an OLS slope arbitrarily; a
+    median of pairwise slopes has a ~29% breakdown point).
+
+    The pair space is BOUNDED: slopes come from minute pairs at gaps
+    1..``max_gap`` (one equi-join per gap on (type, minute + g), the
+    autocorrelation join shape) — classic all-pairs Theil-Sen is
+    O(series²) slopes whose exact median buffers every value per group
+    (the first cut OOM'd a default-heap session at a 2k-minute series and
+    would be 1B pairs at sf0.1); the bounded variant is O(series x gap),
+    the standard windowed robustification, and keeps the exact percentile
+    buffer trivially small.
+
+    Determinism: every slope is the same double expression in both
+    engines over exact DECIMAL minute totals; the median interpolates an
+    identical multiset (the wh_percentiles discipline), rounded 6dp."""
+    from ..functions.timeutil import ntz_trunc
+
+    minutes = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            ntz_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    a = minutes.select(
+        "event_type",
+        F.col("minute").alias("m_i"),
+        F.col("v").alias("v_i"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_gap)))
+        ).alias("g"),
+    ).select(
+        "event_type",
+        "g",
+        "v_i",
+        (F.col("m_i") + F.col("g") * F.expr("INTERVAL 1 MINUTE")).alias("m_j"),
+    )
+    b = minutes.select(
+        "event_type", F.col("minute").alias("m_j"), F.col("v").alias("v_j")
+    )
+    pairs = a.join(b, ["event_type", "m_j"]).select(
+        "event_type",
+        (
+            (F.col("v_j").cast("double") - F.col("v_i").cast("double"))
+            / F.col("g").cast("double")
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile(F.col("slope"), F.lit(0.5)), 6).alias(
+            "theil_sen_slope"
+        ),
+    )

@@ -971,6 +971,30 @@ def oracle_sql() -> dict[str, str]:
                ROUND((num * num) / NULLIF(den * den_y, 0.0), 6) + 0.0 AS r2
         FROM r"""
 
+    from ..operators.timeseries import ROBUST_MAX_GAP
+
+    sqls["ts_robust_trend"] = f"""
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+                       / CAST(g.g AS DOUBLE) AS slope
+            FROM m a
+            CROSS JOIN (SELECT unnest(range(1, {ROBUST_MAX_GAP + 1})) AS g) g
+            JOIN m b
+              ON b.event_type = a.event_type
+             AND b.minute = a.minute + to_minutes(CAST(g.g AS BIGINT))
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        FROM pairs GROUP BY event_type"""
+
     sqls["ts_subsequence_search"] = f"""
         WITH win AS (
             SELECT user_id, event_id,

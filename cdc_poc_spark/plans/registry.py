@@ -2919,6 +2919,14 @@ def q_ts_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.trend_lines(load_table(spark, sf_dir, "events"))
 
 
+def q_ts_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the minute value series per type (median
+    of pairwise slopes, 29% breakdown point) — the outlier-resistant
+    complement to ts_trend_lines' OLS
+    (operators/timeseries.py::robust_trend)."""
+    return timeseries.robust_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates: duplicate-line fraction (pure array
     expression) + most-frequent-bigram fraction (explode -> two hash aggs;
@@ -3663,6 +3671,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
         "stream_clusters_native": q_stream_clusters_native,
         "ts_trend_lines": q_ts_trend_lines,
+        "ts_robust_trend": q_ts_robust_trend,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -93,3 +93,25 @@ def test_trend_lines_exact_fit(spark):
     assert flat.slope_per_minute == 0.0
     assert flat.intercept == 5.0
     assert flat.r2 is None  # zero variance -> undefined, both engines
+
+
+def test_robust_trend_resists_outlier(spark):
+    """Theil-Sen's point: one corrupted minute in a clean y = 2x series
+    must leave the robust slope at (or very near) 2 while OLS is pulled
+    away."""
+    from datetime import datetime
+
+    from cdc_poc_spark.operators.timeseries import robust_trend, trend_lines
+
+    rows = [
+        (x, datetime(2024, 1, 1, 0, x), "t", 2.0 * x) for x in range(20)
+    ]
+    # corrupt the LAST minute — a leverage point, so OLS slope moves hard
+    rows[19] = (19, datetime(2024, 1, 1, 0, 19), "t", 1000.0)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    ts_slope = robust_trend(ev).collect()[0].theil_sen_slope
+    ols_slope = trend_lines(ev).collect()[0].slope_per_minute
+    assert abs(ts_slope - 2.0) < 0.2
+    assert abs(ols_slope - 2.0) > 1.0  # OLS visibly dragged by the spike
