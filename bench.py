@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ts_autocorr",
     "ts_trend_lines",
     "ts_robust_trend",
+    "ts_seasonal_profile",
     "wh_skew_salted_join",
     "wh_payload_json",
     "wh_scalar_subquery",

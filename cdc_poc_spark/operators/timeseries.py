@@ -408,3 +408,42 @@ def robust_trend(events: DataFrame, max_gap: int = ROBUST_MAX_GAP) -> DataFrame:
             "theil_sen_slope"
         ),
     )
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: each hour bucket's
+    mean value and its deviation from the type's overall mean — the
+    seasonality fingerprint read before de-seasonalizing anomaly
+    thresholds or forecasts (completes the series toolkit next to
+    autocorrelation / OLS / Theil-Sen / z-score anomalies).
+
+    Exactness: sums accumulate in DECIMAL (order-independent); the type
+    total is the window sum of the 24 bucket sums (exact decimal), and
+    only the final means/deviation divide in double, mirrored
+    expression-for-expression. hour() on TIMESTAMP_NTZ is pure calendar
+    arithmetic — tz-free in both engines."""
+    from pyspark.sql import Window as W
+
+    b = (
+        events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    w = W.partitionBy("event_type")
+    tot_n = F.sum("n_events").over(w)
+    tot_v = F.sum("sv").over(w)
+    avg_b = F.col("sv").cast("double") / F.col("n_events").cast("double")
+    avg_t = tot_v.cast("double") / tot_n.cast("double")
+    return b.select(
+        "event_type",
+        "hour_of_day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(avg_b, 6).alias("avg_value"),
+        F.round(avg_b - avg_t, 6).alias("deviation_from_type_mean"),
+    )

@@ -971,6 +971,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND((num * num) / NULLIF(den * den_y, 0.0), 6) + 0.0 AS r2
         FROM r"""
 
+    sqls["ts_seasonal_profile"] = """
+        WITH b AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT event_type, hour_of_day, n_events,
+               ROUND(CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS avg_value,
+               ROUND(CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE)
+                     - CAST(sum(sv) OVER (PARTITION BY event_type) AS DOUBLE)
+                       / CAST(sum(n_events) OVER (PARTITION BY event_type)
+                              AS DOUBLE), 6)
+                   AS deviation_from_type_mean
+        FROM b"""
+
     from ..operators.timeseries import ROBUST_MAX_GAP
 
     sqls["ts_robust_trend"] = f"""

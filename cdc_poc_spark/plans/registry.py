@@ -2919,6 +2919,13 @@ def q_ts_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.trend_lines(load_table(spark, sf_dir, "events"))
 
 
+def q_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: bucket means + each
+    bucket's deviation from the type mean, from exact DECIMAL sums
+    (operators/timeseries.py::seasonal_profile)."""
+    return timeseries.seasonal_profile(load_table(spark, sf_dir, "events"))
+
+
 def q_ts_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust slope of the minute value series per type (median
     of pairwise slopes, 29% breakdown point) — the outlier-resistant
@@ -3672,6 +3679,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_clusters_native": q_stream_clusters_native,
         "ts_trend_lines": q_ts_trend_lines,
         "ts_robust_trend": q_ts_robust_trend,
+        "ts_seasonal_profile": q_ts_seasonal_profile,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,
