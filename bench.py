@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "sim_knn_pagerank",
     "sim_knn_communities",
     "pipeline_diversity_sample",
+    "sim_knn_triangles",
     "pipeline_span_corrupt",
     "wh_attribution",
     # stream_* queries are deliberately absent: streaming is measured by the

@@ -345,3 +345,80 @@ def diversity_sample(
             F.col("rank_in_community").cast("long").alias("rank_in_community"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list (Watts-Strogatz coefficient — the local-density
+    signal that separates tight near-dup communities from stringy
+    accidental neighbourhoods in the similarity graph).
+
+    The standard distributed formulation (Suri & Vassilvitskii 2011):
+    edges canonicalize to a < b, wedges come from ONE self-join on the
+    middle vertex with a < b < c (each triangle counted exactly once),
+    and a second join closes them against the edge set. All joins key on
+    node ids; nothing is quadratic in the graph — wedge volume is
+    sum-of-degrees², the quantity the hot-bucket caps upstream already
+    bound.
+
+    Output: (node_id, degree, n_triangles, clustering_coeff) — the
+    coefficient is 2T / (deg * (deg - 1)), NULL for degree < 2,
+    double-rounded 6dp identically in both engines."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    canon = (
+        fwd.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node_id"))
+        .unionAll(canon.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # wedges a < b < c around middle vertex b
+    e1 = canon.select(F.col("a"), F.col("b"))
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
+    closing = canon.select(F.col("a"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["a", "c"]).select("a", "b", "c")
+    per_node = (
+        tris.select(F.col("a").alias("node_id"))
+        .unionAll(tris.select(F.col("b").alias("node_id")))
+        .unionAll(tris.select(F.col("c").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d = F.col("degree").cast("double")
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+            / (d * (d - 1.0)),
+            6,
+        ),
+    )
+    return deg.join(per_node, "node_id", "left").select(
+        "node_id",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        coeff.alias("clustering_coeff"),
+    )
+
+
+def knn_triangles(embeddings: DataFrame, k: int | None = None) -> DataFrame:
+    """Triangle/coefficient profile of the LSH-blocked k-NN cosine graph
+    — same edge construction as :func:`knn_pagerank` and
+    :func:`knn_communities`."""
+    from .similarity import KNN_K, knn_join_lsh
+
+    kk = KNN_K if k is None else k
+    edges = knn_join_lsh(embeddings, kk).select("src_id", "nbr_id")
+    return triangle_counts(edges, src="src_id", dst="nbr_id")

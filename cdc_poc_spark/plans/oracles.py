@@ -2458,6 +2458,69 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY lbl) AS community_size
         FROM l{LPA_ROUNDS}"""
 
+    # triangles over the same blocked k-NN edges, canonicalized a < b:
+    # one wedge join on the middle vertex (a < b < c by construction) and
+    # one closing join — each triangle counted exactly once
+    sqls["sim_knn_triangles"] = f"""
+        WITH tk_bn AS (
+            SELECT vec_id, embedding, {_bucket} AS bucket,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        tk_scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   {dot_sql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+                       AS cosine_sim
+            FROM tk_bn a JOIN tk_bn b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        tk_knn AS (
+            SELECT src_id, nbr_id FROM (
+                SELECT src_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY cosine_sim DESC, nbr_id
+                       ) AS nbr_rank
+                FROM tk_scored
+            ) WHERE nbr_rank <= {KNN_K}
+        ),
+        canon AS (
+            SELECT DISTINCT least(src_id, nbr_id) AS a,
+                   greatest(src_id, nbr_id) AS b
+            FROM tk_knn WHERE src_id <> nbr_id
+        ),
+        deg AS (
+            SELECT node_id, count(*) AS degree FROM (
+                SELECT a AS node_id FROM canon
+                UNION ALL SELECT b FROM canon
+            ) GROUP BY node_id
+        ),
+        wedges AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+            WHERE e1.a < e2.b
+        ),
+        tris AS (
+            SELECT w.a, w.b, w.c
+            FROM wedges w JOIN canon e3 ON w.a = e3.a AND w.c = e3.b
+        ),
+        pn AS (
+            SELECT node_id, count(*) AS n_triangles FROM (
+                SELECT a AS node_id FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris
+            ) GROUP BY node_id
+        )
+        SELECT d.node_id,
+               CAST(degree AS BIGINT) AS degree,
+               CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN degree >= 2 THEN
+                   ROUND(2.0 * CAST(COALESCE(n_triangles, 0) AS DOUBLE)
+                         / (CAST(degree AS DOUBLE)
+                            * (CAST(degree AS DOUBLE) - 1.0)), 6)
+               END AS clustering_coeff
+        FROM deg d LEFT JOIN pn USING (node_id)"""
+
     # per-community diversity quota: the communities query composed
     # verbatim (can never drift), then the domain_cap rank shape
     from ..operators.graph import DIVERSITY_CAP, DIVERSITY_SEED

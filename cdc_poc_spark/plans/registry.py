@@ -1424,6 +1424,16 @@ def q_pipeline_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.diversity_sample(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_sim_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient of the
+    LSH-blocked k-NN cosine graph (Suri-Vassilvitskii wedge-close joins)
+    — the local-density curation signal next to PageRank centrality and
+    LPA communities (operators/graph.py::knn_triangles)."""
+    from ..operators import graph
+
+    return graph.knn_triangles(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= tau) — exact baseline."""
     return similarity.embedding_dup_pairs(
@@ -3680,6 +3690,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "ts_trend_lines": q_ts_trend_lines,
         "ts_robust_trend": q_ts_robust_trend,
         "ts_seasonal_profile": q_ts_seasonal_profile,
+        "sim_knn_triangles": q_sim_knn_triangles,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -200,3 +200,24 @@ def test_diversity_sample_cap_and_rank_invariants(spark):
         assert sorted(rs) == list(range(1, len(rs) + 1))
     comm = {(r.node_id, r.community) for r in knn_communities(emb).collect()}
     assert all((r.vec_id, r.community) in comm for r in picked)
+
+
+def test_triangle_counts_constructed_graph(spark):
+    """Exact triangle semantics: a 4-clique has C(3,2)=3 triangles per
+    node and coefficient 1; a path node has none and coefficient 0; a
+    degree-1 node has an undefined (NULL) coefficient."""
+    from itertools import combinations
+
+    from cdc_poc_spark.operators.graph import triangle_counts
+
+    clique = list(combinations([1, 2, 3, 4], 2))   # 4-clique
+    path = [(10, 11), (11, 12)]                    # open wedge
+    pendant = [(20, 21)]                           # single edge
+    e = spark.createDataFrame(clique + path + pendant, "src long, dst long")
+    got = {r.node_id: r for r in triangle_counts(e).collect()}
+    for n in (1, 2, 3, 4):
+        assert (got[n].degree, got[n].n_triangles) == (3, 3)
+        assert got[n].clustering_coeff == 1.0
+    assert got[11].degree == 2 and got[11].n_triangles == 0
+    assert got[11].clustering_coeff == 0.0
+    assert got[20].degree == 1 and got[20].clustering_coeff is None
