@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "wh_top_orders",
     "wh_hourly_events",
     "wh_value_histogram",
+    "wh_equidepth_hist",
     "wh_winsorize",
     "wh_negative_samples",
     "wh_spatial_join",

@@ -971,6 +971,29 @@ def oracle_sql() -> dict[str, str]:
                ROUND((num * num) / NULLIF(den * den_y, 0.0), 6) + 0.0 AS r2
         FROM r"""
 
+    from .registry import EQUIDEPTH_BUCKETS
+
+    _qcols = ", ".join(
+        f"ROUND(quantile_cont(value, {i / EQUIDEPTH_BUCKETS}), 4) AS q{i}"
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )
+    _bucket_sum = " + ".join(
+        f"CASE WHEN value > q{i} THEN 1 ELSE 0 END"
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )
+    sqls["wh_equidepth_hist"] = f"""
+        WITH b AS (
+            SELECT event_type, {_qcols}
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST({_bucket_sum} AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_values
+        FROM events e JOIN b USING (event_type)
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2"""
+
     sqls["ts_seasonal_profile"] = """
         WITH b AS (
             SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,

@@ -2596,6 +2596,48 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_BUCKETS = 10
+
+
+def q_wh_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of `value` per event type: decile boundaries
+    (exact interpolated percentiles, 4dp-rounded for cross-engine
+    stability) plus the ACTUAL count landing in each bucket — the
+    optimizer/selectivity statistic the equi-width sketch
+    (sketch_hist_quantiles) complements: equi-width bounds error by
+    width, equi-depth bounds it by frequency. Bucket assignment is the
+    integer sum of (value > boundary) comparisons against the broadcast
+    9-row boundary table; ties on rounded boundaries resolve identically
+    in both engines."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    qs = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+    bounds = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile(F.col("value"), F.lit(q)), 4).alias(f"q{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bucket = sum(
+        (F.col("value") > F.col(f"q{i}")).cast("int")
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_values").cast("long").alias("n_values"),
+        )
+    )
+
+
 def q_wh_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier treatment: winsorize `value` at the per-event-type
     [p05, p95] percentile caps — the standard tail-clamping step before
@@ -3691,6 +3733,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "ts_robust_trend": q_ts_robust_trend,
         "ts_seasonal_profile": q_ts_seasonal_profile,
         "sim_knn_triangles": q_sim_knn_triangles,
+        "wh_equidepth_hist": q_wh_equidepth_hist,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
         "dedup_cdc_incremental": q_dedup_cdc_incremental,

@@ -217,3 +217,31 @@ def test_negative_samples_never_interacted(spark):
     for r in neg:
         ranks.setdefault(r.user_id, []).append(r.neg_rank)
     assert all(sorted(v) == list(range(1, NEG_SAMPLES_K + 1)) for v in ranks.values())
+
+
+def test_equidepth_hist_balanced_buckets(spark):
+    """Equi-depth invariant on the driver data: every type has exactly 10
+    buckets, total counts equal the row count, and buckets are balanced
+    within interpolation slack (no bucket further than 20% from n/10)."""
+    from cdc_poc_spark.plans.registry import (
+        EQUIDEPTH_BUCKETS,
+        q_wh_equidepth_hist,
+    )
+    from cdc_poc_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_wh_equidepth_hist(spark, sf).collect()
+    per: dict[str, dict[int, int]] = {}
+    for r in rows:
+        per.setdefault(r.event_type, {})[r.bucket] = r.n_values
+    ev = load_table(spark, sf, "events").filter("value IS NOT NULL")
+    totals = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for t, buckets in per.items():
+        assert set(buckets) == set(range(EQUIDEPTH_BUCKETS))
+        n = totals[t]
+        assert sum(buckets.values()) == n
+        target = n / EQUIDEPTH_BUCKETS
+        assert all(abs(c - target) <= 0.2 * target for c in buckets.values())
