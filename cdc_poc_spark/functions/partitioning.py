@@ -10,7 +10,62 @@ shuffle of the raw rows to unlock the other cores."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame, col: str, out_col: str = "_r", n_buckets: int = 64
+) -> DataFrame:
+    """Zero-based global rank of a UNIQUE numeric key, without the
+    single-partition exchange a bare ``Window.orderBy(col)`` costs.
+
+    Plan shape: order-preserving value-range bucketing (deterministic
+    expressions over a broadcast min/max — no sampling, so the two uses of
+    the bucketed frame below agree without a persist), per-bucket local
+    ``row_number`` (parallel across buckets), then rank = bucket offset +
+    local rank. The only ordered window runs over the ``n_buckets``-row
+    offsets frame — constant-sized at any corpus scale. Skewed key values
+    only unbalance buckets, never break ranks.
+
+    Contract: ``col`` is numeric, non-null, and unique (ties would make
+    ranks partition-dependent)."""
+    stats = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    span = F.col("_hi").cast("long") - F.col("_lo").cast("long") + F.lit(1)
+    bucketed = df.join(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.least(
+            F.floor(
+                (F.col(col).cast("long") - F.col("_lo").cast("long"))
+                * F.lit(n_buckets)
+                / span
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    local = bucketed.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_bkt").orderBy(col))
+    )
+    offsets = (
+        local.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_off")
+    )
+    return local.join(F.broadcast(offsets), "_bkt").select(
+        *df.columns,
+        (F.col("_off") + F.col("_lr") - 1).cast("long").alias(out_col),
+    )
 
 
 def spread(df: DataFrame, *keys: str, min_tasks: int = 8) -> DataFrame:

@@ -2542,17 +2542,24 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space mining.
 
     Production shape, learned the measured way: nobody ranks a user
-    against the full catalog. A per-PAIR hash pool still evaluates one
-    md5 per (user x catalog) cell — 58s uncapped / 42s pooled at sf0.1.
-    Here each SIDE is hashed once (one md5 per user; content gets a dense
-    rank), and the per-user candidate order is the affine permutation
-    pos = (u_hash + rank * STEP) mod |dim| (STEP prime => a bijection on
-    ranks, a distinct pseudo-random catalog order per user): the cross
-    join evaluates two integer ops per cell, the pool keeps pos <
-    |dim| x pool%, and the K survivors come from a pool-sized window —
-    measured 4s at sf0.1 (1500 users x 20k catalog). Users whose pool is
-    exhausted by interactions emit fewer rows by construction,
-    identically in both engines."""
+    against the full catalog. The per-user candidate order is the affine
+    permutation pos = (u_hash + rank * STEP) mod |dim| (STEP prime =>
+    a bijection on catalog ranks, a distinct pseudo-random order per
+    user), and because an affine map is INVERTIBLE the pool is generated
+    DIRECTLY: each user explodes only its pool slots pos in [0, cutoff)
+    and recovers rank = (pos - u_hash) * STEP^-1 mod |dim| (modular
+    inverse precomputed once in Python) — O(users x pool) rows, never
+    O(users x catalog). The round-3 shape cross-joined users x catalog
+    and filtered pos < cutoff: identical output (the inverse enumerates
+    exactly the cells that survived the filter, carrying the same pos),
+    at 1/10 the compute at the default 10% pool — and the factor is the
+    pool fraction, so the saving holds at every corpus size. The catalog
+    rank frame is built by functions/partitioning.py::global_rank
+    (bucketed distributed rank — no single-partition catalog sort) and
+    broadcast once. Users whose pool is exhausted by interactions emit
+    fewer rows by construction, identically in both engines."""
+    from ..functions.partitioning import global_rank
+
     ev = m.engagement_events(load_table(spark, sf_dir, "events"))
     users = (
         ev.select("user_id")
@@ -2569,24 +2576,36 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("content_id")
     )
     n_dim = dim.count()
-    wr = Window.orderBy("content_id")
-    content = dim.select(
-        "content_id", (F.row_number().over(wr) - 1).cast("long").alias("_r")
-    )
+    try:
+        step_inv = pow(NEG_AFFINE_STEP, -1, n_dim)
+    except ValueError as exc:  # pragma: no cover - |dim| = k * 1_000_003
+        raise ValueError(
+            f"NEG_AFFINE_STEP={NEG_AFFINE_STEP} shares a factor with "
+            f"|dim|={n_dim}; the affine map is not a permutation — pick a "
+            f"step coprime to the catalog size"
+        ) from exc
+    content = global_rank(dim, "content_id")
     inter = (
         ev.select("user_id", "content_id")
         .filter(F.col("user_id").isNotNull() & F.col("content_id").isNotNull())
         .distinct()
     )
-    pos = (
-        F.col("_uh") + F.col("_r") * F.lit(NEG_AFFINE_STEP).cast("long")
-    ) % F.lit(int(n_dim)).cast("long")
     cutoff = n_dim * NEG_POOL_PCT // 100
-    cand = (
-        users.crossJoin(F.broadcast(content))
-        .select("user_id", "content_id", pos.alias("_pos"))
-        .filter(F.col("_pos") < int(cutoff))
+    pool = users.select(
+        "user_id",
+        "_uh",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(cutoff - 1)).cast("long"))
+        ).alias("_pos"),
     )
+    rank = F.pmod(
+        F.pmod(F.col("_pos") - F.col("_uh"), F.lit(int(n_dim)).cast("long"))
+        * F.lit(int(step_inv)).cast("long"),
+        F.lit(int(n_dim)).cast("long"),
+    )
+    cand = pool.withColumn("_r", rank).join(
+        F.broadcast(content), "_r"
+    ).select("user_id", "content_id", "_pos")
     neg = cand.join(inter, ["user_id", "content_id"], "left_anti")
     w = Window.partitionBy("user_id").orderBy(F.asc("_pos"), F.asc("content_id"))
     return (

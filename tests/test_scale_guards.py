@@ -202,3 +202,36 @@ def test_importance_weights_prefer_target_domain(spark):
     assert w[1] > w[3] and w[2] > w[3] and w[4] > w[3]
     n = {r.doc_id: r.n_tokens for r in importance_weights(docs, "tgt").collect()}
     assert n[1] == 5
+
+
+# --- negative sampling: O(users x pool), never O(users x catalog) ---
+
+
+def test_negative_samples_plan_has_no_cartesian(spark):
+    """The affine-permutation pool is generated by INVERTING the map (one
+    explode of pool slots per user + a broadcast rank join) — the physical
+    plan must contain neither a cartesian product nor any join of the users
+    frame that isn't the broadcast rank lookup / interaction anti-join."""
+    from cdc_poc_spark.plans.registry import queries
+
+    df = queries(fresh=False)["wh_negative_samples"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # the O(pool) generator path
+
+
+def test_global_rank_matches_window_rank(spark):
+    """global_rank (bucketed distributed rank) must agree with the
+    single-partition Window rank on unique keys, including skewed ones."""
+    from pyspark.sql import Window
+
+    from cdc_poc_spark.functions.partitioning import global_rank
+
+    # skewed, gappy, unordered keys
+    keys = [1, 2, 3, 1000, 1001, 5_000_000, 7, 42, 999_999, 11]
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(4)
+    got = {r["k"]: r["_r"] for r in global_rank(df, "k").collect()}
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
