@@ -543,3 +543,137 @@ def kmv_merge(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
         .filter(F.col("rn") <= int(k))
         .select("grp", "h", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Count-Min Sketch (Cormode & Muthukrishnan 2005) as plain
+# DataFrame ops.
+#
+# The built-in `count_min_sketch` aggregate above is the native fast path,
+# but its serialized register state is engine-internal (another engine
+# cannot rebuild or cross-check it) and probing it requires collecting the
+# candidate keys to the driver. This twin builds the depth x width counter
+# grid as a DataFrame from the repo's portable md5-60 hash family, so
+#   - the counter table IS the sketch: <= depth*width rows of
+#     (d, cell, cnt), mergeable across any partitioning by summing cnt;
+#   - probing is a JOIN against the (broadcast) counter table — fully
+#     distributed, no driver collect, no candidate cap needed;
+#   - the DuckDB oracle reproduces counters AND estimates bit-for-bit
+#     (integer arithmetic throughout).
+#
+# 100 TB posture: one scan (the depth-fold explode is absorbed by map-side
+# partial aggregation — each task emits at most depth*width partial rows),
+# then a depth*width-row shuffle; the probe side touches only candidates.
+# ---------------------------------------------------------------------------
+
+CMS_PORT_DEPTH = 4
+CMS_PORT_WIDTH = 2048
+
+
+def _cms_cell(col: str, d_col: str = "d", width: int = CMS_PORT_WIDTH):
+    """Portable CMS cell index: md5_60('cms<d>|<value>') mod width — an
+    independent-per-row hash family keyed by the depth index."""
+    return F.pmod(
+        hashing.md5_long(
+            F.concat(
+                F.lit("cms"),
+                F.col(d_col).cast("string"),
+                F.lit("|"),
+                F.col(col).cast("string"),
+            )
+        ),
+        F.lit(width),
+    )
+
+
+def cms_portable_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_PORT_DEPTH,
+    width: int = CMS_PORT_WIDTH,
+) -> DataFrame:
+    """One-pass mergeable portable CMS of ``col`` as a counter DataFrame
+    (d, cell, cnt) — at most depth*width rows regardless of input size."""
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(col),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(depth - 1)))
+            ).alias("d"),
+        )
+        .select("d", _cms_cell(col, width=width).alias("cell"))
+    )
+    return rows.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_portable_heavy_hitters(
+    facts: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    depth: int = CMS_PORT_DEPTH,
+    width: int = CMS_PORT_WIDTH,
+) -> DataFrame:
+    """Estimated total occurrence count in ``facts`` for every key in
+    ``candidates[col]`` — the distributed twin of
+    :func:`heavy_hitters_over_candidates`: the probe is a broadcast join
+    of the counter table (<= depth*width rows), so the candidate set may
+    be any size, not just driver-sized. est = min over depth rows of the
+    hashed cell's counter (missing cell => 0); est >= true always, and
+    est <= true + eps*N with eps ~ e/width per the classic analysis."""
+    counters = cms_portable_counters(facts, col, depth, width)
+    probes = (
+        candidates.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .select(
+            F.col(col),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(depth - 1)))
+            ).alias("d"),
+        )
+        .select(F.col(col), "d", _cms_cell(col, width=width).alias("cell"))
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "cell"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+        .orderBy(F.desc("est_count"), F.asc(col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-native approximate aggregates — the engine-internal fast paths.
+#
+# These are the plans a 100 TB run would prefer (HLL++ / GK sketches fully
+# inside Tungsten, zero extra shuffle rows), kept as library functions with
+# error-bound tests (tests/test_wh_sql.py). The REGISTRY twins
+# (wh_approx_users / wh_approx_percentiles / wh_heavy_hitters) run the
+# portable deterministic sketches above instead, because their estimates
+# are reproducible by the DuckDB oracle — every registry query stays
+# hash-checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def native_approx_users(events: DataFrame) -> DataFrame:
+    """approx_count_distinct (HLL++) distinct users per event type."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def native_approx_percentiles(events: DataFrame) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna, accuracy 10000) p50/p90 of
+    value per event type."""
+    return events.groupBy("event_type").agg(
+        F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.percentile_approx(F.col("value"), F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+    )

@@ -4268,6 +4268,124 @@ def oracle_sql() -> dict[str, str]:
                      / x.exact_distinct, 4) AS rel_err_pct
         FROM ests e JOIN exacts x ON e.scope = x.scope"""
 
+    # wh_approx_users: the per-type slice of the portable-HLL pipeline
+    # above (registers -> raw estimate -> linear-counting correction),
+    # aliased to the dashboard shape.
+    sqls["wh_approx_users"] = f"""
+        WITH h AS (
+            SELECT event_type,
+                   {md5_long_sql('CAST(user_id AS VARCHAR)')} AS h
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(h & {HLL_M - 1} AS INTEGER) AS register,
+                   CASE WHEN ({_hll_suf}) = 0 THEN {HLL_W + 1}
+                        ELSE {HLL_W + 1} - length(bin({_hll_suf}))
+                   END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, register, MAX(rho) AS max_rho
+            FROM r GROUP BY event_type, register
+        ),
+        per AS (
+            SELECT event_type,
+                   {HLL_ALPHA * HLL_M * HLL_M!r}
+                       / (({HLL_M} - COUNT(*))
+                          + SUM(pow(2.0, -max_rho))) AS raw_est,
+                   {HLL_M} - COUNT(*) AS v
+            FROM regs GROUP BY event_type
+        )
+        SELECT event_type,
+               CASE WHEN raw_est <= 2.5 * {HLL_M} AND v > 0
+                    THEN ROUND({float(HLL_M)!r} * ln({float(HLL_M)!r} / v), 4)
+                    ELSE ROUND(raw_est, 4)
+               END AS approx_users
+        FROM per"""
+
+    from ..operators.sketches import HIST_BINS
+    from .registry import APPROX_PCT_QUANTILES
+
+    _apq = ", ".join(f"({float(q)!r})" for q in APPROX_PCT_QUANTILES)
+    sqls["wh_approx_percentiles"] = f"""
+        WITH st AS (
+            SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                   (MAX(CAST(value AS DOUBLE)) - MIN(CAST(value AS DOUBLE)))
+                       / {float(HIST_BINS)!r} AS width
+            FROM events WHERE value IS NOT NULL
+        ),
+        b AS (
+            SELECT event_type, lo, width,
+                   LEAST(CASE WHEN width > 0
+                              THEN CAST(floor((CAST(value AS DOUBLE) - lo)
+                                              / width) AS BIGINT)
+                              ELSE 0 END,
+                         {HIST_BINS - 1}) AS bin
+            FROM events, st WHERE value IS NOT NULL
+        ),
+        regs AS (
+            SELECT event_type, bin, lo, width, COUNT(*) AS cnt
+            FROM b GROUP BY event_type, bin, lo, width
+        ),
+        cum AS (
+            SELECT event_type, bin, lo, width, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS total
+            FROM regs
+        ),
+        q AS (SELECT CAST(quantile AS DOUBLE) AS quantile
+              FROM (VALUES {_apq}) t(quantile)),
+        est AS (
+            SELECT event_type, quantile,
+                   ROUND(lo + width * (CAST(bin AS DOUBLE)
+                         + (ceil(quantile * CAST(total AS DOUBLE))
+                            - CAST(cum - cnt AS DOUBLE))
+                           / CAST(cnt AS DOUBLE)),
+                         4) AS est_value
+            FROM cum, q
+            WHERE (cum - cnt) < ceil(quantile * CAST(total AS DOUBLE))
+              AND ceil(quantile * CAST(total AS DOUBLE)) <= cum
+        )
+        SELECT event_type,
+               MAX(CASE WHEN quantile = 0.5 THEN est_value END)
+                   AS p50_approx,
+               MAX(CASE WHEN quantile = 0.9 THEN est_value END)
+                   AS p90_approx
+        FROM est GROUP BY event_type"""
+
+    from ..operators.sketches import CMS_PORT_DEPTH, CMS_PORT_WIDTH
+    from .registry import HEAVY_HITTER_RECENT
+
+    _cms_cell = md5_long_sql(
+        "'cms' || CAST(d AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+    )
+    sqls["wh_heavy_hitters"] = f"""
+        WITH depths AS (
+            SELECT unnest(range({CMS_PORT_DEPTH})) AS d
+        ),
+        cells AS (
+            SELECT d, {_cms_cell} % {CMS_PORT_WIDTH} AS cell
+            FROM events CROSS JOIN depths WHERE user_id IS NOT NULL
+        ),
+        counters AS (
+            SELECT d, cell, COUNT(*) AS cnt FROM cells GROUP BY d, cell
+        ),
+        cands AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL
+              AND ts >= TIMESTAMP '{HEAVY_HITTER_RECENT}'
+        ),
+        probes AS (
+            SELECT user_id, d, {_cms_cell} % {CMS_PORT_WIDTH} AS cell
+            FROM cands CROSS JOIN depths
+        )
+        SELECT user_id,
+               CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+        FROM probes LEFT JOIN counters USING (d, cell)
+        GROUP BY user_id"""
+
     from ..operators.timeseries import ANOM_MIN_N, ANOM_WINDOW, ANOM_Z
 
     sqls["ts_anomaly"] = f"""

@@ -15,12 +15,11 @@ NAMES = sorted(queries().keys())
 def test_every_query_has_oracle_or_is_flagged():
     missing = [n for n in NAMES if n not in oracle_sql()]
     # rows-only entries are allowed but must be deliberate — keep the list here
-    # wh_approx_users: HLL++ estimates are engine-specific; the error bound
-    # vs exact is asserted in tests/test_wh_sql.py instead
-    # wh_approx_percentiles: GK-sketch quantiles likewise engine-specific;
-    # error bound vs exact asserted in tests/test_wh_sql.py
-    # wh_heavy_hitters: Count-Min estimates likewise engine-specific;
-    # CMS bound (est in [true, true + eps*N]) asserted in tests/test_wh_sql.py
+    # (the wh_approx_* trio moved OFF this list in round 4: the registry now
+    # runs the portable deterministic sketches — HLL registers / equi-width
+    # histogram / md5 CMS counters — whose estimates the oracle reproduces
+    # bit-for-bit; the engine-internal HLL++/GK/count_min_sketch fast paths
+    # remain as library functions with error-bound tests in test_wh_sql.py)
     # sim_ivf_refined: iterative Lloyd refinement (k-means) — invariants
     # asserted in tests/test_ivf.py instead
     # mm_image_dedup: PNG render->decode->aHash round-trip is not
@@ -31,9 +30,6 @@ def test_every_query_has_oracle_or_is_flagged():
     # exactness held by the pure-Python reference differential in
     # tests/test_bpe.py
     allowed_rows_only: set[str] = {
-        "wh_approx_users",
-        "wh_approx_percentiles",
-        "wh_heavy_hitters",
         "sim_ivf_refined",
         "mm_image_dedup",
         "mm_audio_dedup",

@@ -79,9 +79,12 @@ def test_sessions_cover_all_events(spark):
 
 
 def test_heavy_hitters_cms_bound(spark):
-    """Count-Min guarantee: est >= true, and est <= true + eps*N (eps=0.001,
-    N = total events). Candidates must cover every recently-active user."""
-    from cdc_poc_spark.operators.sketches import CMS_EPS
+    """Count-Min guarantee for the PORTABLE sketch the registry runs:
+    est >= true, and est <= true + eps*N with eps = e/width (N = total
+    events). Candidates must cover every recently-active user."""
+    import math
+
+    from cdc_poc_spark.operators.sketches import CMS_PORT_WIDTH
     from cdc_poc_spark.plans.registry import HEAVY_HITTER_RECENT
 
     ev = load_table(spark, SF_DIR, "events")
@@ -102,7 +105,7 @@ def test_heavy_hitters_cms_bound(spark):
         r["user_id"]: r["n"]
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    slack = CMS_EPS * n_total
+    slack = math.e / CMS_PORT_WIDTH * n_total
     for uid, e in est.items():
         true = exact[uid]
         assert true <= e <= true + slack, (uid, e, true, slack)
@@ -245,3 +248,72 @@ def test_equidepth_hist_balanced_buckets(spark):
         assert sum(buckets.values()) == n
         target = n / EQUIDEPTH_BUCKETS
         assert all(abs(c - target) <= 0.2 * target for c in buckets.values())
+
+
+def test_native_approx_users_error_bound(spark):
+    """The engine-internal HLL++ fast path (library function; the registry
+    runs the portable oracle-checkable twin) keeps the same 5% bound."""
+    from cdc_poc_spark.operators.sketches import native_approx_users
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in native_approx_users(ev).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_native_approx_percentiles_error_bound(spark):
+    """The engine-internal GK fast path keeps the 1% bound vs exact."""
+    from cdc_poc_spark.operators.sketches import native_approx_percentiles
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in native_approx_percentiles(ev).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50_value"], r["p90_value"])
+        for r in queries()["wh_percentiles"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (a50, a90) in approx.items():
+        e50, e90 = exact[k]
+        assert abs(a50 - e50) <= max(0.5, 0.01 * abs(e50)), (k, a50, e50)
+        assert abs(a90 - e90) <= max(0.5, 0.01 * abs(e90)), (k, a90, e90)
+
+
+def test_native_heavy_hitters_cms_bound(spark):
+    """The engine-internal count_min_sketch path (driver-probe library
+    function) keeps the CMS guarantee est in [true, true + eps*N]."""
+    from cdc_poc_spark.operators.sketches import (
+        CMS_EPS,
+        heavy_hitters_over_candidates,
+    )
+    from cdc_poc_spark.plans.registry import HEAVY_HITTER_RECENT
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_total = ev.count()
+    recent = ev.filter(F.col("ts") >= F.lit(HEAVY_HITTER_RECENT)).select(
+        "user_id"
+    )
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in heavy_hitters_over_candidates(ev, recent, "user_id").collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    slack = CMS_EPS * n_total
+    for uid, e in est.items():
+        true = exact[uid]
+        assert true <= e <= true + slack, (uid, e, true, slack)
