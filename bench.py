@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "wh_quality_audit",
     "sketch_hll_users",
     "sketch_kmv_setops",
+    "wh_approx_users",
+    "wh_approx_percentiles",
+    "wh_heavy_hitters",
     "ts_anomaly",
     "sim_hard_negatives",
     "sketch_hist_quantiles",

@@ -609,7 +609,12 @@ def frame_signatures(
                 }
             )
 
-    return media.mapInPandas(sign, FRAME_SIG_SCHEMA)
+    from ..functions.partitioning import spread
+
+    # same under-split guard as the codec render stages: the synth media
+    # frame inherits the raw scan's partitioning, which would serialize
+    # the per-frame hashing onto one core on a small single-file corpus
+    return spread(media).mapInPandas(sign, FRAME_SIG_SCHEMA)
 
 
 def video_dup_pairs(

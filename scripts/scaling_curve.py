@@ -51,6 +51,26 @@ from cdc_poc_spark.sources.testdata import load_table  # noqa: E402
 
 REPLICAS = (1, 2, 4, 8)
 
+# see main(): ops with linear TRUE output whose fitted exponent is a clean
+# algorithmic signal, guarded against sub-quadratic regressions
+GUARD_ALPHA = 1.3
+LINEAR_OUTPUT_OPS = {
+    "dedup_exact",
+    "simhash",
+    "ann_lsh_topk",
+    "bpe_train (10 merges)",
+    "nb_classify",
+    "cdc_chunk_report",
+    "tfidf_topk",
+    "ngram_diversity",
+    "ivfpq_topk",
+    "knn_communities (LPA)",
+    "video_dedup (frame sigs)",
+    "semantic_decontaminate",
+    "spatial_join (grid)",
+    "dbscan (grid+CC)",
+}
+
 
 def scaled_docs(spark, sf_dir: str, m: int):
     base = load_table(spark, sf_dir, "documents")
@@ -127,7 +147,45 @@ OPS = {
         _mm().synthesize_media(d)
     ),
     "semantic_decontaminate": lambda d, v: _sim().semantic_decontaminate(v, 0.4),
+    # r4 additions: the remaining banded/blocked candidate generators.
+    # image/audio run the full codec render+decode+banded-Hamming pipeline
+    # (codec cost is linear per doc; the join is bucket-blocked); spatial
+    # ops are grid-cell-blocked 3x3 probes. Replica siblings share
+    # near-identical pixels/waveforms, so like the text pair ops their
+    # TRUE output grows ~m^2 — alphas are output-inclusive upper bounds.
+    "image_dedup (banded aHash)": lambda d, v: _mm().image_dup_pairs(
+        _mm().ahash64(_mm().synthesize_png_corpus(d))
+    ),
+    "audio_dedup (banded envelope)": lambda d, v: _mm().image_dup_pairs(
+        _mm().audio_fingerprints(_mm().synthesize_wav_corpus(d))
+    ),
+    "spatial_join (grid)": lambda d, v: _spatial().grid_distance_join(
+        _spatial().synthesize_points(_events(d))
+    ),
+    "dbscan (grid+CC)": lambda d, v: _spatial().dbscan(
+        _spatial().synthesize_points(_events(d))
+    ),
 }
+
+def _events(docs):
+    """Synthesize an events-shaped frame from the scaled docs (user_id /
+    value / ts columns derived deterministically from doc_id), so the
+    spatial ops scale with the same replica factor as everything else."""
+    return docs.select(
+        F.col("doc_id").alias("event_id"),
+        (F.col("doc_id") % 1500).alias("user_id"),
+        (F.pmod(F.col("doc_id") * 37, F.lit(10000)) / 100.0).alias("value"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.col("doc_id") * 61, F.lit(2592000))
+        ).alias("ts"),
+        F.lit("view").alias("event_type"),
+    )
+
+
+def _spatial():
+    from cdc_poc_spark.operators import spatial
+
+    return spatial
 
 
 def _sim():
@@ -183,12 +241,31 @@ def main() -> None:
             results[name][m] = time.perf_counter() - t0
     print("| operator | " + " | ".join(f"{m}x" for m in REPLICAS) + " | alpha |")
     print("|---|" + "---|" * (len(REPLICAS) + 1))
+    alphas: dict[str, float] = {}
     for name in OPS:
         r = results[name]
         alpha = math.log(r[REPLICAS[-1]] / r[REPLICAS[0]]) / math.log(REPLICAS[-1])
+        alphas[name] = alpha
         cells = " | ".join(f"{r[m]:.2f}s" for m in REPLICAS)
         print(f"| {name} | {cells} | {alpha:.2f} |")
     print("\nrows:", {k: v for k, v in rows_out.items()}, file=sys.stderr)
+
+    # Regression guard: ops whose TRUE output grows linearly with the
+    # corpus (no m^2 replica-sibling pair blowup) must stay comfortably
+    # sub-quadratic — alpha > GUARD_ALPHA here means a blocked/banded
+    # candidate path degraded to something scan-square-ish. The pair ops
+    # with output-inclusive alphas (jaccard/containment/minhash/winnow/
+    # image/audio) are deliberately NOT guarded: their measured exponent
+    # tracks output size, not algorithm cost (see module docstring).
+    violations = {
+        n: a for n, a in alphas.items() if n in LINEAR_OUTPUT_OPS and a > GUARD_ALPHA
+    }
+    if violations:
+        print(f"ALPHA GUARD FAILED (> {GUARD_ALPHA}): {violations}", file=sys.stderr)
+        sys.exit(1)
+    guarded = [n for n in alphas if n in LINEAR_OUTPUT_OPS]
+    print(f"alpha guard OK: {len(guarded)} linear-output ops <= {GUARD_ALPHA}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
