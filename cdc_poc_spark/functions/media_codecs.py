@@ -5,10 +5,13 @@ be more than plumbing. This environment has no PIL/pyav/librosa, but two
 formats are fully decodable with the standard library alone:
 
 - PNG: chunk walk + zlib inflate + scanline unfilter (filter types 0-4 per
-  the PNG spec), for 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
-  Encoding writes filter-0 scanlines. This is a correct, small-image codec;
-  a production build swaps in PIL for palette/16-bit/interlaced inputs,
-  keeping these signatures.
+  the PNG spec). The decoder covers the FULL static feature matrix:
+  bit depths 1/2/4/8/16, color types 0 (gray) / 2 (RGB) / 3 (palette,
+  with optional tRNS alpha) / 4 (gray+alpha) / 6 (RGBA), and Adam7
+  interlacing. Output is always a (height, width, channels) uint8 array
+  (16-bit samples take their high byte — the standard 16->8 downshift;
+  sub-8-bit gray scales to the full 0..255 range; palette rows expand
+  through PLTE). Encoding writes 8-bit filter-0 scanlines.
 - WAV: RIFF/WAVE header parse via the stdlib ``wave`` module (channel
   count, sample rate, frame count).
 
@@ -27,7 +30,26 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-_COLORTYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLORTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2)
+_COLORTYPE_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def is_png(data: bytes) -> bool:
@@ -46,49 +68,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a PNG byte string -> (width, height, channels, pixels) with
-    ``pixels`` a (height, width, channels) uint8 array.
-
-    Supports 8-bit depth, color types 0/2/4/6, no interlace; raises
-    ValueError otherwise (callers fall back to their stub path).
-    """
-    if not is_png(data):
-        raise ValueError("not a PNG byte stream")
-    pos = 8
-    width = height = channels = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color not in _COLORTYPE_CHANNELS:
-                raise ValueError(f"unsupported PNG color type {color}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
-            channels = _COLORTYPE_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+def _unfilter(raw: bytes, offset: int, height: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering for ``height`` rows of ``stride``
+    bytes starting at ``offset`` in ``raw`` (each row prefixed by its
+    filter-type byte). Returns (rows ndarray (height, stride) uint8,
+    next offset)."""
+    need = (stride + 1) * height
+    if offset + need > len(raw):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at 8-bit depth
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:  # None
             pass
@@ -110,7 +102,127 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-    return width, height, channels, out.reshape(height, width, channels)
+    return out, offset + need
+
+
+def _rows_to_samples(
+    rows: np.ndarray, width: int, depth: int, channels: int
+) -> np.ndarray:
+    """(height, stride) filtered-byte rows -> (height, width, channels)
+    sample array at the image's native depth (uint8 for <=8, uint16 for
+    16). Sub-8-bit samples are left UNSCALED (raw 0..2^depth-1 values) —
+    the caller decides between palette lookup and gray rescale."""
+    height = rows.shape[0]
+    if depth == 16:
+        u16 = rows.reshape(height, -1).view(">u2").astype(np.uint16)
+        return u16.reshape(height, width, channels)
+    if depth == 8:
+        return rows.reshape(height, width, channels)
+    # depth 1/2/4: single-channel by spec (gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : width * depth].reshape(height, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(height, width, 1)
+
+
+def _decode_image(
+    raw: bytes, offset: int, width: int, height: int, depth: int, channels: int
+):
+    """Unfilter + unpack one (sub)image; returns (samples, next offset)."""
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    rows, offset = _unfilter(raw, offset, height, stride, bpp)
+    return _rows_to_samples(rows, width, depth, channels), offset
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG byte string -> (width, height, channels, pixels) with
+    ``pixels`` a (height, width, channels) uint8 array.
+
+    Full static-PNG coverage: bit depths 1/2/4/8/16, color types
+    0/2/3/4/6 (palette via PLTE, optional tRNS palette alpha), Adam7
+    interlace. Raises ValueError on malformed streams (callers fall back
+    to their stub path).
+    """
+    if not is_png(data):
+        raise ValueError("not a PNG byte stream")
+    pos = 8
+    width = height = depth = color = interlace = None
+    palette: np.ndarray | None = None
+    trns: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color not in _COLORTYPE_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if depth not in _COLORTYPE_DEPTHS[color]:
+                raise ValueError(
+                    f"illegal PNG depth {depth} for color type {color}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = _COLORTYPE_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        samples, offset = _decode_image(raw, 0, width, height, depth, channels)
+        if offset != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        dtype = np.uint16 if depth == 16 else np.uint8
+        samples = np.zeros((height, width, channels), dtype=dtype)
+        offset = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (width - xs + xstep - 1) // xstep
+            ph = (height - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = _decode_image(raw, offset, pw, ph, depth, channels)
+            samples[ys::ystep, xs::xstep] = sub
+        if offset != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+
+    if color == 3:  # palette expansion (indices are always <= 8-bit)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            out = np.dstack([rgb, alpha[idx]])
+        else:
+            out = rgb
+        return width, height, out.shape[2], out
+
+    if depth == 16:  # high byte == round(v * 255 / 65535) for PNG's scaling
+        return width, height, channels, (samples >> 8).astype(np.uint8)
+    if depth < 8:  # gray: scale 0..2^d-1 to the full 0..255 range
+        scale = 255 // ((1 << depth) - 1)
+        return width, height, channels, (samples * scale).astype(np.uint8)
+    return width, height, channels, samples.astype(np.uint8)
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:

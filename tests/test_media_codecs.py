@@ -92,18 +92,145 @@ def test_png_round_trip_rgba():
     assert np.array_equal(back, px)
 
 
-def test_png_rejects_unsupported():
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+def test_png_rejects_malformed():
+    # illegal depth for the color type (palette @ 16-bit)
+    ihdr_bad = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
     bad = (
         mc.PNG_SIG
-        + _raw_chunk(b"IHDR", ihdr16)
+        + _raw_chunk(b"IHDR", ihdr_bad)
         + _raw_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
         + _raw_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="bit depth"):
+    with pytest.raises(ValueError, match="illegal PNG depth"):
         mc.png_decode(bad)
+    # unknown color type
+    ihdr_ct = struct.pack(">IIBBBBB", 1, 1, 8, 7, 0, 0, 0)
+    bad_ct = (
+        mc.PNG_SIG
+        + _raw_chunk(b"IHDR", ihdr_ct)
+        + _raw_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _raw_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        mc.png_decode(bad_ct)
+    # truncated scanline payload
+    short = _manual_png(2, 2, 0, 1, b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="size mismatch"):
+        mc.png_decode(short)
     with pytest.raises(ValueError, match="not a PNG"):
         mc.png_decode(b"plain text")
+
+
+def _manual_png_full(
+    width, height, depth, color_type, scanlines: bytes,
+    palette: bytes | None = None, trns: bytes | None = None,
+    interlace: int = 0,
+) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
+    png = mc.PNG_SIG + _raw_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _raw_chunk(b"PLTE", palette)
+    if trns is not None:
+        png += _raw_chunk(b"tRNS", trns)
+    return png + _raw_chunk(b"IDAT", zlib.compress(scanlines)) + _raw_chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_with_and_without_trns():
+    # 2x2 palette image over a 3-entry palette, indices [[0,1],[2,1]]
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 1])
+    png = _manual_png_full(2, 2, 8, 3, rows, palette=plte)
+    w, h, c, px = mc.png_decode(png)
+    assert (w, h, c) == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[1, 0].tolist() == [0, 0, 255]
+    # tRNS covering entry 0 only -> RGBA with alpha 7 on entry 0, 255 elsewhere
+    png_a = _manual_png_full(2, 2, 8, 3, rows, palette=plte, trns=bytes([7]))
+    w, h, c, px = mc.png_decode(png_a)
+    assert c == 4
+    assert px[0, 0].tolist() == [255, 0, 0, 7]
+    assert px[0, 1].tolist() == [0, 255, 0, 255]
+
+
+def test_png_palette_2bit_indices():
+    # 4x1, 2-bit palette indices 0,1,2,3 packed MSB-first into one byte
+    plte = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40])
+    packed = bytes([0b00_01_10_11])
+    png = _manual_png_full(4, 1, 2, 3, b"\x00" + packed, palette=plte)
+    w, h, c, px = mc.png_decode(png)
+    assert (w, h, c) == (4, 1, 3)
+    assert px[0, 0].tolist() == [10, 0, 0]
+    assert px[0, 3].tolist() == [40, 40, 40]
+
+
+def test_png_16bit_gray_and_rgb_downshift():
+    # 1x1 gray16 0xABCD -> high byte 0xAB
+    png = _manual_png_full(1, 1, 16, 0, b"\x00" + bytes([0xAB, 0xCD]))
+    w, h, c, px = mc.png_decode(png)
+    assert (w, h, c) == (1, 1, 1) and px[0, 0, 0] == 0xAB
+    # 2x1 rgb16
+    row = b"\x00" + struct.pack(">HHH", 0xFF00, 0x1234, 0x0001) + struct.pack(
+        ">HHH", 0x8000, 0x7FFF, 0xFFFF
+    )
+    png = _manual_png_full(2, 1, 16, 2, row)
+    w, h, c, px = mc.png_decode(png)
+    assert (w, h, c) == (2, 1, 3)
+    assert px[0, 0].tolist() == [0xFF, 0x12, 0x00]
+    assert px[0, 1].tolist() == [0x80, 0x7F, 0xFF]
+
+
+def test_png_sub8bit_gray_scales_to_full_range():
+    # 4x1 1-bit gray 1,0,1,1 -> 255,0,255,255
+    png = _manual_png_full(4, 1, 1, 0, b"\x00" + bytes([0b1011_0000]))
+    w, h, c, px = mc.png_decode(png)
+    assert px[0, :, 0].tolist() == [255, 0, 255, 255]
+    # 2x1 4-bit gray 0x5, 0xF -> 85, 255 (scale 17)
+    png = _manual_png_full(2, 1, 4, 0, b"\x00" + bytes([0x5F]))
+    w, h, c, px = mc.png_decode(png)
+    assert px[0, :, 0].tolist() == [85, 255]
+
+
+def _adam7_scanlines(img: np.ndarray) -> bytes:
+    """Reference Adam7 interlacer (filter-0 rows per pass) for test input
+    construction — independent of the decoder's pass arithmetic."""
+    out = bytearray()
+    for xs, ys, xstep, ystep in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = img[ys::ystep, xs::xstep]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.tobytes()
+    return bytes(out)
+
+
+def test_png_adam7_interlaced_gray():
+    rng = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7) * 3
+    png = _manual_png_full(7, 5, 8, 0, _adam7_scanlines(rng), interlace=1)
+    w, h, c, px = mc.png_decode(png)
+    assert (w, h, c) == (7, 5, 1)
+    assert np.array_equal(px[:, :, 0], rng)
+
+
+def test_png_adam7_interlaced_rgb():
+    rng = (np.arange(9 * 10 * 3, dtype=np.uint8).reshape(9, 10, 3) * 5) % 251
+    flat = rng.reshape(9, 10 * 3)  # interlacer slices rows of pixel triples
+    out = bytearray()
+    for xs, ys, xstep, ystep in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = rng[ys::ystep, xs::xstep]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.tobytes()
+    png = _manual_png_full(10, 9, 8, 2, bytes(out), interlace=1)
+    w, h, c, px = mc.png_decode(png)
+    assert (w, h, c) == (10, 9, 3)
+    assert np.array_equal(px, rng)
 
 
 def test_resize_nearest_dims_and_identity():
