@@ -235,3 +235,51 @@ def test_global_rank_matches_window_rank(spark):
     got = {r["k"]: r["_r"] for r in global_rank(df, "k").collect()}
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+# --- portable CMS: distributed probe, bounded counter table ---
+
+
+def test_cms_portable_probe_is_broadcast_join_no_collect(spark):
+    """The portable CMS probe must be a broadcast join of the counter
+    table (<= depth*width rows) — never a cartesian product, never a
+    driver-side collect of candidates (the candidate set may be any size)."""
+    facts = spark.range(0, 5000).select((F.col("id") % 97).alias("k"))
+    cands = spark.range(0, 50).select(F.col("id").alias("k"))
+    out = sketches.cms_portable_heavy_hitters(facts, cands, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_portable_counter_table_is_bounded(spark):
+    """Counter rows never exceed depth*width regardless of input size, and
+    counts sum to depth * n_rows (every row lands in exactly one cell per
+    depth)."""
+    facts = spark.range(0, 20000).select((F.col("id") % 4096).alias("k"))
+    counters = sketches.cms_portable_counters(facts, "k")
+    n = counters.count()
+    assert n <= sketches.CMS_PORT_DEPTH * sketches.CMS_PORT_WIDTH
+    total = counters.agg(F.sum("cnt").alias("s")).first()["s"]
+    assert total == sketches.CMS_PORT_DEPTH * 20000
+
+
+def test_cms_portable_mergeability(spark):
+    """Counter tables built on disjoint halves must sum cell-wise to the
+    full table — the mergeable-sketch contract that makes the CMS a one
+    -pass map-side aggregate at any scale."""
+    full = spark.range(0, 2000).select((F.col("id") % 131).alias("k"))
+    a = full.filter(F.col("k") % 2 == 0)
+    b = full.filter(F.col("k") % 2 == 1)
+    ca = sketches.cms_portable_counters(a, "k")
+    cb = sketches.cms_portable_counters(b, "k")
+    merged = (
+        ca.unionByName(cb)
+        .groupBy("d", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cf = sketches.cms_portable_counters(full, "k")
+    assert (
+        merged.exceptAll(cf.select("d", "cell", "cnt")).count() == 0
+        and cf.select("d", "cell", "cnt").exceptAll(merged).count() == 0
+    )
