@@ -2320,6 +2320,51 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE cosine_sim >= {COSINE_TAU}"""
 
+    from .registry import IVF_PAIR_MAX_CELLS
+
+    sqls["sim_embedding_dups_ivf_capped"] = f"""
+        WITH cent AS (
+            SELECT cell, c_vec FROM (
+                SELECT vec_id AS cell, embedding AS c_vec,
+                       row_number() OVER (ORDER BY vec_id) AS _rk
+                FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+            ) WHERE _rk <= {IVF_PAIR_MAX_CELLS}
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn <= {EMB_IVF_NPROBE}
+        ),
+        normed AS (
+            SELECT e.vec_id, a.cell, e.embedding,
+                   sqrt({dot_sql("e.embedding", "e.embedding")}) AS norm
+            FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM normed a
+            JOIN normed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine_sim
+        FROM (
+            SELECT c.vec_a, c.vec_b,
+                   {dot_sql("ea.embedding", "eb.embedding")}
+                       / (ea.norm * eb.norm) AS cosine_sim
+            FROM cands c
+            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed
+                  WHERE norm > 0) ea
+              ON c.vec_a = ea.vec_id
+            JOIN (SELECT DISTINCT vec_id, embedding, norm FROM normed
+                  WHERE norm > 0) eb
+              ON c.vec_b = eb.vec_id
+        )
+        WHERE cosine_sim >= {COSINE_TAU}"""
+
     # norms folded once per vector (same IEEE ops as the Spark _normed path:
     # sqrt of the sequential-fold self-dot, multiplied per pair)
     _NORMED_CTE = (
@@ -4202,6 +4247,10 @@ def oracle_sql() -> dict[str, str]:
     # streaming KMV accumulation converges to exactly the batch sketch
     # (mergeability identity) — same oracle text
     sqls["stream_kmv_native"] = sqls["sketch_kmv_setops"]
+
+    # streaming exact-dedup state converges to exactly the batch rebuild
+    # (min/count mergeability) — same oracle text
+    sqls["stream_dedup_state_native"] = sqls["dedup_exact"]
 
     from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_W
 
