@@ -2683,6 +2683,15 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cutoff = n_dim * NEG_POOL_PCT // 100
+    if cutoff < 1:
+        # catalog too small for a 1-slot pool: the oracle's pos < cutoff
+        # filter keeps nothing — return the same empty frame (guard needed
+        # because sequence(0, -1) would auto-step BACKWARDS, not be empty)
+        return users.select(
+            "user_id",
+            F.lit(None).cast("long").alias("content_id"),
+            F.lit(None).cast("long").alias("neg_rank"),
+        ).limit(0)
     pool = users.select(
         "user_id",
         "_uh",
