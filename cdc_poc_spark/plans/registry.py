@@ -1341,13 +1341,18 @@ IVF_PAIR_MAX_CELLS = 32  # ~sqrt(sf0.01 corpus): the classic IVF sizing
 
 def q_sim_embedding_dups_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPPED-codebook variant of the IVF pair path: the first 32
-    seeds by rank form a FIXED coarse codebook, so centroid assignment is
-    linear in the corpus — the production answer to the one superlinear
-    shape the scaling probe found (unbounded seed cells => O(n^2/mod)
-    assignment, alpha ~1.4 measured). Occupancy grows with the corpus
-    instead; recall at fixed nprobe trades accordingly. Exact-cosine
-    verified, deterministic, same oracle construction with the capped
-    centroid CTE."""
+    seeds by rank form a FIXED coarse codebook, making centroid
+    assignment linear in the corpus. MEASURED caveat (round-4 scaling
+    probe, PARITY.md): for ALL-PAIRS generation a fixed codebook moves
+    the quadratic to the other side — cell occupancy grows with the
+    corpus, so the cell self-join is O(n^2/C) with constant C (alpha 1.43
+    vs 1.16 uncapped at 1x-8x of sf0.1). The cap is the right tool for
+    QUERY-time ops (ivfpq_topk probes a few cells); for pair generation
+    the balanced sizing is max_cells ~ sqrt(corpus), and the banded LSH
+    path remains the structurally better blocker. Kept as a first-class
+    query because the trade is real and the oracle pins both sides of
+    it. Exact-cosine verified, deterministic, same oracle construction
+    with the capped centroid CTE."""
     return similarity.embedding_dup_pairs_ivf(
         load_table(spark, sf_dir, "embeddings"),
         COSINE_TAU,

@@ -125,6 +125,9 @@ OPS = {
     "ann_lsh_topk": lambda d, v: similarity.ann_lsh_topk(v, 17, 10),
     "embedding_dups_lsh (8x8 banded)": lambda d, v: similarity.embedding_dup_pairs_lsh(v, 0.4),
     "embedding_dups_ivf (3-probe)": lambda d, v: similarity.embedding_dup_pairs_ivf(v, 0.4),
+    "embedding_dups_ivf (capped 32)": lambda d, v: similarity.embedding_dup_pairs_ivf(
+        v, 0.4, max_cells=32
+    ),
     "semantic_dedup (IVF)": lambda d, v: similarity.semantic_dedup(v),
     # iterative/closed-form trainers (r3): corpus-sized work only at the
     # boundary aggregates — expect ~linear-or-flat
