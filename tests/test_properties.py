@@ -622,3 +622,54 @@ def test_dbscan_constructed_clusters(spark):
     assert got[20] == (0, "border")            # attached to blob A's cluster
     assert {got[i] for i in range(5)} == {(0, "core")}
     assert {got[10 + i] for i in range(4)} == {(10, "core")}
+
+
+# --- round-4 primitives: distributed rank and portable CMS ---
+
+unique_keys = st.lists(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    min_size=1,
+    max_size=80,
+    unique=True,
+)
+
+
+@given(unique_keys)
+@settings(**_SETTINGS)
+def test_global_rank_property(spark, keys):
+    """global_rank (bucketed distributed rank, no single-partition sort)
+    must equal the sorted-enumerate rank for ANY unique numeric key set —
+    negative, clustered, or adversarially gapped keys included."""
+    from cdc_poc_spark.functions.partitioning import global_rank
+
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long").repartition(3)
+    got = {r["k"]: r["_r"] for r in global_rank(df, "k").collect()}
+    assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+
+cms_corpora = st.lists(
+    st.integers(min_value=0, max_value=50),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(cms_corpora)
+@settings(**_SETTINGS)
+def test_cms_portable_never_underestimates(spark, vals):
+    """Count-Min structural guarantee on arbitrary multisets: the portable
+    sketch estimate is >= the true count for EVERY key, and exact when the
+    distinct-key set is far below the width (no forced collisions)."""
+    from collections import Counter
+
+    from cdc_poc_spark.operators.sketches import cms_portable_heavy_hitters
+
+    facts = spark.createDataFrame([(int(v),) for v in vals], "k long")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_portable_heavy_hitters(facts, facts, "k").collect()
+    }
+    true = Counter(vals)
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t
