@@ -673,3 +673,40 @@ def test_cms_portable_never_underestimates(spark, vals):
     assert set(est) == set(true)
     for k, t in true.items():
         assert est[k] >= t
+
+
+# --- Debezium parser totality: arbitrary bytes never crash the pipeline ---
+
+wire_strings = st.lists(
+    st.one_of(
+        st.text(max_size=80),  # arbitrary unicode, usually not JSON
+        st.text(
+            alphabet='{}[]":,abcdef0123456789 \n\t', max_size=80
+        ),  # JSON-shaped fragments (braces, quotes, partial structures)
+        st.just(""),
+        st.just("null"),
+        st.just("{}"),
+        st.just('{"payload": null}'),
+        st.just('{"payload": {"after": null, "op": "d"}}'),
+        st.just('{"payload": {"after": {"id": "not-an-int"}, "op": "c"}}'),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(wire_strings)
+@settings(**_SETTINGS)
+def test_debezium_parse_is_total(spark, raws):
+    """O8 totality: EVERY input row lands in exactly one of good / dropped
+    / dead-letter — no crash, no lost row — for arbitrary junk bytes,
+    JSON-shaped fragments, and type-mismatched payloads alike."""
+    from cdc_poc_spark.schemas import ENGAGEMENT_EVENT_SCHEMA
+    from cdc_poc_spark.sources import debezium
+
+    raw = spark.createDataFrame([(s,) for s in raws], "value string")
+    parsed = debezium.parse_envelope(raw, ENGAGEMENT_EVENT_SCHEMA)
+    n_good = debezium.good_rows(parsed).count()
+    n_dead = debezium.dead_letters(parsed).count()
+    n_drop = debezium.dropped(parsed).count()
+    assert n_good + n_dead + n_drop == len(raws)
