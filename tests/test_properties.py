@@ -710,3 +710,43 @@ def test_debezium_parse_is_total(spark, raws):
     n_dead = debezium.dead_letters(parsed).count()
     n_drop = debezium.dropped(parsed).count()
     assert n_good + n_dead + n_drop == len(raws)
+
+
+# --- changelog apply: CDC compaction vs a reference fold ---
+
+changelogs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # row key
+        st.integers(min_value=0, max_value=40),  # sequence (change order)
+        st.sampled_from(["c", "u", "d"]),  # op
+        st.integers(min_value=-100, max_value=100),  # payload value
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),  # one change per (key, seq)
+)
+
+
+@given(changelogs)
+@settings(**_SETTINGS)
+def test_changelog_apply_matches_reference_fold(spark, changes):
+    """T8/upsert semantics on arbitrary change streams: the materialized
+    state must equal a sequential per-key fold (latest change wins; keys
+    whose latest change is a delete are absent) regardless of input
+    order, op mix, or how many changes pile on one key."""
+    from cdc_poc_spark.sources.debezium import changelog_apply
+
+    df = spark.createDataFrame(
+        changes, "k long, seq long, _op string, v long"
+    )
+    got = {
+        (r["k"]): (r["seq"], r["v"])
+        for r in changelog_apply(df, ["k"], ["seq"]).collect()
+    }
+    # reference: python fold in seq order per key
+    last: dict[int, tuple[int, str, int]] = {}
+    for k, seq, op, v in changes:
+        if k not in last or seq > last[k][0]:
+            last[k] = (seq, op, v)
+    want = {k: (seq, v) for k, (seq, op, v) in last.items() if op != "d"}
+    assert got == want
