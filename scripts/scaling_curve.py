@@ -69,6 +69,8 @@ LINEAR_OUTPUT_OPS = {
     "semantic_decontaminate",
     "spatial_join (grid)",
     "dbscan (grid+CC)",
+    "hll_registers (sketch)",
+    "cms_counters (sketch)",
 }
 
 
@@ -168,7 +170,22 @@ OPS = {
     "dbscan (grid+CC)": lambda d, v: _spatial().dbscan(
         _spatial().synthesize_points(_events(d))
     ),
+    # r4 sketch family: one-scan mergeable register builds — output is
+    # BOUNDED (2^p registers / depth*width cells) regardless of corpus, so
+    # the curve should be flat-to-linear (scan cost only). Guarded.
+    "hll_registers (sketch)": lambda d, v: _sketches().hll_registers(
+        d, "text", ["lang"]
+    ),
+    "cms_counters (sketch)": lambda d, v: _sketches().cms_portable_counters(
+        d, "doc_id"
+    ),
 }
+
+
+def _sketches():
+    from cdc_poc_spark.operators import sketches
+
+    return sketches
 
 def _events(docs):
     """Synthesize an events-shaped frame from the scaled docs (user_id /
