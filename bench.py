@@ -150,7 +150,6 @@ BENCH_QUERIES = [
     "wh_approx_users",
     "wh_approx_percentiles",
     "wh_heavy_hitters",
-    "stream_dedup_state_native",
     "sim_embedding_dups_ivf_capped",
     "ts_anomaly",
     "sim_hard_negatives",
