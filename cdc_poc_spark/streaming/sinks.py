@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import ntz_trunc
 from ..operators import aggregates
 
 HOUR_PARTITION_COL = "event_hour"
