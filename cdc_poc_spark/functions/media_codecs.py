@@ -217,7 +217,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             out = rgb
         return width, height, out.shape[2], out
 
-    if depth == 16:  # high byte == round(v * 255 / 65535) for PNG's scaling
+    if depth == 16:  # high byte ~ round(v*255/65535): conventional
+        # PIL-style downshift, off by at most 1 (e.g. v=0x00FF -> 0 vs 1)
         return width, height, channels, (samples >> 8).astype(np.uint8)
     if depth < 8:  # gray: scale 0..2^d-1 to the full 0..255 range
         scale = 255 // ((1 << depth) - 1)

@@ -29,16 +29,23 @@ def global_rank(
     only unbalance buckets, never break ranks.
 
     Contract: ``col`` is numeric, non-null, and unique (ties would make
-    ranks partition-dependent)."""
+    ranks partition-dependent). The bucket expression runs in DOUBLE space
+    (divide by the span before scaling by ``n_buckets``) so keys spanning
+    the full int64 domain — e.g. 60-bit md5-range hashes — never overflow
+    the ``(col - lo) * n_buckets`` intermediate; subtraction, division by a
+    positive span, scaling, and floor are each monotone under IEEE-754
+    rounding, so bucket assignment stays order-preserving."""
     stats = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
-    span = F.col("_hi").cast("long") - F.col("_lo").cast("long") + F.lit(1)
+    span = (
+        F.col("_hi").cast("double") - F.col("_lo").cast("double") + F.lit(1.0)
+    )
     bucketed = df.join(F.broadcast(stats)).withColumn(
         "_bkt",
         F.least(
             F.floor(
-                (F.col(col).cast("long") - F.col("_lo").cast("long"))
-                * F.lit(n_buckets)
+                (F.col(col).cast("double") - F.col("_lo").cast("double"))
                 / span
+                * F.lit(float(n_buckets))
             ),
             F.lit(n_buckets - 1),
         ).cast("int"),

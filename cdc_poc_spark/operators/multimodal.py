@@ -20,7 +20,7 @@ from wave import Error as wave_error
 from zlib import error as zlib_error
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -550,6 +550,99 @@ def audio_fingerprints(media: DataFrame, windows: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(hash_batch, AHASH_SCHEMA)
+
+
+TOKEN_ENVELOPE_WINDOWS = 60  # 60-bit fingerprint: positive long, 4x15-bit bands
+TOKEN_ENVELOPE_RUN = 8  # samples per token — the WAV render's margin smoothing
+
+
+def token_envelope_fingerprints(
+    docs: DataFrame,
+    windows: int = TOKEN_ENVELOPE_WINDOWS,
+    samples_per_token: int = TOKEN_ENVELOPE_RUN,
+) -> DataFrame:
+    """The SQL-expressible signature twin of :func:`audio_fingerprints`:
+    the identical Haitsma-Kalker consecutive-difference envelope rule
+    (bit j set when slice j's mean energy exceeds slice j+1's over
+    ``windows + 1`` equal slices) over a token-derived sample stream
+    instead of decoded PCM — each token expands to ``samples_per_token``
+    constant-energy samples (energy md5(token) % 256), mirroring
+    synthesize_wav_corpus's constant-amplitude segment-per-token render,
+    so the whole fingerprint is a pure function of the text that a
+    DuckDB oracle reproduces bit-for-bit. Exists so the banded-Hamming
+    join + verify stage shared with the codec-backed audio/image dedup
+    pipelines gets a full value-hash oracle (mm_audio_dedup_sql); the
+    codec stage keeps its constructed-duplicate unit tests.
+
+    The run expansion is load-bearing for tolerance, not decoration:
+    with 1 sample per token a one-token trailing edit (the corpus's
+    organic near-dup shape) shifts every slice boundary across
+    noise-like per-token energies and avalanches the fingerprint
+    (measured 0 pairs <= 3 bits at sf0.01); runs of 8 smooth each slice
+    mean across ~1.5 tokens so boundary shifts perturb means inside
+    their comparison margins — measured 3 pairs at sf0.01, exactly the
+    codec-backed audio path's count, with median inter-doc Hamming 30/60
+    (random) preserved.
+
+    Determinism: slice assignment floor(spos * (windows+1) / total) is
+    the balanced partition; the energy comparison is the integer
+    cross-multiply e_j * n_{j+1} > e_{j+1} * n_j — no floating division
+    anywhere. Docs with fewer than (windows+1)/samples_per_token tokens
+    yield no fingerprint, like sub-slice-count WAVs. Plan: one
+    posexplode, a bounded run explode, two hash-partitioned aggregates
+    and a 61-row-per-doc window — linear, keyed by media_id throughout.
+    """
+    from ..functions.hashing import md5_long
+    from .text_analysis import tokens
+
+    n_sl = windows + 1
+    run = int(samples_per_token)
+    t = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    counts = t.groupBy("media_id").agg(
+        (F.count(F.lit(1)) * run).alias("total")
+    )
+    t = (
+        t.join(counts.filter(F.col("total") >= n_sl), "media_id")
+        .select(
+            "media_id",
+            "total",
+            (F.col("pos") * run).alias("base"),
+            F.pmod(md5_long(F.col("tok")), F.lit(256)).alias("e"),
+            F.explode(F.sequence(F.lit(0), F.lit(run - 1))).alias("i"),
+        )
+        .select(
+            "media_id",
+            F.floor((F.col("base") + F.col("i")) * n_sl / F.col("total"))
+            .cast("int")
+            .alias("slice"),
+            "e",
+        )
+    )
+    ws = t.groupBy("media_id", "slice").agg(
+        F.sum("e").alias("es"), F.count(F.lit(1)).alias("ns")
+    )
+    w = Window.partitionBy("media_id").orderBy("slice")
+    bits = ws.select(
+        "media_id",
+        "slice",
+        "es",
+        "ns",
+        F.lead("es").over(w).alias("e2"),
+        F.lead("ns").over(w).alias("n2"),
+    ).filter(F.col("slice") < windows)
+    return bits.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("es") * F.col("n2") > F.col("e2") * F.col("ns"),
+                # F.shiftleft only takes a literal shift; the SQL form
+                # accepts the column
+                F.expr("shiftleft(CAST(1 AS BIGINT), slice)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("ahash")
+    )
 
 
 FRAME_SIG_SCHEMA = T.StructType(

@@ -1690,6 +1690,103 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
         FROM hashes"""
 
+    # Banded-Hamming join + verify (operators/multimodal.py:
+    # image_dup_pairs) over SQL-expressible 60-bit signature columns —
+    # the oracle-checkable twins of the codec-backed mm_image_dedup /
+    # mm_audio_dedup (round-4 verdict item 3: everything after the
+    # signature stage is plain SQL once hashes are columns). Hashes are
+    # positive (60-bit), so DuckDB's arithmetic >> equals Spark's
+    # shiftrightunsigned; xor/bit_count are two's-complement-identical.
+    from ..operators.multimodal import (
+        IMG_DUP_BANDS,
+        IMG_DUP_BUCKET_CAP,
+        IMG_DUP_MAX_HAMMING,
+        TOKEN_ENVELOPE_WINDOWS,
+    )
+
+    _bw = 64 // IMG_DUP_BANDS
+
+    def _banded_hamming_sql(sig_ctes: str) -> str:
+        """sig_ctes must end defining sig(media_id, ahash>=0)."""
+        return f"""
+        WITH {sig_ctes},
+        banded0 AS (
+            SELECT media_id, ahash, t.band AS band,
+                   (ahash >> ({_bw} * t.band)) & {(1 << _bw) - 1} AS key
+            FROM sig, generate_series(0, {IMG_DUP_BANDS - 1}) AS t(band)
+        ),
+        kept AS (
+            SELECT band, key FROM banded0 GROUP BY band, key
+            HAVING count(*) <= {IMG_DUP_BUCKET_CAP}
+        ),
+        banded AS (
+            SELECT b.* FROM banded0 b
+            JOIN kept k ON b.band = k.band AND b.key = k.key
+        ),
+        cands AS (
+            SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                            a.ahash AS h_a, b.ahash AS h_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.key = b.key
+                         AND a.media_id < b.media_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(h_a, h_b)) <= {IMG_DUP_MAX_HAMMING}"""
+
+    from .registry import MM_SQL_SIG_BITS
+
+    _bit_terms60 = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) <> 0)) "
+        f"> len(hs) THEN {1 << j} ELSE 0 END)"
+        for j in range(MM_SQL_SIG_BITS)
+    )
+    sqls["mm_image_dedup_sql"] = _banded_hamming_sql(f"""{TOKS_CTE},
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(list_distinct(toks), t -> {md5_long_sql('t')}) AS hs
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id AS media_id, CAST({_bit_terms60} AS BIGINT) AS ahash
+            FROM hashes
+        )""")
+
+    from ..operators.multimodal import TOKEN_ENVELOPE_RUN
+
+    _nsl = TOKEN_ENVELOPE_WINDOWS + 1
+    sqls["mm_audio_dedup_sql"] = _banded_hamming_sql(f"""{TOKS_CTE},
+        tt AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   len(toks) * {TOKEN_ENVELOPE_RUN} AS total
+            FROM toks WHERE len(toks) * {TOKEN_ENVELOPE_RUN} >= {_nsl}
+        ),
+        en AS (
+            SELECT doc_id,
+                   CAST(floor(((pos * {TOKEN_ENVELOPE_RUN} + r.i) * {_nsl})
+                              / total) AS INTEGER) AS slice,
+                   {md5_long_sql('tok')} % 256 AS e
+            FROM tt, generate_series(0, {TOKEN_ENVELOPE_RUN - 1}) AS r(i)
+        ),
+        ws AS (
+            SELECT doc_id, slice, sum(e) AS es, count(*) AS ns
+            FROM en GROUP BY 1, 2
+        ),
+        lw AS (
+            SELECT doc_id, slice, es, ns,
+                   lead(es) OVER (PARTITION BY doc_id ORDER BY slice) AS e2,
+                   lead(ns) OVER (PARTITION BY doc_id ORDER BY slice) AS n2
+            FROM ws
+        ),
+        sig AS (
+            SELECT doc_id AS media_id,
+                   CAST(sum(CASE WHEN es * n2 > e2 * ns
+                                 THEN (1::BIGINT << slice) ELSE 0 END)
+                        AS BIGINT) AS ahash
+            FROM lw WHERE slice < {TOKEN_ENVELOPE_WINDOWS}
+            GROUP BY doc_id
+        )""")
+
     sqls["sim_topk_cosine"] = f"""
         WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = {SIM_QUERY_VEC_ID})
         SELECT vec_id, label, cosine_sim
@@ -2239,14 +2336,23 @@ def oracle_sql() -> dict[str, str]:
                max(cosine_sim) AS max_cosine
         FROM hits GROUP BY vec_index"""
 
-    # SemDeDup (operators/similarity.py:semantic_dedup): seed-IVF coarse
-    # quantizer (same assign CTE shape as sim_ann_ivf), then in-cluster
-    # lower-id-wins near-dup drops
+    # SemDeDup (operators/similarity.py:semantic_dedup): BALANCED seed-IVF
+    # coarse quantizer (first floor(sqrt(n)) seeds by rank — the sqrt
+    # sizing that keeps assignment and cell occupancy both O(n^1.5)),
+    # then in-cluster lower-id-wins near-dup drops. floor(sqrt()) over
+    # DuckDB's IEEE double sqrt matches Python's math.floor(math.sqrt())
+    # on the Spark side exactly.
+    _balanced_cent = f"""
+        cent AS (
+            SELECT cell, c_vec FROM (
+                SELECT vec_id AS cell, embedding AS c_vec,
+                       row_number() OVER (ORDER BY vec_id) AS _rk
+                FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+            ) WHERE _rk <= GREATEST(1, CAST(floor(sqrt(
+                (SELECT count(*) FROM embeddings))) AS BIGINT))
+        )"""
     sqls["sim_semantic_dedup"] = f"""
-        WITH cent AS (
-            SELECT vec_id AS cell, embedding AS c_vec
-            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
-        ),
+        WITH {_balanced_cent},
         assign AS (
             SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,
@@ -2278,13 +2384,11 @@ def oracle_sql() -> dict[str, str]:
     from ..operators.similarity import EMB_IVF_NPROBE
 
     # 3-probe IVF-blocked near-dup (operators/similarity.py:
-    # embedding_dup_pairs_ivf): same seed quantizer as semantic_dedup,
-    # rn <= nprobe, distinct pairs sharing any probed cell, cosine verify
+    # embedding_dup_pairs_ivf): same BALANCED sqrt-sized quantizer as
+    # semantic_dedup, rn <= nprobe, distinct pairs sharing any probed
+    # cell, cosine verify
     sqls["sim_embedding_dups_ivf"] = f"""
-        WITH cent AS (
-            SELECT vec_id AS cell, embedding AS c_vec
-            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
-        ),
+        WITH {_balanced_cent},
         assign AS (
             SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -1327,10 +1327,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_embedding_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via 3-probe IVF cluster blocking — the
-    low-tau scale path (cells grow with the corpus, constant occupancy;
-    measured recall 0.78 of the exact baseline at this tau vs 0.21 for
-    fine-bucket LSH), exact-cosine verified."""
+    """Embedding near-dup pairs via 3-probe IVF cluster blocking with the
+    BALANCED sqrt-sized coarse quantizer (C = floor(sqrt(n)) cells —
+    assignment and cell self-join both O(n^1.5) by construction, closing
+    the round-4 quantizer-sizing dilemma; see
+    similarity.embedding_dup_pairs_ivf), exact-cosine verified. The
+    recall-friendly moderate-scale alternative to banded LSH blocking at
+    permissive tau."""
     return similarity.embedding_dup_pairs_ivf(
         load_table(spark, sf_dir, "embeddings"), COSINE_TAU
     )
@@ -1348,8 +1351,9 @@ def q_sim_embedding_dups_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFra
     corpus, so the cell self-join is O(n^2/C) with constant C (alpha 1.43
     vs 1.16 uncapped at 1x-8x of sf0.1). The cap is the right tool for
     QUERY-time ops (ivfpq_topk probes a few cells); for pair generation
-    the balanced sizing is max_cells ~ sqrt(corpus), and the banded LSH
-    path remains the structurally better blocker. Kept as a first-class
+    the balanced max_cells = floor(sqrt(corpus)) sizing is the DEFAULT
+    of embedding_dup_pairs_ivf since round 5, and the banded LSH path
+    remains the structurally better blocker. Kept as a first-class
     query because the trade is real and the oracle pins both sides of
     it. Exact-cosine verified, deterministic, same oracle construction
     with the capped centroid CTE."""
@@ -1495,10 +1499,11 @@ def q_sim_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: coarse-cluster the embeddings (deterministic IVF seed
-    quantizer), drop vectors with a similar lower-id neighbour in-cluster
-    (cosine >= tau). The pair space is blocked per cluster — the semantic
-    twin of the MinHash-LSH blocking used on text."""
+    """SemDeDup: coarse-cluster the embeddings (deterministic BALANCED
+    IVF seed quantizer, C = floor(sqrt(n)) cells — both quantizer legs
+    O(n^1.5) by construction), drop vectors with a similar lower-id
+    neighbour in-cluster (cosine >= tau). The pair space is blocked per
+    cluster — the semantic twin of the MinHash-LSH blocking on text."""
     return similarity.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), COSINE_TAU
     )
@@ -1709,7 +1714,9 @@ def q_mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a banded Hamming self-join finds pairs within 4 bits. No SQL oracle
     (the codec round-trip is not SQL-expressible) — deterministic rows-only
     check; pixel/hash/band correctness is asserted in
-    tests/test_multimodal.py against constructed duplicate images."""
+    tests/test_multimodal.py against constructed duplicate images, and the
+    entire post-signature stage (band split, cap, join, verify) is
+    value-hash-oracle-checked by mm_image_dedup_sql."""
     media = multimodal.synthesize_png_corpus(load_table(spark, sf_dir, "documents"))
     return multimodal.image_dup_pairs(multimodal.ahash64(media))
 
@@ -1963,9 +1970,52 @@ def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     waveform (token-derived segments), decode samples + 64-bit
     energy-envelope fingerprint (Arrow mapInPandas), then the same banded
     Hamming self-join as the image path. Rows-only (codec round-trip);
-    fingerprint behavior unit-tested on constructed waveforms."""
+    fingerprint behavior unit-tested on constructed waveforms, and the
+    post-signature stage is value-hash-oracle-checked by
+    mm_audio_dedup_sql (same envelope rule over a token-derived sample
+    stream)."""
     media = multimodal.synthesize_wav_corpus(load_table(spark, sf_dir, "documents"))
     return multimodal.image_dup_pairs(multimodal.audio_fingerprints(media))
+
+
+def q_mm_image_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable twin of mm_image_dedup's banded-Hamming stage:
+    the EXACT image_dup_pairs operator (band split, hot-bucket cap,
+    pigeonhole candidate join, bit_count verify) run over a 60-bit
+    SimHash signature column instead of codec-derived aHashes — the
+    signature is a pure function of the text, so DuckDB reproduces the
+    whole pipeline value-for-value. Only the PNG render+decode stage of
+    the codec path lacks an oracle (kept to constructed-duplicate unit
+    tests); this query closes the verification gap on everything after
+    the signature. 60 bits keeps the hash a positive long (identical
+    shift semantics in both engines); bands of 16 bits leave band 3 with
+    the top 12 — the pigeonhole guarantee (<= 3 differing bits over 4
+    bands) is unaffected."""
+    sig = dedup.simhash(
+        load_table(spark, sf_dir, "documents"), bits=MM_SQL_SIG_BITS
+    ).select(F.col("doc_id").alias("media_id"), F.col("simhash").alias("ahash"))
+    return multimodal.image_dup_pairs(sig).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+MM_SQL_SIG_BITS = 60
+
+
+def q_mm_audio_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable twin of mm_audio_dedup's banded-Hamming stage:
+    image_dup_pairs over the token-envelope fingerprint
+    (multimodal.token_envelope_fingerprints — the same Haitsma-Kalker
+    consecutive-difference rule as the WAV energy envelope, computed from
+    md5-token energies so a DuckDB oracle reproduces it exactly). Docs
+    shorter than 61 tokens yield no fingerprint, mirroring
+    sub-slice-count WAVs."""
+    fp = multimodal.token_envelope_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.image_dup_pairs(fp).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2631,6 +2681,34 @@ NEG_POOL_PCT = 10  # per-user candidate pool: 10% of the catalog
 NEG_AFFINE_STEP = 1_000_003  # prime step, coprime to any realistic |dim|
 
 
+def _pmod_mul(col: Column, mult: int, mod: int) -> Column:
+    """``col * mult mod mod`` (``col`` already reduced into [0, mod)),
+    overflow-safe: a plain single multiply overflows int64 once
+    ``mod`` exceeds ~3e9 (``(mod-1)^2 > 2^63`` — ANSI raises, non-ANSI
+    silently corrupts). Horner evaluation over the base-2^20 digits of
+    ``mult`` keeps every intermediate below ``mod * 2^21``, which is exact
+    for any catalog below 2^42 (~4.4e12) items — far past the 100 TB
+    posture's catalog scale. Cost: at most ceil(bits(mult)/20) pmods of
+    cheap integer ops, fused into the same codegen stage."""
+    m = mult % mod
+    if m == 0 or mod == 1:
+        return F.lit(0).cast("long")
+    digits: list[int] = []
+    while m:
+        digits.append(m & 0xFFFFF)
+        m >>= 20
+    digits.reverse()
+    n = F.lit(int(mod)).cast("long")
+    acc = F.pmod(col * F.lit(int(digits[0])).cast("long"), n)
+    for d in digits[1:]:
+        acc = F.pmod(
+            acc * F.lit(1 << 20).cast("long")
+            + col * F.lit(int(d)).cast("long"),
+            n,
+        )
+    return acc
+
+
 def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user negative sampling for recommendation/contrastive training:
     for every active user, the K content items they NEVER interacted
@@ -2651,10 +2729,15 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the cells that survived the filter, carrying the same pos),
     at 1/10 the compute at the default 10% pool — and the factor is the
     pool fraction, so the saving holds at every corpus size. The catalog
-    rank frame is built by functions/partitioning.py::global_rank
-    (bucketed distributed rank — no single-partition catalog sort) and
-    broadcast once. Users whose pool is exhausted by interactions emit
-    fewer rows by construction, identically in both engines."""
+    rank frame is built ONCE by functions/partitioning.py::global_rank
+    (bucketed distributed rank — no single-partition catalog sort),
+    persisted, counted from (the count that sizes the permutation
+    materializes the very frame the join broadcasts — round 4 ran a
+    separate eager dim.count() plus a recomputed rank build), and
+    broadcast into the candidate join. The rank recovery multiply runs
+    through :func:`_pmod_mul`, exact to 2^42 catalog items. Users whose
+    pool is exhausted by interactions emit fewer rows by construction,
+    identically in both engines."""
     from ..functions.partitioning import global_rank
 
     ev = m.engagement_events(load_table(spark, sf_dir, "events"))
@@ -2672,7 +2755,8 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = m.content_dim(load_table(spark, sf_dir, "part")).select(
         F.col("id").alias("content_id")
     )
-    n_dim = dim.count()
+    content = global_rank(dim, "content_id", out_col="_r").persist()
+    n_dim = content.count()
     try:
         step_inv = pow(NEG_AFFINE_STEP, -1, n_dim)
     except ValueError as exc:  # pragma: no cover - |dim| = k * 1_000_003
@@ -2681,7 +2765,6 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"|dim|={n_dim}; the affine map is not a permutation — pick a "
             f"step coprime to the catalog size"
         ) from exc
-    content = global_rank(dim, "content_id")
     inter = (
         ev.select("user_id", "content_id")
         .filter(F.col("user_id").isNotNull() & F.col("content_id").isNotNull())
@@ -2704,10 +2787,10 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.lit(int(cutoff - 1)).cast("long"))
         ).alias("_pos"),
     )
-    rank = F.pmod(
-        F.pmod(F.col("_pos") - F.col("_uh"), F.lit(int(n_dim)).cast("long"))
-        * F.lit(int(step_inv)).cast("long"),
-        F.lit(int(n_dim)).cast("long"),
+    rank = _pmod_mul(
+        F.pmod(F.col("_pos") - F.col("_uh"), F.lit(int(n_dim)).cast("long")),
+        step_inv,
+        n_dim,
     )
     cand = pool.withColumn("_r", rank).join(
         F.broadcast(content), "_r"
@@ -3777,14 +3860,76 @@ def queries(fresh: bool = True) -> dict[str, QueryFn]:
 
 
 _RAW_QUERIES: dict[str, QueryFn] = {
-        # ---- driver 50-slot verification window (round 4) ----
-        # The 44 SQL-oracle queries never yet sampled by a driver window,
-        # then the three wh_approx_* queries re-pointed this round at the
-        # portable deterministic sketches (first driver check with a full
-        # value-hash oracle; they scored err: no_oracle in r01), then three
-        # flagship re-checks (enrich join / MinHash-LSH / warehouse sink).
-        # wh_negative_samples additionally changed this round
-        # (O(users x pool) inverted-permutation candidate generation).
+        # ---- driver 50-slot verification window (round 5) ----
+        # Slots 1-4: the oracle-backed queries that have never seen a
+        # driver check (the two staged late in round 4 plus the two new
+        # mm_*_dedup_sql banded-Hamming twins). Slots 5-7: the queries
+        # whose semantics changed this round (wh_negative_samples gained
+        # the overflow-safe modular multiply + single rank-frame build;
+        # the two IVF pair queries moved to the balanced sqrt-sized
+        # quantizer). Slots 8-50: rotation re-checks of the 43 queries
+        # whose newest driver evidence is round 1 — the oldest in the
+        # ledger (CDC parity + the r1 warehouse block).
+        "stream_dedup_state_native": q_stream_dedup_state_native,
+        "sim_embedding_dups_ivf_capped": q_sim_embedding_dups_ivf_capped,
+        "mm_image_dedup_sql": q_mm_image_dedup_sql,
+        "mm_audio_dedup_sql": q_mm_audio_dedup_sql,
+        "wh_negative_samples": q_wh_negative_samples,
+        "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
+        "cdc_asof_enrich": q_cdc_asof_enrich,
+        "cdc_content_stats": q_cdc_content_stats,
+        "cdc_dead_letter": q_cdc_dead_letter,
+        "cdc_enriched_valid": q_cdc_enriched_valid,
+        "cdc_enrichment_misses": q_cdc_enrichment_misses,
+        "cdc_high_engagement": q_cdc_high_engagement,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_leaderboard": q_cdc_leaderboard,
+        "cdc_minute_window": q_cdc_minute_window,
+        "cdc_parse_envelope": q_cdc_parse_envelope,
+        "cdc_parse_unwrapped": q_cdc_parse_unwrapped,
+        "cdc_user_engagement": q_cdc_user_engagement,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "pipeline_weighted_sample": q_pipeline_weighted_sample,
+        "stream_asof_stateful": q_stream_asof_stateful,
+        "stream_dedup_native": q_stream_dedup_native,
+        "stream_leaderboard_native": q_stream_leaderboard_native,
+        "stream_minute_window_native": q_stream_minute_window_native,
+        "text_ngram_topk": q_text_ngram_topk,
+        "wh_cohort_retention": q_wh_cohort_retention,
+        "wh_cube": q_wh_cube,
+        "wh_distinct_agg": q_wh_distinct_agg,
+        "wh_event_transitions": q_wh_event_transitions,
+        "wh_explode_tokens": q_wh_explode_tokens,
+        "wh_funnel": q_wh_funnel,
+        "wh_grouping_sets": q_wh_grouping_sets,
+        "wh_outer_join": q_wh_outer_join,
+        "wh_payload_json": q_wh_payload_json,
+        "wh_percentiles": q_wh_percentiles,
+        "wh_pivot": q_wh_pivot,
+        "wh_pricing_summary": q_wh_pricing_summary,
+        "wh_regional_revenue": q_wh_regional_revenue,
+        "wh_retention_rate": q_wh_retention_rate,
+        "wh_rollup": q_wh_rollup,
+        "wh_semi_anti_subqueries": q_wh_semi_anti_subqueries,
+        "wh_set_ops": q_wh_set_ops,
+        "wh_skew_salted_join": q_wh_skew_salted_join,
+        "wh_top_orders": q_wh_top_orders,
+        "wh_unpivot": q_wh_unpivot,
+        "wh_value_anomalies": q_wh_value_anomalies,
+        "wh_value_histogram": q_wh_value_histogram,
+        "wh_window_frames": q_wh_window_frames,
+        # ---- end of driver 50-slot verification window ----
+        # rows-only queries (no SQL oracle by design — the driver harness
+        # scores them err, so they never enter the window; each carries
+        # its own invariant/differential tests):
+        "mm_image_dedup": q_mm_image_dedup,
+        "mm_audio_dedup": q_mm_audio_dedup,
+        "sim_ivf_refined": q_sim_ivf_refined,
+        "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
+        # driver-green in earlier rounds with unchanged semantics since:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "stream_scd2_native": q_stream_scd2_native,
         "mm_video_dedup": q_mm_video_dedup,
@@ -3798,7 +3943,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "stream_kmv_native": q_stream_kmv_native,
         "wh_event_pattern": q_wh_event_pattern,
         "profile_drift": q_profile_drift,
-        "wh_negative_samples": q_wh_negative_samples,
         "wh_spatial_join": q_wh_spatial_join,
         "wh_dbscan": q_wh_dbscan,
         "wh_co_engagement": q_wh_co_engagement,
@@ -3835,19 +3979,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "cdc_enriched": q_cdc_enriched,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "wh_hourly_events": q_wh_hourly_events,
-        # ---- end of driver 50-slot verification window ----
-        # newest additions (rotate into the round-5 window):
-        "stream_dedup_state_native": q_stream_dedup_state_native,
-        "sim_embedding_dups_ivf_capped": q_sim_embedding_dups_ivf_capped,
-        # rows-only queries (no SQL oracle by design — the driver harness
-        # scores them err, so they never enter the window; each carries
-        # its own invariant/differential tests):
-        "mm_image_dedup": q_mm_image_dedup,
-        "mm_audio_dedup": q_mm_audio_dedup,
-        "sim_ivf_refined": q_sim_ivf_refined,
-        "text_bpe_train": q_text_bpe_train,
-        "text_bpe_encode": q_text_bpe_encode,
-        # driver-green in r1-r3 with unchanged semantics since:
         "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_substring": q_dedup_substring,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3887,7 +4018,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "dedup_containment": q_dedup_containment,
         "pipeline_importance_weights": q_pipeline_importance_weights,
         "wh_fuzzy_supplier_names": q_wh_fuzzy_supplier_names,
-        "sim_embedding_dups_ivf": q_sim_embedding_dups_ivf,
         "text_pii_stats": q_text_pii_stats,
         "text_pii_redact": q_text_pii_redact,
         "text_nb_lang": q_text_nb_lang,
@@ -3900,7 +4030,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "dedup_cdc_report": q_dedup_cdc_report,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_clusters": q_dedup_clusters,
-        "sim_semantic_dedup": q_sim_semantic_dedup,
         "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
         "sim_pq_encode": q_sim_pq_encode,
         "stream_interval_join_native": q_stream_interval_join_native,
@@ -3942,48 +4071,4 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_chunk_documents": q_pipeline_chunk_documents,
         "wh_recursive_spine": q_wh_recursive_spine,
         "profile_embeddings": q_profile_embeddings,
-        "cdc_enriched_valid": q_cdc_enriched_valid,
-        "cdc_high_engagement": q_cdc_high_engagement,
-        "cdc_enrichment_misses": q_cdc_enrichment_misses,
-        "cdc_leaderboard": q_cdc_leaderboard,
-        "cdc_content_stats": q_cdc_content_stats,
-        "cdc_user_engagement": q_cdc_user_engagement,
-        "cdc_minute_window": q_cdc_minute_window,
-        "cdc_parse_envelope": q_cdc_parse_envelope,
-        "cdc_parse_unwrapped": q_cdc_parse_unwrapped,
-        "cdc_asof_enrich": q_cdc_asof_enrich,
-        "stream_asof_stateful": q_stream_asof_stateful,
-        "stream_dedup_native": q_stream_dedup_native,
-        "stream_minute_window_native": q_stream_minute_window_native,
-        "stream_leaderboard_native": q_stream_leaderboard_native,
-        "cdc_apply_changelog": q_cdc_apply_changelog,
-        "cdc_incremental_agg": q_cdc_incremental_agg,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "cdc_dead_letter": q_cdc_dead_letter,
-        "wh_pricing_summary": q_wh_pricing_summary,
-        "wh_top_orders": q_wh_top_orders,
-        "wh_cohort_retention": q_wh_cohort_retention,
-        "wh_retention_rate": q_wh_retention_rate,
-        "text_ngram_topk": q_text_ngram_topk,
-        "pipeline_weighted_sample": q_pipeline_weighted_sample,
-        "wh_funnel": q_wh_funnel,
-        "wh_event_transitions": q_wh_event_transitions,
-        "wh_value_anomalies": q_wh_value_anomalies,
-        "wh_value_histogram": q_wh_value_histogram,
-        "wh_rollup": q_wh_rollup,
-        "wh_cube": q_wh_cube,
-        "wh_regional_revenue": q_wh_regional_revenue,
-        "wh_semi_anti_subqueries": q_wh_semi_anti_subqueries,
-        "wh_outer_join": q_wh_outer_join,
-        "wh_grouping_sets": q_wh_grouping_sets,
-        "wh_distinct_agg": q_wh_distinct_agg,
-        "wh_set_ops": q_wh_set_ops,
-        "wh_window_frames": q_wh_window_frames,
-        "wh_skew_salted_join": q_wh_skew_salted_join,
-        "wh_payload_json": q_wh_payload_json,
-        "wh_pivot": q_wh_pivot,
-        "wh_unpivot": q_wh_unpivot,
-        "wh_percentiles": q_wh_percentiles,
-        "wh_explode_tokens": q_wh_explode_tokens,
     }
-

@@ -71,6 +71,14 @@ LINEAR_OUTPUT_OPS = {
     "dbscan (grid+CC)",
     "hll_registers (sketch)",
     "cms_counters (sketch)",
+    # r5: balanced sqrt-sized quantizer made both IVF pair legs O(n^1.5)
+    # by construction — guarded alongside the banded LSH default path.
+    # (semantic_dedup runs at its strict default tau, so replica siblings
+    # decorrelate and output stays linear; dups_ivf at tau 0.4 carries
+    # some output growth like embedding_dups_lsh, whose measured 0.72
+    # shows the guard headroom absorbs it.)
+    "embedding_dups_ivf (3-probe)",
+    "semantic_dedup (IVF)",
 }
 
 
@@ -126,7 +134,12 @@ OPS = {
     "simhash": lambda d, v: dedup.simhash(d),
     "ann_lsh_topk": lambda d, v: similarity.ann_lsh_topk(v, 17, 10),
     "embedding_dups_lsh (8x8 banded)": lambda d, v: similarity.embedding_dup_pairs_lsh(v, 0.4),
+    # balanced sqrt-sized quantizer (r5 default); the two single-horn
+    # alternatives stay measured for the A/B record
     "embedding_dups_ivf (3-probe)": lambda d, v: similarity.embedding_dup_pairs_ivf(v, 0.4),
+    "embedding_dups_ivf (growing cells)": lambda d, v: similarity.embedding_dup_pairs_ivf(
+        v, 0.4, max_cells=None
+    ),
     "embedding_dups_ivf (capped 32)": lambda d, v: similarity.embedding_dup_pairs_ivf(
         v, 0.4, max_cells=32
     ),

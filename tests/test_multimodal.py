@@ -200,3 +200,50 @@ def test_video_dup_pairs_shared_scene(spark):
         for r in multimodal.video_dup_pairs(media).collect()
     }
     assert got == {(0, 1): 2}
+
+
+def test_token_envelope_identical_docs_equal_short_docs_absent(spark):
+    """The SQL-expressible envelope twin: identical texts fingerprint
+    identically; a doc below the (windows+1)/samples_per_token token
+    floor yields no fingerprint (the sub-slice-count WAV analog); and a
+    same-length one-token substitution perturbs only the slices that
+    token feeds (within the banded-join Hamming budget), a trailing
+    append — which SHIFTS every slice boundary — degrades gracefully
+    (closer than unrelated text, the measured 3-of-25-organic-pairs
+    tolerance documented on the operator), and an unrelated text lands
+    at random distance."""
+    toks = [f"tok{i % 37}word{i % 11}" for i in range(90)]
+    base = " ".join(toks)
+    subst = " ".join(toks[:-1] + ["dupmark"])  # same length, last token swapped
+    other = " ".join(f"zz{i}q{i % 7}" for i in range(90))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                 # exact duplicate
+            (2, subst),                # aligned near-dup
+            (3, other),                # unrelated
+            (4, "too short"),          # below the slice floor
+            (5, base + " dupmark"),    # boundary-shifting near-dup
+        ],
+        "doc_id long, text string",
+    )
+    fp = {
+        r.media_id: r.ahash
+        for r in multimodal.token_envelope_fingerprints(docs).collect()
+    }
+    assert 4 not in fp
+    assert fp[0] == fp[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[0], fp[2]) <= multimodal.IMG_DUP_MAX_HAMMING
+    assert ham(fp[0], fp[5]) < ham(fp[0], fp[3])
+    assert ham(fp[0], fp[3]) > 10
+    # and the full banded stage pairs the aligned dup group, never the
+    # unrelated doc
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in multimodal.image_dup_pairs(
+            multimodal.token_envelope_fingerprints(docs)
+        ).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert not any(3 in p for p in pairs)

@@ -237,6 +237,58 @@ def test_global_rank_matches_window_rank(spark):
     assert got == want
 
 
+def test_global_rank_survives_full_int64_key_domain(spark):
+    """Ranking 60-bit md5-domain keys (the repo's standard hash domain)
+    must not overflow: the bucket expression runs in double space (divide
+    by the span before scaling), so (col - lo) * n_buckets never forms an
+    int64 intermediate. Pinned under ANSI, where the round-4 shape raised
+    ARITHMETIC_OVERFLOW on exactly these keys."""
+    from pyspark.sql import Window
+
+    from cdc_poc_spark.functions.partitioning import global_rank
+
+    keys = [0, 1, (1 << 60) - 1, 1 << 59, (1 << 60) - 2, 123456789,
+            (1 << 58) + 7, 9_223_372_036_854_775_000, -9_000_000_000_000_000_000]
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    with _ansi(spark):
+        got = {r["k"]: r["_r"] for r in global_rank(df, "k").collect()}
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+def test_pmod_mul_exact_past_int64_multiply_bound(spark):
+    """_pmod_mul (Horner base-2^20 modular multiply) must agree with
+    Python's exact modmul for moduli past ~3e9, where the plain
+    pmod(x * mult, n) single multiply overflows int64. Pinned under ANSI."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.plans.registry import _pmod_mul
+
+    rng = random.Random(11)
+    with _ansi(spark):
+        for mod in (2, 97, 2**31 - 1, 4_000_000_007, (1 << 41) + 9):
+            mult = rng.randrange(1, mod)
+            xs = [0, mod - 1] + [rng.randrange(0, mod) for _ in range(20)]
+            df = spark.createDataFrame([(x,) for x in xs], "x long")
+            got = [r[0] for r in df.select(_pmod_mul(F.col("x"), mult, mod)).collect()]
+            assert got == [x * mult % mod for x in xs], f"mod={mod}"
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _ansi(spark):
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 # --- portable CMS: distributed probe, bounded counter table ---
 
 
