@@ -309,7 +309,9 @@ def kmv_maintain(
 CLUSTER_STATE_SCHEMA = "node bigint, cluster_id bigint"
 
 
-def clusters_maintain(pairs_stream: DataFrame, state_path: str):
+def clusters_maintain(
+    pairs_stream: DataFrame, state_path: str, checkpoint_dir: str | None = None
+):
     """Streaming duplicate-cluster maintenance: each micro-batch of
     near-dup PAIRS folds into the standing (node, cluster_id) labeling
     with `operators/clustering.py::incremental_components` — CC runs only
@@ -317,6 +319,14 @@ def clusters_maintain(pairs_stream: DataFrame, state_path: str):
     the cost of the delta, never the corpus. Batch order cannot change
     the result (labels converge to per-component min ids whatever the
     merge sequence), which also makes replay idempotent.
+
+    ``checkpoint_dir`` enables stop/restart across runs: the source's
+    commit log skips already-folded batches, and because the on-disk
+    state swap (write-to-tmp + atomic rename) is the LAST step of each
+    micro-batch, a kill at any earlier point replays the batch into the
+    pre-batch state — idempotent by the merge's order-independence
+    (kill-and-resume is pinned by tests/test_streaming.py's
+    clusters-restart test).
 
     Returns the StreamingQuery; the maintained labeling lives at
     ``state_path`` after termination."""
@@ -336,8 +346,9 @@ def clusters_maintain(pairs_stream: DataFrame, state_path: str):
         fs.delete(root, True)
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), root)
 
-    return (
-        pairs_stream.writeStream.foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
+    writer = pairs_stream.writeStream.foreachBatch(_merge).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

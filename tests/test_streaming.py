@@ -556,3 +556,76 @@ def test_scd2_merge_close_and_insert(spark):
         (2, "b v0"): (ts(1), None, True),      # untouched key unchanged
         (3, "c v0"): (ts(15), None, True),     # new key opens current
     }
+
+
+def test_clusters_maintain_kill_and_resume(spark, tmp_path):
+    """Round-4 verdict carry-over: stop the standing-cluster maintenance
+    stream between micro-batches, restart from its checkpoint, and the
+    final labeling must hash-match the one-shot batch CC over the full
+    edge set. The checkpoint must also make the resumed run exactly-once
+    over the SOURCE (only the new files feed batches after restart) —
+    the merge itself is replay-idempotent, so exactly-once is asserted
+    on the source progress counters, not just the labels."""
+    import glob
+    import os
+    import shutil
+
+    from cdc_poc_spark.operators.clustering import connected_components
+
+    # two edge waves whose union rewires clusters across the restart:
+    # wave 1 forms {1,2,3} and {10,11}; wave 2 bridges 3-10 (forcing a
+    # cross-run contraction merge) and adds a fresh component {20,21}
+    wave1 = [(1, 2), (2, 3), (10, 11)]
+    wave2 = [(3, 10), (20, 21), (30, 31)]
+    ind = tmp_path / "in"
+    os.makedirs(ind)
+
+    def _drop(rows, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "doc_a bigint, doc_b bigint").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, str(ind / f"{name}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    state = str(tmp_path / "cluster_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_a bigint, doc_b bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ind))
+        )
+        q = sinks.clusters_maintain(stream, state, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        # batch ids, not numInputRows: foreachBatch re-scans the batch
+        # frame (the merge reads it more than once), inflating row counts
+        return sorted({p["batchId"] for p in q.recentProgress})
+
+    _drop(wave1, "batch_0")
+    assert _run() == [0]  # availableNow drains wave 1, then the query stops
+
+    _drop(wave2, "batch_1")
+    # exactly-once over the source: the resumed run continues at batch 1
+    # (re-feeding wave 1 would replay batch 0 / report it again)
+    assert _run() == [1]
+
+    got = {
+        (r.node, r.cluster_id)
+        for r in spark.read.schema(sinks.CLUSTER_STATE_SCHEMA)
+        .parquet(state)
+        .collect()
+    }
+    edges = spark.createDataFrame(
+        wave1 + wave2, "doc_a bigint, doc_b bigint"
+    )
+    want = {
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            edges, src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    assert got == want
+    assert (10, 1) in got  # the cross-run bridge actually rewired wave 1
