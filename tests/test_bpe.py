@@ -142,3 +142,52 @@ def test_bpe_empty_corpus(spark):
     merges, merges_df = bpe.train_merges(docs, 4)
     assert merges == [] and merges_df.count() == 0
     assert bpe.encode(docs, merges).count() == 0
+
+
+def test_fused_merge_groups_equal_sequential_adversarial(spark):
+    """The encode-time fusion (_fuse_merge_groups + _apply_merge_group)
+    must equal the sequential per-merge chain SYMBOL FOR SYMBOL on
+    adversarial merge lists — overlapping symbols, output-consuming
+    rules, self-merges — none of which are BPE-well-formed. The grouper
+    must refuse to fuse the interacting ones; whatever it groups must
+    match the reference chain on words engineered to hit every
+    interaction channel."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.bpe import (
+        _apply_merge_group,
+        _chars,
+        _fuse_merge_groups,
+    )
+
+    cases = [
+        # disjoint — fuses to one pass
+        [("a", "b"), ("c", "d")],
+        # rule 2 consumes rule 1's output — must NOT fuse
+        [("a", "b"), ("ab", "c")],
+        # shared symbol — must NOT fuse
+        [("a", "b"), ("b", "c")],
+        # rule 2's output is rule 1's input — must NOT fuse
+        [("a", "bc"), ("b", "c")],
+        # self-merge plus disjoint pair
+        [("a", "a"), ("b", "c")],
+        # longer chain mixing all of the above
+        [("a", "b"), ("c", "d"), ("ab", "cd"), ("e", "f"), ("d", "e")],
+    ]
+    words = [
+        "abcd", "aabb", "ababab", "abcabc", "bcbc", "aaa", "abcdef",
+        "fedcba", "aabbccddeeff", "cdab", "dcba", "abccd", "", "a", "x",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    for merges in cases:
+        groups = _fuse_merge_groups(merges)
+        assert [m for g in groups for m in g] == merges  # order preserved
+        seq = _chars(F.col("word"))
+        for a, b in merges:
+            seq = _apply_merge_group(seq, [(a, b)])
+        fused = _chars(F.col("word"))
+        for g in groups:
+            fused = _apply_merge_group(fused, g)
+        rows = df.select("word", seq.alias("s"), fused.alias("f")).collect()
+        for r in rows:
+            assert r.s == r.f, (merges, r.word, r.s, r.f)
