@@ -59,6 +59,12 @@ def get_spark(
         # slice. (Semi-join reduction; complements DPP, which only prunes
         # whole partitions.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Codegen class cache sized for LONG sessions (the bench runs 140+
+        # distinct query plans through one JVM; the 100-entry default
+        # evicts and re-compiles the big generated classes mid-session —
+        # the round-over-round "session drift" PARITY documents). Memory
+        # cost is bounded: entries are soft-referenced compiled classes.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -305,12 +305,152 @@ def wire_encode(events: DataFrame, delete_mod: int | None = None) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Testdata-schema twins: synthesize corpora in the EXACT shapes of the
+# driver's /root/testdata tables (events / documents / embeddings), so the
+# registry queries can be spot-benched at scales the shipped testdata does
+# not reach (sf1 = 10x; scripts/sf1_bench.py). Same generator discipline as
+# gen_events: seeded md5 expressions, zero Python in the row path, one
+# codegen stage per table — real fresh draws, not id-offset replicas, so
+# the dup/near-dup population grows the way a real corpus's does.
+# ---------------------------------------------------------------------------
+
+# the shipped documents tables draw from this 30-word vocabulary (plus the
+# trailing near-dup marker token 'dup'); mirrored so scaled corpora exercise
+# identical tokenizer/shingle/vocab paths
+DOC_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+)
+DOC_LANGS = ("en", "fr", "es", "de", "zh")  # en ~40%, rest ~15% each
+DOC_DUP_FRAC = 0.05  # trailing-' dup' near-duplicates, like the testdata
+DOC_N_SOURCES = 20
+EMBED_GEN_DIM = 64
+EMBED_GEN_LABELS = 10
+EMBED_DUP_FRAC = 0.03
+TESTDATA_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def gen_documents(spark: SparkSession, n: int, seed: str = "docs") -> DataFrame:
+    """``n`` documents in the testdata schema (doc_id, text, lang, source,
+    n_chars): 20-99 tokens drawn from :data:`DOC_VOCAB`, ~5% of rows are
+    trailing-token near-dups of an earlier document (text re-derived from
+    the BASE doc's id — a pure expression, no self-join), language and
+    source distributions matching the shipped tables."""
+    rows = spark.range(n)
+    i = F.col("id")
+    is_dup = (_uniform(i, f"{seed}:isdup") < DOC_DUP_FRAC) & (i >= 20)
+    base = F.when(
+        is_dup, i - (md5_long_seeded(i, f"{seed}:back") % 17 + 1)
+    ).otherwise(i)
+    n_toks = (md5_long_seeded(base, f"{seed}:len") % 80 + 20).cast("int")
+    vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_toks),
+            lambda j: F.element_at(
+                vocab,
+                (
+                    md5_long_seeded(
+                        F.concat(base.cast("string"), F.lit(":"), j.cast("string")),
+                        f"{seed}:tok",
+                    )
+                    % len(DOC_VOCAB)
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    text = F.when(is_dup, F.concat(body, F.lit(" dup"))).otherwise(body)
+    u_lang = _uniform(i, f"{seed}:lang")
+    lang = F.when(u_lang < 0.4, F.lit("en")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x) for x in DOC_LANGS[1:]]),
+            (md5_long_seeded(i, f"{seed}:lang2") % 4 + 1).cast("int"),
+        )
+    )
+    return rows.select(
+        i.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(
+            F.lit("src"), (md5_long_seeded(i, f"{seed}:src") % DOC_N_SOURCES)
+        ).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int, seed: str = "vecs") -> DataFrame:
+    """``n`` embeddings in the testdata schema (vec_id, embedding
+    array<float> of 64, label 0-9): each vector is its label's seeded
+    center plus per-dimension noise; ~3% of rows are exact re-draws of an
+    earlier vector nudged by 1e-3 — the near-duplicate population the
+    sim_* operators mine."""
+    rows = spark.range(n)
+    i = F.col("id")
+    is_dup = (_uniform(i, f"{seed}:isdup") < EMBED_DUP_FRAC) & (i >= 20)
+    base = F.when(
+        is_dup, i - (md5_long_seeded(i, f"{seed}:back") % 17 + 1)
+    ).otherwise(i)
+    label = (md5_long_seeded(base, f"{seed}:label") % EMBED_GEN_LABELS).cast("int")
+
+    def _u01(key: Column, salt: str) -> Column:
+        return (md5_long_seeded(key, salt) % _U_MOD).cast("double") / _U_MOD
+
+    dim_key = lambda k, d: F.concat(k.cast("string"), F.lit(":"), d.cast("string"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_GEN_DIM - 1)),
+        lambda d: (
+            (_u01(dim_key(label, d), f"{seed}:center") - 0.5) * 2.0
+            + (_u01(dim_key(base, d), f"{seed}:noise") - 0.5) * 0.6
+            + F.when(is_dup, (_u01(dim_key(i, d), f"{seed}:nudge") - 0.5) * 2e-3)
+            .otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    return rows.select(i.alias("vec_id"), vec.alias("embedding"), label.alias("label"))
+
+
+def gen_testdata_events(
+    spark: SparkSession, n: int, seed: str = "tdev"
+) -> DataFrame:
+    """``n`` analytics events in the testdata schema (event_id, ts,
+    user_id, event_type, value, props): 30 days of timestamps, a 1500-user
+    pool, uniform 5-way event types, and an exponential ``value`` with
+    mean ~50 (matching the shipped tables' tail to ~560)."""
+    rows = spark.range(n)
+    i = F.col("id")
+    u_val = _uniform(i, f"{seed}:val")
+    return rows.select(
+        i.alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(
+                secs=F.round(_uniform(i, f"{seed}:ts") * 30 * 86400, 6)
+            )
+        ).alias("ts"),
+        (md5_long_seeded(i, f"{seed}:user") % 1500).alias("user_id"),
+        _pick(i, f"{seed}:etype", TESTDATA_EVENT_TYPES).alias("event_type"),
+        F.round(-F.log(F.lit(1.0) - u_val * F.lit(0.99999)) * 50.0, 2).alias(
+            "value"
+        ),
+        F.concat(
+            F.lit('{"k": '), (md5_long_seeded(i, f"{seed}:k") % 100), F.lit("}")
+        ).alias("props"),
+    )
+
+
 __all__ = [
     "DEVICES",
     "EVENT_WEIGHTS",
     "DURATION_BANDS",
     "gen_content",
+    "gen_documents",
+    "gen_embeddings",
     "gen_events",
     "gen_events_stream",
+    "gen_testdata_events",
     "wire_encode",
 ]

@@ -1,0 +1,108 @@
+"""sf1-scale spot-bench — round-5 verdict item 7.
+
+The driver's testdata tops out at sf0.1 (100k events / 5k docs / 2k
+vectors). This script synthesizes a 10x corpus with the in-repo
+testdata-schema generators (sources/generator.py::gen_testdata_events /
+gen_documents / gen_embeddings — fresh seeded draws in the exact shipped
+schemas, NOT id-offset replicas, so the dup/near-dup population scales
+the way a real corpus's does), persists it once, and runs the most
+expensive registry queries from the round-4 bench against it.
+
+The gate the verdict set: no query's sf1 wall time may exceed 10x its
+sf0.1 time (linear-or-better at a true 10x data step, measured on
+real-shape data — replacing the scaling table's replica-construction
+caveat for these queries).
+
+Usage: python scripts/sf1_bench.py [--out /tmp/sf1] [--mult 10]
+
+The top-10 list swaps wh_entity_resolution (supplier-table input, which
+the generators do not synthesize) for sim_knn_pagerank, the next most
+expensive query — keeping the whole spot-bench on generated tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from cdc_poc_spark.plans.registry import queries  # noqa: E402
+from cdc_poc_spark.session import free_caches, get_spark  # noqa: E402
+from cdc_poc_spark.sources import generator as G  # noqa: E402
+
+TOP_QUERIES = [
+    "wh_dbscan",
+    "dedup_clusters_incremental",
+    "pipeline_contamination_report",
+    "text_bpe_train",
+    "pipeline_curation_funnel",
+    "dedup_clusters",
+    "text_bpe_encode",
+    "pipeline_keep_best",
+    "ts_robust_trend",
+    "sim_knn_pagerank",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF01_ROWS = {"events": 100_000, "documents": 5_000, "embeddings": 2_000}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args()
+    spark = get_spark(
+        "sf1-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    m = args.mult
+    gens = {
+        "events": lambda: G.gen_testdata_events(spark, SF01_ROWS["events"] * m),
+        "documents": lambda: G.gen_documents(spark, SF01_ROWS["documents"] * m),
+        "embeddings": lambda: G.gen_embeddings(spark, SF01_ROWS["embeddings"] * m),
+    }
+    for name, fn in gens.items():
+        path = os.path.join(args.out, f"{name}.parquet")
+        if not os.path.exists(path):
+            t0 = time.perf_counter()
+            fn().write.parquet(path)
+            print(f"generated {name} x{m}: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+    reg = queries(fresh=False)
+    # same warmup policy as bench.py: compile the plans once at sf0.001
+    for n in TOP_QUERIES:
+        free_caches(spark)
+        reg[n](spark, "/root/testdata/sf0.001").count()
+    results = []
+    for n in TOP_QUERIES:
+        free_caches(spark)
+        t0 = time.perf_counter()
+        reg[n](spark, SF01).count()
+        t_small = time.perf_counter() - t0
+        free_caches(spark)
+        t0 = time.perf_counter()
+        reg[n](spark, args.out).count()
+        t_big = time.perf_counter() - t0
+        results.append((n, t_small, t_big, t_big / t_small))
+        print(f"{n}: sf0.1 {t_small:.2f}s -> sf1 {t_big:.2f}s "
+              f"({t_big / t_small:.1f}x)", file=sys.stderr)
+    print("\n| query | sf0.1 | sf1 (10x rows) | ratio |")
+    print("|---|---|---|---|")
+    bad = []
+    for n, ts, tb, r in results:
+        print(f"| {n} | {ts:.2f}s | {tb:.2f}s | {r:.1f}x |")
+        if r > args.mult:
+            bad.append((n, r))
+    if bad:
+        print(f"\nSF1 GATE FAILED (> {args.mult}x): {bad}", file=sys.stderr)
+        sys.exit(1)
+    print(f"\nsf1 gate OK: all {len(results)} queries <= {args.mult}x",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
