@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "sim_semantic_dedup",
     "mm_image_dedup",
     "mm_audio_dedup",
+    "mm_image_dedup_sql",
+    "mm_audio_dedup_sql",
     "mm_video_dedup",
     "pipeline_chunk_documents",
     "pipeline_chunk_pack",

@@ -2721,23 +2721,33 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation pos = (u_hash + rank * STEP) mod |dim| (STEP prime =>
     a bijection on catalog ranks, a distinct pseudo-random order per
     user), and because an affine map is INVERTIBLE the pool is generated
-    DIRECTLY: each user explodes only its pool slots pos in [0, cutoff)
-    and recovers rank = (pos - u_hash) * STEP^-1 mod |dim| (modular
-    inverse precomputed once in Python) — O(users x pool) rows, never
-    O(users x catalog). The round-3 shape cross-joined users x catalog
-    and filtered pos < cutoff: identical output (the inverse enumerates
-    exactly the cells that survived the filter, carrying the same pos),
-    at 1/10 the compute at the default 10% pool — and the factor is the
-    pool fraction, so the saving holds at every corpus size. The catalog
-    rank frame is built ONCE by functions/partitioning.py::global_rank
-    (bucketed distributed rank — no single-partition catalog sort),
-    persisted, counted from (the count that sizes the permutation
-    materializes the very frame the join broadcasts — round 4 ran a
-    separate eager dim.count() plus a recomputed rank build), and
-    broadcast into the candidate join. The rank recovery multiply runs
-    through :func:`_pmod_mul`, exact to 2^42 catalog items. Users whose
-    pool is exhausted by interactions emit fewer rows by construction,
-    identically in both engines."""
+    DIRECTLY: each user explodes its earliest pool slots and recovers
+    rank = (pos - u_hash) * STEP^-1 mod |dim| (modular inverse
+    precomputed once in Python).
+
+    Round 5 tightened the slot budget from the full pool (cutoff = 10%
+    of the catalog per user) to EXACTLY the slots that can matter:
+    min(cutoff, K + c_u), where c_u is the user's count of interacted
+    items that land INSIDE its pool window — computed in
+    O(|interactions|) by the FORWARD map (an interacted item's slot is
+    pos = (u_hash + rank * STEP) mod |dim|; only pos < cutoff can
+    displace a candidate). Proof of equivalence: the pool's slots map to
+    DISTINCT items (affine bijection), so at most c_u of the first
+    K + c_u slots are dirty, hence the first K clean slots — the
+    query's entire output for that user — all lie within them. Candidate
+    volume drops from O(users x 0.1 catalog) to O(users x K +
+    |interactions|): at sf0.1 that is ~150x fewer exploded rows, and at
+    100 TB it removes the catalog term from the per-user cost entirely.
+    The oracle deliberately keeps the simpler full-pool formulation —
+    an INDEPENDENT derivation of the same relation, not a plan mirror.
+
+    The catalog rank frame is built ONCE by
+    functions/partitioning.py::global_rank (bucketed distributed rank —
+    no single-partition catalog sort), persisted, counted from, and
+    broadcast into both the forward-map and rank-recovery joins. Both
+    affine multiplies run through :func:`_pmod_mul`, exact to 2^42
+    catalog items. Users whose pool is exhausted by interactions emit
+    fewer rows by construction, identically in both engines."""
     from ..functions.partitioning import global_rank
 
     ev = m.engagement_events(load_table(spark, sf_dir, "events"))
@@ -2780,15 +2790,34 @@ def q_wh_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("content_id"),
             F.lit(None).cast("long").alias("neg_rank"),
         ).limit(0)
-    pool = users.select(
-        "user_id",
-        "_uh",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(int(cutoff - 1)).cast("long"))
-        ).alias("_pos"),
+    n_lit = F.lit(int(n_dim)).cast("long")
+    # forward map: which pool slot (if any) each interacted item occupies
+    fwd_pos = F.pmod(
+        F.col("_uh") + _pmod_mul(F.col("_r"), NEG_AFFINE_STEP, n_dim), n_lit
+    )
+    in_pool = (
+        inter.join(F.broadcast(content), "content_id")
+        .join(users, "user_id")
+        .filter(fwd_pos < F.lit(int(cutoff)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    budget = F.least(
+        F.lit(int(cutoff)).cast("long"),
+        F.lit(NEG_SAMPLES_K).cast("long") + F.coalesce(F.col("_c"), F.lit(0)),
+    )
+    pool = (
+        users.join(in_pool, "user_id", "left")
+        .select(
+            "user_id",
+            "_uh",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), budget - F.lit(1))
+            ).alias("_pos"),
+        )
     )
     rank = _pmod_mul(
-        F.pmod(F.col("_pos") - F.col("_uh"), F.lit(int(n_dim)).cast("long")),
+        F.pmod(F.col("_pos") - F.col("_uh"), n_lit),
         step_inv,
         n_dim,
     )

@@ -335,10 +335,25 @@ TESTDATA_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def gen_documents(spark: SparkSession, n: int, seed: str = "docs") -> DataFrame:
     """``n`` documents in the testdata schema (doc_id, text, lang, source,
-    n_chars): 20-99 tokens drawn from :data:`DOC_VOCAB`, ~5% of rows are
-    trailing-token near-dups of an earlier document (text re-derived from
-    the BASE doc's id — a pure expression, no self-join), language and
-    source distributions matching the shipped tables."""
+    n_chars): 20-99 tokens, ~5% of rows are trailing-token near-dups of
+    an earlier document (text re-derived from the BASE doc's id — a pure
+    expression, no self-join), language and source distributions
+    matching the shipped tables.
+
+    Vocabulary GROWS with the corpus per Heaps' law
+    (V = 30 * sqrt(n / 5000), floor 30): at n = 5000 this is exactly the
+    shipped tables' 30-word vocabulary; beyond it, extra synthetic types
+    ("w<k>") appear the way new vocabulary enters any real corpus.
+    Load-bearing for scale benchmarks, learned the measured way: holding
+    V = 30 fixed at n = 50k puts ~4M 5-gram shingle draws into a 30^5 =
+    24M shingle space, so RANDOM cross-doc shingle collisions grow by the
+    birthday quadratic (~n^2 / 2*30^5) and every shingle-blocked pair op
+    measures data pathology instead of algorithm (15-19x wall time at a
+    10x step). With Heaps vocab the shingle space grows ~n^2.5 and
+    diffuse collisions stay rare, which is the regime real corpora are
+    in (V ~ 1e5+ => V^5 ~ 1e25 against ~1e13 draws at 100 TB)."""
+    import math
+
     rows = spark.range(n)
     i = F.col("id")
     is_dup = (_uniform(i, f"{seed}:isdup") < DOC_DUP_FRAC) & (i >= 20)
@@ -347,21 +362,19 @@ def gen_documents(spark: SparkSession, n: int, seed: str = "docs") -> DataFrame:
     ).otherwise(i)
     n_toks = (md5_long_seeded(base, f"{seed}:len") % 80 + 20).cast("int")
     vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+    v_size = max(len(DOC_VOCAB), int(len(DOC_VOCAB) * math.sqrt(n / 5000.0)))
+    tok_idx = lambda j: md5_long_seeded(
+        F.concat(base.cast("string"), F.lit(":"), j.cast("string")),
+        f"{seed}:tok",
+    ) % v_size
     body = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(1), n_toks),
-            lambda j: F.element_at(
-                vocab,
-                (
-                    md5_long_seeded(
-                        F.concat(base.cast("string"), F.lit(":"), j.cast("string")),
-                        f"{seed}:tok",
-                    )
-                    % len(DOC_VOCAB)
-                    + 1
-                ).cast("int"),
-            ),
+            lambda j: F.when(
+                tok_idx(j) < len(DOC_VOCAB),
+                F.element_at(vocab, (tok_idx(j) + 1).cast("int")),
+            ).otherwise(F.concat(F.lit("w"), tok_idx(j))),
         ),
     )
     text = F.when(is_dup, F.concat(body, F.lit(" dup"))).otherwise(body)
