@@ -62,9 +62,19 @@ def get_spark(
         # Codegen class cache sized for LONG sessions (the bench runs 140+
         # distinct query plans through one JVM; the 100-entry default
         # evicts and re-compiles the big generated classes mid-session —
-        # the round-over-round "session drift" PARITY documents). Memory
-        # cost is bounded: entries are soft-referenced compiled classes.
-        .config("spark.sql.codegen.cache.maxEntries", "4000")
+        # the round-over-round "session drift" PARITY documents). Sized
+        # WITH the JIT code cache it feeds: retained generated classes
+        # pin their compiled code, and an early round-5 attempt at 4000
+        # entries over the stock 240 MB ReservedCodeCacheSize drove the
+        # longest probe sessions into compilation-disabled interpreter
+        # fallback (late-session ops 1.5-6x slower). 1500 entries covers
+        # the 143-plan bench with headroom; the enlarged code cache
+        # keeps them all compiled.
+        .config("spark.sql.codegen.cache.maxEntries", "1500")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=768m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 
@@ -237,6 +238,31 @@ def _mm():
     return multimodal
 
 
+def _run_one_scale(base: str, m: int) -> tuple[dict[str, float], dict[str, int]]:
+    """Measure every (filtered) op at replica factor ``m`` in THIS JVM:
+    warm each op's codegen at 1x, then time at m."""
+    spark = get_spark(
+        "scaling-curve", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for fn in OPS.values():
+        fn(scaled_docs(spark, base, 1), scaled_vecs(spark, base, 1)).count()
+    free_caches(spark)
+    results: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
+    docs = scaled_docs(spark, base, m).persist()
+    vecs = scaled_vecs(spark, base, m).persist()
+    nd, nv = docs.count(), vecs.count()
+    print(f"--- {m}x: {nd} docs, {nv} vectors", file=sys.stderr)
+    for name, fn in OPS.items():
+        free_caches(spark)
+        docs.persist().count(); vecs.persist().count()  # re-pin inputs
+        t0 = time.perf_counter()
+        rows_out[name] = fn(docs, vecs).count()
+        results[name] = time.perf_counter() - t0
+    return results, rows_out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -245,33 +271,54 @@ def main() -> None:
         default=None,
         help="comma-separated substring filter over operator names",
     )
+    ap.add_argument(
+        "--single-scale",
+        type=int,
+        default=None,
+        help="internal: measure one replica factor in this JVM and print "
+        "a JSON line",
+    )
     args = ap.parse_args()
     if args.ops:
         pats = [p.strip().lower() for p in args.ops.split(",")]
         keep = {k: v for k, v in OPS.items() if any(p in k.lower() for p in pats)}
         OPS.clear()
         OPS.update(keep)
-    spark = get_spark(
-        "scaling-curve", extra_conf={"spark.ui.showConsoleProgress": "false"}
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    # warm codegen once
-    for fn in OPS.values():
-        fn(scaled_docs(spark, args.base, 1), scaled_vecs(spark, args.base, 1)).count()
-    free_caches(spark)
+
+    if args.single_scale is not None:
+        import json
+
+        r, rows = _run_one_scale(args.base, args.single_scale)
+        print(json.dumps({"m": args.single_scale, "results": r, "rows": rows}))
+        return
+
+    # One FRESH JVM per replica factor. Learned the measured way (round
+    # 5): a single 100+-plan session degrades its late measurements —
+    # first via JIT-code-cache exhaustion (fixed in session.py), then
+    # via residual heap/GC pressure that inflated one op's 8x point 5x
+    # over its fresh-JVM time (19.2s vs 97-115s, identical deterministic
+    # work). Per-scale isolation makes every cell of the table a
+    # fresh-JVM measurement, comparable across rounds and scales.
+    import json
+    import subprocess
+
     results: dict[str, dict[int, float]] = {k: {} for k in OPS}
     rows_out: dict[str, dict[int, int]] = {k: {} for k in OPS}
     for m in REPLICAS:
-        docs = scaled_docs(spark, args.base, m).persist()
-        vecs = scaled_vecs(spark, args.base, m).persist()
-        nd, nv = docs.count(), vecs.count()
-        print(f"--- {m}x: {nd} docs, {nv} vectors", file=sys.stderr)
-        for name, fn in OPS.items():
-            free_caches(spark)
-            docs.persist().count(); vecs.persist().count()  # re-pin inputs
-            t0 = time.perf_counter()
-            rows_out[name][m] = fn(docs, vecs).count()
-            results[name][m] = time.perf_counter() - t0
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--base", args.base, "--single-scale", str(m)]
+        if args.ops:
+            cmd += ["--ops", args.ops]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        )
+        print(out.stderr.splitlines()[-1] if out.stderr else "",
+              file=sys.stderr)
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        for name, t in payload["results"].items():
+            results[name][m] = t
+        for name, n in payload["rows"].items():
+            rows_out[name][m] = n
     print("| operator | " + " | ".join(f"{m}x" for m in REPLICAS) + " | alpha |")
     print("|---|" + "---|" * (len(REPLICAS) + 1))
     alphas: dict[str, float] = {}
