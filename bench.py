@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "wh_quality_audit",
     "sketch_hll_users",
     "sketch_kmv_setops",
+    "sketch_bloom_filter",
     "wh_approx_users",
     "wh_approx_percentiles",
     "wh_heavy_hitters",

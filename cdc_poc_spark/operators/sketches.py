@@ -647,6 +647,99 @@ def cms_portable_heavy_hitters(
 
 
 # ---------------------------------------------------------------------------
+# Portable Bloom filter — the membership member of the sketch family
+# (CMS = counts, HLL = cardinality, KMV = set ops, histogram = quantiles,
+# Bloom = membership). Same portability contract as the rest: every bit
+# position is a pure md5 function of the value, so a DuckDB oracle
+# reproduces the filter AND every probe verdict exactly. One-sided error
+# by construction: a key that was inserted is ALWAYS maybe-present;
+# definitely-absent verdicts are certain. At 100 TB the bit table is the
+# write-time materialization (<= m rows however large the build side)
+# and probes are a broadcast join — the classic "skip the expensive
+# lookup for keys we have never seen" gate in front of a join or a KV
+# fetch.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 5        # hash functions ~ (m/n) ln 2 at n ~ 9k build keys
+
+
+def _bloom_bit(col: str, j_col: str = "j", m: int = BLOOM_M):
+    """Bit index j of ``col``: md5_60('bloom<j>|<value>') mod m — the
+    depth-keyed family, same construction as the portable CMS cell."""
+    return F.pmod(
+        hashing.md5_long(
+            F.concat(
+                F.lit("bloom"),
+                F.col(j_col).cast("string"),
+                F.lit("|"),
+                F.col(col).cast("string"),
+            )
+        ),
+        F.lit(int(m)),
+    )
+
+
+def bloom_bits(
+    df: DataFrame, col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """One-pass mergeable Bloom build: the DISTINCT set bit positions of
+    every non-null ``col`` value under ``k`` hash functions — at most
+    ``m`` rows regardless of input size (map-side combine collapses
+    duplicates before the single narrow shuffle). Merging two filters is
+    a distinct union of their bit tables (same OR the flat bitmap form
+    would compute)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(col),
+            F.explode(F.sequence(F.lit(0), F.lit(int(k - 1)))).alias("j"),
+        )
+        .select(_bloom_bit(col, m=m).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(bits_a: DataFrame, bits_b: DataFrame) -> DataFrame:
+    """OR of two filters built with the same (k, m): union-distinct of
+    the set-bit tables."""
+    return bits_a.unionByName(bits_b).distinct()
+
+
+def bloom_membership(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Per-probe membership verdict against a built filter:
+    ``maybe_present`` iff ALL ``k`` bit positions are set. The probe is a
+    broadcast left join of the bit table (<= m rows), so the probe side
+    may be any size. Inserted keys are always maybe_present (no false
+    negatives); absent keys are maybe_present with probability
+    ~ (1 - e^(-k n / m))^k."""
+    pj = (
+        probes.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .select(
+            F.col(col),
+            F.explode(F.sequence(F.lit(0), F.lit(int(k - 1)))).alias("j"),
+        )
+        .select(F.col(col), _bloom_bit(col, m=m).alias("bit"))
+    )
+    hits = pj.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return hits.groupBy(col).agg(
+        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias(
+            "maybe_present"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark-native approximate aggregates — the engine-internal fast paths.
 #
 # These are the plans a 100 TB run would prefer (HLL++ / GK sketches fully

@@ -4283,6 +4283,55 @@ def oracle_sql() -> dict[str, str]:
         f"CAST((CAST({KMV_K} - 1 AS HUGEINT) * {KMV_HASH_SPACE})"
         " // {kth} AS BIGINT)"
     )
+    # Portable Bloom membership gate (operators/sketches.py::bloom_bits/
+    # bloom_membership + plans/registry.py::q_sketch_bloom_filter): same
+    # md5 bit family, every probe verdict reproduced, false negatives
+    # pinned at exactly zero
+    from ..operators.sketches import BLOOM_K, BLOOM_M
+    from .registry import BLOOM_PROBE_SPAN
+
+    _bloom_bit_sql = (
+        md5_long_sql(
+            "'bloom' || CAST(t.j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+        )
+        + f" % {BLOOM_M}"
+    )
+    sqls["sketch_bloom_filter"] = f"""
+        WITH ev AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+        ),
+        bits AS (
+            SELECT DISTINCT {_bloom_bit_sql} AS bit
+            FROM ev, generate_series(0, {BLOOM_K - 1}) AS t(j)
+        ),
+        probes AS (
+            SELECT range AS user_id FROM range(0, {BLOOM_PROBE_SPAN})
+        ),
+        pj AS (
+            SELECT user_id, {_bloom_bit_sql} AS bit
+            FROM probes, generate_series(0, {BLOOM_K - 1}) AS t(j)
+        ),
+        verd AS (
+            SELECT p.user_id, count(b.bit) = {BLOOM_K} AS maybe_present
+            FROM pj p LEFT JOIN bits b ON p.bit = b.bit
+            GROUP BY p.user_id
+        ),
+        truthed AS (
+            SELECT v.maybe_present,
+                   CASE WHEN e.user_id IS NULL THEN 0 ELSE 1 END AS t
+            FROM verd v LEFT JOIN ev e ON v.user_id = e.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_set_bits,
+               CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_maybe_present,
+               CAST(sum(t) AS BIGINT) AS n_true_present,
+               CAST(sum(CASE WHEN maybe_present AND t = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_false_positives,
+               CAST(sum(CASE WHEN NOT maybe_present AND t = 1 THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_false_negatives
+        FROM truthed"""
+
     sqls["sketch_kmv_setops"] = f"""
         WITH d AS (
             SELECT DISTINCT event_type AS grp,

@@ -2140,6 +2140,71 @@ def q_pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+BLOOM_PROBE_SPAN = 3000  # probe ids: [0, 1500) = user domain, rest absent
+
+
+def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom membership gate over the event user population —
+    the sketch-family member that answers "have we EVER seen this key",
+    the write-skip / join-prefilter primitive at 100 TB (CMS answers
+    counts, HLL cardinality, KMV set algebra; Bloom answers membership
+    with one-sided error). Builds the bit table over distinct event
+    users (operators/sketches.py::bloom_bits — <= m rows at any input
+    size), probes a 2x-domain id range (ids in [1500, 3000) are
+    certainly absent from the generator's 1500-user pool), and reports
+    the verdict/truth confusion counts in one row: false negatives are
+    IMPOSSIBLE by construction and the oracle pins that at exactly
+    zero, while the measured false-positive count documents the
+    (1 - e^(-kn/m))^k trade instead of asserting it. Deterministic
+    md5 bit family, so the DuckDB oracle reproduces every probe verdict
+    bit-for-bit."""
+    from ..operators import sketches
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    bits = sketches.bloom_bits(ev, "user_id")
+    probes = spark.range(0, BLOOM_PROBE_SPAN).select(
+        F.col("id").alias("user_id")
+    )
+    verd = sketches.bloom_membership(bits, probes, "user_id")
+    truth = ev.distinct().withColumn("_t", F.lit(1))
+    j = verd.join(truth, "user_id", "left").select(
+        "maybe_present", F.coalesce(F.col("_t"), F.lit(0)).alias("_t")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.col("maybe_present").cast("long"))
+            .cast("long")
+            .alias("n_maybe_present"),
+            F.sum("_t").cast("long").alias("n_true_present"),
+            F.sum(
+                (F.col("maybe_present") & (F.col("_t") == 0)).cast("long")
+            )
+            .cast("long")
+            .alias("n_false_positives"),
+            F.sum(
+                (~F.col("maybe_present") & (F.col("_t") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias("n_false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_probes",
+            F.col("n_set_bits").cast("long").alias("n_set_bits"),
+            "n_maybe_present",
+            "n_true_present",
+            "n_false_positives",
+            "n_false_negatives",
+        )
+    )
+
+
 def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (theta) distinct sketches with SET ALGEBRA: per event-type pair,
     estimated distinct users of each side, their union, and their
@@ -3950,6 +4015,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_value_histogram": q_wh_value_histogram,
         "wh_window_frames": q_wh_window_frames,
         # ---- end of driver 50-slot verification window ----
+        # newest additions (stage into the round-6 window):
+        "sketch_bloom_filter": q_sketch_bloom_filter,
         # rows-only queries (no SQL oracle by design — the driver harness
         # scores them err, so they never enter the window; each carries
         # its own invariant/differential tests):

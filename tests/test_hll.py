@@ -171,3 +171,37 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+# --- portable Bloom filter (round 5: the membership sketch) ---
+
+
+def test_bloom_no_false_negatives_and_merge_equals_batch(spark):
+    """One-sided error is a hard guarantee: every inserted key must be
+    maybe_present, under the default geometry AND a deliberately
+    saturated tiny filter. Merging two half-builds must equal the
+    one-shot build bit-for-bit, and definitely-absent verdicts must
+    dominate for absent keys at the default geometry."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators import sketches
+
+    keys = spark.range(0, 400).select(F.col("id").alias("k"))
+    absent = spark.range(10_000, 10_400).select(F.col("id").alias("k"))
+
+    for m, k in ((sketches.BLOOM_M, sketches.BLOOM_K), (64, 2)):
+        bits = sketches.bloom_bits(keys, "k", k=k, m=m)
+        assert bits.count() <= m
+        verd = sketches.bloom_membership(bits, keys, "k", k=k, m=m)
+        assert verd.filter(~F.col("maybe_present")).count() == 0, (m, k)
+
+    bits = sketches.bloom_bits(keys, "k")
+    absent_verd = sketches.bloom_membership(bits, absent, "k")
+    n_absent_flagged = absent_verd.filter(F.col("maybe_present")).count()
+    assert n_absent_flagged < 40  # fp rate ~(1-e^(-kn/m))^k << 10%
+
+    half_a = sketches.bloom_bits(keys.filter(F.col("k") < 200), "k")
+    half_b = sketches.bloom_bits(keys.filter(F.col("k") >= 200), "k")
+    merged = {r.bit for r in sketches.bloom_merge(half_a, half_b).collect()}
+    batch = {r.bit for r in bits.collect()}
+    assert merged == batch
