@@ -71,14 +71,37 @@ def get_spark(
         # the 143-plan bench with headroom; the enlarged code cache
         # keeps them all compiled.
         .config("spark.sql.codegen.cache.maxEntries", "1500")
+        # NOTE: driver JVM options only take effect when THIS builder
+        # launches the JVM. getOrCreate() against an already-running
+        # session silently ignores them — leaving the 1500-entry codegen
+        # cache paired with the stock 240 MB code cache, the exact
+        # interpreter-fallback regression described above. Long benches /
+        # probes must therefore run in a fresh process (bench.py and the
+        # scaling probes do); _merged_driver_java_options() below keeps
+        # any caller/env-supplied options instead of clobbering them.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=768m",
+            _merged_driver_java_options(extra_conf),
         )
     )
     for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
+        if k != "spark.driver.extraJavaOptions":  # merged above
+            builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _merged_driver_java_options(extra_conf: dict[str, str] | None) -> str:
+    """Compose the code-cache sizing with any externally supplied driver
+    JVM options (caller's ``extra_conf`` wins over the environment's
+    ``SPARK_DRIVER_JAVA_OPTIONS``) rather than overwriting them; a caller
+    that passes its own -XX:ReservedCodeCacheSize overrides ours (later
+    JVM flags win for -XX options)."""
+    external = (extra_conf or {}).get(
+        "spark.driver.extraJavaOptions",
+        os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", ""),
+    ).strip()
+    ours = "-XX:ReservedCodeCacheSize=768m"
+    return f"{ours} {external}".strip()
 
 
 def free_caches(spark: SparkSession) -> None:

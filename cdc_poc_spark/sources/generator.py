@@ -356,10 +356,24 @@ def gen_documents(spark: SparkSession, n: int, seed: str = "docs") -> DataFrame:
 
     rows = spark.range(n)
     i = F.col("id")
-    is_dup = (_uniform(i, f"{seed}:isdup") < DOC_DUP_FRAC) & (i >= 20)
-    base = F.when(
-        is_dup, i - (md5_long_seeded(i, f"{seed}:back") % 17 + 1)
-    ).otherwise(i)
+    def _is_dup(e: Column) -> Column:
+        return (_uniform(e, f"{seed}:isdup") < DOC_DUP_FRAC) & (e >= 20)
+
+    def _hop(e: Column) -> Column:
+        return e - (md5_long_seeded(e, f"{seed}:back") % 17 + 1)
+
+    is_dup = _is_dup(i)
+    # Resolve the back-reference to a NON-dup base: a dup row derives its
+    # body from base's id, so if base is itself a dup (whose actual text is
+    # body(its own base) + ' dup') the "dup" would match no real document.
+    # Chase up to 3 hops — each hop is another independent ~5% dup draw, so
+    # unresolved odds are DOC_DUP_FRAC^4 ~ 6e-6 (vs the ~0.25% the
+    # single-hop version silently mislabeled); is_dup/hop are pure
+    # expressions of the id, so the chase stays join-free.
+    b1 = _hop(i)
+    b2 = F.when(_is_dup(b1), _hop(b1)).otherwise(b1)
+    b3 = F.when(_is_dup(b2), _hop(b2)).otherwise(b2)
+    base = F.when(is_dup, F.when(_is_dup(b3), _hop(b3)).otherwise(b3)).otherwise(i)
     n_toks = (md5_long_seeded(base, f"{seed}:len") % 80 + 20).cast("int")
     vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
     v_size = max(len(DOC_VOCAB), int(len(DOC_VOCAB) * math.sqrt(n / 5000.0)))

@@ -18,9 +18,13 @@ process:
             re-paying compilation makes persistent, from one-off JIT)
 
 and print per-query ratios. Run once with the default cache and once
-with the raised cache (session.py now sets 4000) to see the fix:
+with the raised cache to see the fix (session.py ships 1500 entries
+PAIRED with -XX:ReservedCodeCacheSize=768m — a naive 4000-entry raise
+over the stock 240 MB code cache drove long sessions into
+compilation-disabled interpreter fallback; see PARITY.md's
+bench-session note):
 
-  python scripts/bench_drift.py                  # session.py conf (4000)
+  python scripts/bench_drift.py                  # session.py conf (1500)
   python scripts/bench_drift.py --cache 100      # the old default
 
 The sf0.1 numbers land in PARITY.md's bench-session note.
