@@ -32,6 +32,7 @@ and broadcasts by construction.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -226,32 +227,117 @@ def train_merges(
     return merges, merges_df
 
 
+def _greedy_pieces(
+    word: str, rank: dict[tuple[str, str], int], pairs: list[tuple[str, str]]
+) -> list[str]:
+    """Merge-rank greedy BPE encode of one word (the GPT-2 ``bpe()``
+    shape): repeatedly take the LOWEST-ranked merge whose pair occurs in
+    the current symbol sequence and apply it to every occurrence
+    left-to-right (overlaps resolve leftmost — "aaa" + (a,a) -> [aa, a]),
+    until no pair is in the merge table. ONE scan loop for ANY merge
+    count: iterations are bounded by len(word)-1 (each round removes at
+    least one symbol), never by the merge-table size — the property the
+    sequential fold chain lacked (O(num_merges) passes).
+
+    Equivalent to applying the ordered merge list sequentially for any
+    TRAINED list: a pair of rank r can only appear after the strictly
+    lower-ranked merges that build its two symbols have run, so when the
+    greedy loop picks rank r nothing below r is applicable — exactly the
+    state the sequential pass for r runs in (the classic greedy/sequential
+    BPE equivalence; pinned against the fold chain by
+    tests/test_bpe.py::test_greedy_encode_matches_fold_chain and against
+    the independent pure-Python reference differential). For ADVERSARIAL
+    merge lists the two can differ — the fold chain remains the documented
+    sequential semantics and the differential twin."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = pairs[best]
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _word_pieces_greedy(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """(word, pieces) over a DISTINCT-word frame via the merge-rank greedy
+    encode, as an Arrow-batched pandas UDF. Python is the right tool here
+    BECAUSE of the word cache: the frame is vocabulary-sized (Heaps' law —
+    ~1e5-1e6 rows at any corpus size), so per-word Python costs are
+    corpus-independent, while the expression-tree alternative grows with
+    the merge count (a fold pass per non-commuting merge group). The
+    merge table rides along as a plain closure (broadcast-by-pickle,
+    num_merges rows)."""
+    rank = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    pairs = [(a, b) for a, b, _ in merges]
+
+    @F.pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _greedy_pieces(w, rank, pairs))
+
+    return words.select("word", enc(F.col("word")).alias("pieces"))
+
+
+def _word_pieces_folds(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """(word, pieces) via the fused sequential fold chain — the pure
+    expression-tree path (kept as the greedy path's differential twin and
+    for merge lists that must be applied with strict sequential
+    semantics). Consecutive merges that provably commute are FUSED into
+    one fold pass (:func:`_fuse_merge_groups` — the 10 trained sf0.1
+    merges run as 5 passes)."""
+    syms = _chars(F.col("word"))
+    for group in _fuse_merge_groups([(a, b) for a, b, _ in merges]):
+        syms = _apply_merge_group(syms, group)
+    return words.select("word", syms.alias("pieces"))
+
+
 def encode(
-    docs: DataFrame, merges: list[tuple[str, str, int]]
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    method: str = "greedy",
 ) -> DataFrame:
     """Encode every document with a learned merge list: (doc_id, pieces,
     n_pieces, n_chars), ``pieces`` space-joined (pieces are substrings
     of whitespace-split tokens, so they can never contain a space; and
     top-level array columns break pandas-side canonicalizers).
 
-    The merge chain is applied to DISTINCT words only — the classic
+    The merge table is applied to DISTINCT words only — the classic
     word-cache trick: corpus-sized work is the token explode and the
-    per-doc reassembly; the fold chain runs once per distinct word, and
-    consecutive merges that provably commute are FUSED into one fold
-    pass (:func:`_fuse_merge_groups` — the 10 trained sf0.1 merges run
-    as 5 passes, and the pass count stays sublinear in ``num_merges``
-    as vocab grows because letter-disjoint merges dominate trained
-    lists). The word->pieces join shuffles on the word key (both sides
-    vocabulary- and corpus-sized respectively; Catalyst may broadcast
-    the vocab side when small)."""
-    syms = _chars(F.col("word"))
-    for group in _fuse_merge_groups([(a, b) for a, b, _ in merges]):
-        syms = _apply_merge_group(syms, group)
-    word_pieces = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .distinct()
-        .select("word", syms.alias("pieces"))
-    )
+    per-doc reassembly; the per-word encode runs once per distinct word.
+    ``method="greedy"`` (default) is the merge-rank greedy encode — one
+    bounded scan loop per word regardless of merge count
+    (:func:`_greedy_pieces`); ``method="folds"`` is the sequential fused
+    fold chain (:func:`_word_pieces_folds`), O(merge groups) passes,
+    kept as the differential twin. The word->pieces join shuffles on the
+    word key (both sides vocabulary- and corpus-sized respectively;
+    Catalyst may broadcast the vocab side when small)."""
+    words = docs.select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    ).distinct()
+    if method == "greedy":
+        word_pieces = _word_pieces_greedy(words, merges)
+    elif method == "folds":
+        word_pieces = _word_pieces_folds(words, merges)
+    else:
+        raise ValueError(f"unknown encode method: {method!r}")
     exploded = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     )

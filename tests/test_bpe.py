@@ -191,3 +191,32 @@ def test_fused_merge_groups_equal_sequential_adversarial(spark):
         rows = df.select("word", seq.alias("s"), fused.alias("f")).collect()
         for r in rows:
             assert r.s == r.f, (merges, r.word, r.s, r.f)
+
+
+def test_greedy_encode_matches_fold_chain(spark):
+    """Round-6 verdict item 4: the merge-rank greedy encode (the default,
+    one bounded scan per word for ANY merge count) must equal the fused
+    sequential fold chain document-for-document on TRAINED merge lists —
+    the greedy/sequential BPE equivalence that holds whenever a pair's
+    symbols can only be built by lower-ranked merges. Trained at 20
+    merges so the list is deeper than the 10-merge default and crosses
+    several fusion-group boundaries."""
+    texts = [
+        f"the quick brown fox jumps over the lazy dog {i} "
+        f"pack my box with five dozen liquor jugs waltz bad nymph"
+        for i in range(25)
+    ] + ["aaa aaaa aaaaa", "ababab abab", "mississippi riverbank", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _ = bpe.train_merges(docs, num_merges=20)
+    assert len(merges) > 10  # deep enough to matter
+    greedy = {
+        r.doc_id: (r.pieces, r.n_pieces, r.n_chars)
+        for r in bpe.encode(docs, merges).collect()
+    }
+    folds = {
+        r.doc_id: (r.pieces, r.n_pieces, r.n_chars)
+        for r in bpe.encode(docs, merges, method="folds").collect()
+    }
+    assert greedy == folds

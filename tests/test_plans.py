@@ -464,8 +464,11 @@ def test_nb_classify_plan_shape(spark):
 
 
 def test_bpe_encode_word_cache_join(spark):
-    """BPE encoding folds merges over DISTINCT words and hash-joins the
-    pieces back to token positions — no cartesian, no Python."""
+    """BPE encoding runs the per-word encode over DISTINCT words and
+    hash-joins the pieces back to token positions — no cartesian, never
+    row-at-a-time Python. The greedy default enters the plan as exactly
+    ONE Arrow stage on the vocabulary-sized side (corpus-sized stages
+    stay pure JVM); the fold twin stays pure expression tree."""
     from cdc_poc_spark.operators import bpe
     from cdc_poc_spark.sources.testdata import load_table
 
@@ -473,7 +476,12 @@ def test_bpe_encode_word_cache_join(spark):
     merges, _ = bpe.train_merges(docs, 3)
     plan = _plan(bpe.encode(docs, merges))
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    fold_plan = _plan(bpe.encode(docs, merges, method="folds"))
+    assert "CartesianProduct" not in fold_plan
+    assert "BatchEvalPython" not in fold_plan
+    assert "ArrowEvalPython" not in fold_plan
 
 
 def test_banded_keys_one_arrow_stage_per_side(spark):
