@@ -225,7 +225,11 @@ SCD2_SCHEMA = (
 )
 
 
-def scd2_maintain(versions_stream: DataFrame, state_path: str):
+def scd2_maintain(
+    versions_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str | None = None,
+):
     """Streaming SCD Type-2 dimension maintenance: each micro-batch of new
     dimension versions is folded into the standing history table with
     `operators/incremental.py::scd2_merge` (close-and-insert), the state
@@ -238,6 +242,12 @@ def scd2_maintain(versions_stream: DataFrame, state_path: str):
     format's commit and only affected files rewrite. Returns the
     StreamingQuery; read the maintained table at ``state_path`` after
     termination.
+
+    ``checkpoint_dir`` enables stop/restart across runs (same contract
+    as :func:`clusters_maintain`): the source's progress lives in the
+    checkpoint, so a resumed run feeds only unseen batches —
+    exactly-once over the source, asserted in
+    tests/test_streaming.py::test_scd2_maintain_kill_and_resume.
     """
     from ..operators.incremental import scd2_merge
 
@@ -255,11 +265,12 @@ def scd2_maintain(versions_stream: DataFrame, state_path: str):
         fs.delete(root, True)
         fs.rename(jtmp, root)
 
-    return (
-        versions_stream.writeStream.foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
+    writer = versions_stream.writeStream.foreachBatch(_merge).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 KMV_STATE_SCHEMA = "grp string, h bigint, rn int"
@@ -270,6 +281,7 @@ def kmv_maintain(
     state_path: str,
     group_col: str = "event_type",
     value_col: str = "user_id",
+    checkpoint_dir: str | None = None,
 ):
     """Streaming KMV sketch maintenance: each micro-batch is sketched and
     merged into the standing per-group sketch with
@@ -281,7 +293,13 @@ def kmv_maintain(
     (merging a batch twice is a no-op on a hash SET).
 
     Returns the StreamingQuery; read the sketch at ``state_path`` after
-    termination and feed it to `kmv_setops_from_sketch`."""
+    termination and feed it to `kmv_setops_from_sketch`.
+
+    ``checkpoint_dir`` enables stop/restart across runs (same contract
+    as :func:`clusters_maintain`): source progress lives in the
+    checkpoint, so a resumed run consumes only unseen batches —
+    exactly-once over the source, asserted in
+    tests/test_streaming.py::test_kmv_maintain_kill_and_resume."""
     from ..operators.sketches import kmv_merge, kmv_sketch
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -299,11 +317,12 @@ def kmv_maintain(
         fs.delete(root, True)
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), root)
 
-    return (
-        events_stream.writeStream.foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
+    writer = events_stream.writeStream.foreachBatch(_merge).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 CLUSTER_STATE_SCHEMA = "node bigint, cluster_id bigint"

@@ -629,3 +629,132 @@ def test_clusters_maintain_kill_and_resume(spark, tmp_path):
     }
     assert got == want
     assert (10, 1) in got  # the cross-run bridge actually rewired wave 1
+
+
+def _stage_waves(spark, tmp_path, schema: str, waves: list[list]):
+    """File-drop helper shared by the kill-and-resume tests: returns
+    (input_dir, drop) where drop(i) moves wave i into the watched
+    directory as one parquet file."""
+    import glob
+    import os
+    import shutil
+
+    ind = tmp_path / "in"
+    os.makedirs(ind, exist_ok=True)
+
+    def drop(i: int) -> None:
+        tmp = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(waves[i], schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, str(ind / f"batch_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return ind, drop
+
+
+def test_kmv_maintain_kill_and_resume(spark, tmp_path):
+    """Round-6 verdict item 7: stop the KMV sketch maintenance stream
+    between micro-batches, restart from its checkpoint, and the standing
+    sketch must equal the one-shot batch sketch over ALL events
+    (mergeability). Exactly-once over the source is asserted on batch
+    ids (foreachBatch re-scans inflate numInputRows)."""
+    from cdc_poc_spark.operators.sketches import kmv_sketch
+
+    schema = "event_type string, user_id bigint"
+    waves = [
+        [("click", int(i)) for i in range(0, 300)]
+        + [("view", int(i)) for i in range(100, 250)],
+        [("click", int(i)) for i in range(200, 500)]
+        + [("purchase", int(i)) for i in range(0, 80)],
+    ]
+    ind, drop = _stage_waves(spark, tmp_path, schema, waves)
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ind))
+        )
+        q = sinks.kmv_maintain(stream, state, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        return sorted({p["batchId"] for p in q.recentProgress})
+
+    drop(0)
+    assert _run() == [0]
+    drop(1)
+    assert _run() == [1]  # resumed run feeds ONLY the new file
+
+    got = {
+        (r.grp, r.h, r.rn)
+        for r in spark.read.schema(sinks.KMV_STATE_SCHEMA)
+        .parquet(state)
+        .collect()
+    }
+    allev = spark.createDataFrame(waves[0] + waves[1], schema)
+    want = {
+        (r.grp, r.h, r.rn)
+        for r in kmv_sketch(allev, "event_type", "user_id").collect()
+    }
+    assert got == want
+
+
+def test_scd2_maintain_kill_and_resume(spark, tmp_path):
+    """Round-6 verdict item 7: stop the SCD2 dimension maintenance stream
+    between micro-batches, restart from its checkpoint, and the standing
+    history must equal the sequential batch fold of the same waves.
+    Wave 2 both versions an existing key (closing the open row from
+    wave 1) and opens a brand-new key, so the resume actually rewrites
+    prior state. Exactly-once over the source asserted on batch ids."""
+    import datetime
+
+    from cdc_poc_spark.operators.incremental import scd2_merge
+
+    def ts(minute: int) -> datetime.datetime:
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    schema = (
+        "content_id bigint, version_title string,"
+        " version_length_seconds int, version_ts timestamp_ntz"
+    )
+    waves = [
+        [(1, "a v0", 100, ts(1)), (2, "b v0", 200, ts(2))],
+        [(1, "a v1", 101, ts(10)), (3, "c v0", 300, ts(12))],
+    ]
+    ind, drop = _stage_waves(spark, tmp_path, schema, waves)
+    state = str(tmp_path / "scd2_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ind))
+        )
+        q = sinks.scd2_maintain(stream, state, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        return sorted({p["batchId"] for p in q.recentProgress})
+
+    drop(0)
+    assert _run() == [0]
+    drop(1)
+    assert _run() == [1]
+
+    got = {
+        (r.content_id, r.version_title, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.schema(sinks.SCD2_SCHEMA).parquet(state).collect()
+    }
+    empty = spark.createDataFrame([], sinks.SCD2_SCHEMA)
+    folded = scd2_merge(
+        scd2_merge(empty, spark.createDataFrame(waves[0], schema)),
+        spark.createDataFrame(waves[1], schema),
+    )
+    want = {
+        (r.content_id, r.version_title, r.valid_from, r.valid_to, r.is_current)
+        for r in folded.collect()
+    }
+    assert got == want
+    # the wave-1 open row for key 1 must now be CLOSED by the resumed run
+    assert any(c == 1 and t == "a v0" and cur is False
+               for c, t, _, _, cur in got)
