@@ -660,17 +660,47 @@ def cms_portable_heavy_hitters(
 # fetch.
 # ---------------------------------------------------------------------------
 
-BLOOM_M = 1 << 16  # bits
+BLOOM_M = 1 << 16  # bits — legacy explicit dial; see bloom_params
 BLOOM_K = 5        # hash functions ~ (m/n) ln 2 at n ~ 9k build keys
+BLOOM_BITS_PER_KEY = 8  # self-sizing target: m = next pow2 >= 8n
+# ln(2) in parts-per-million — k is derived with INTEGER arithmetic only
+# ((m * 693147) // (n * 1000000)) so the Spark side and the DuckDB oracle
+# land on the identical k with zero float-rounding risk
+_LN2_PPM = 693_147
+
+
+def bloom_params(df: DataFrame, col: str) -> tuple[int, int]:
+    """Self-sizing Bloom dimensions from the build side — the same
+    eliminate-the-manual-knob move as similarity.balanced_planes /
+    balanced_max_cells (the round-5 fixed (m, k) held the analytic
+    false-positive bound only near the ~9k-key corpus it was sized for).
+
+    m = the smallest power of two >= BLOOM_BITS_PER_KEY * n (n = exact
+    distinct non-null build keys — one count job, the price of the
+    portable-oracle contract), so the occupancy ratio n/m stays in
+    [1/16, 1/8) at ANY corpus size and the false-positive rate is bounded
+    by (1 - e^(-k n / m))^k ~ 3% worst-case within the band. k is the
+    optimal (m/n) ln 2 rounded down, computed in integer ppm arithmetic
+    so the DuckDB twin reproduces it exactly. Empty build side degrades
+    to (64, 1) — a 64-bit always-miss filter."""
+    n = df.filter(F.col(col).isNotNull()).select(col).distinct().count()
+    if n == 0:
+        return 64, 1
+    m = 1 << max(6, (BLOOM_BITS_PER_KEY * n - 1).bit_length())
+    k = max(1, (m * _LN2_PPM) // (n * 1_000_000))
+    return m, k
 
 
 def _bloom_bit(col: str, j_col: str = "j", m: int = BLOOM_M):
-    """Bit index j of ``col``: md5_60('bloom<j>|<value>') mod m — the
-    depth-keyed family, same construction as the portable CMS cell."""
+    """Bit index j of ``col``: md5_60('bloom|<j>|<value>') mod m — the
+    depth-keyed family, same construction as the portable CMS cell. The
+    depth key is delimited on BOTH sides: 'bloom<j>|<value>' would make
+    (j=1, value='2|x') and (j=12, value='x') collide for k > 10,
+    weakening hash-family independence (round-5 ADVICE finding)."""
     return F.pmod(
         hashing.md5_long(
             F.concat(
-                F.lit("bloom"),
+                F.lit("bloom|"),
                 F.col(j_col).cast("string"),
                 F.lit("|"),
                 F.col(col).cast("string"),

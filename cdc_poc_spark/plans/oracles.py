@@ -23,7 +23,7 @@ from ..operators.dedup import (
     SIMHASH_BITS,
 )
 from ..operators.sampling import SPLIT_SEED, TRAIN_PCT, VAL_PCT
-from ..operators.similarity import ANN_PLANES, KNN_K, hyperplane_weights
+from ..operators.similarity import KNN_K, hyperplane_weights
 from ..operators.text_analysis import LANG_MARKERS, STOPWORDS
 from .cdc_mapping import EVENTS_CTE, VALID_FILTER_SQL, with_enriched, with_versions
 from .registry import (
@@ -1799,12 +1799,27 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id
         LIMIT {SIM_TOPK}"""
 
-    weights = hyperplane_weights()
+    # Hyperplane LSH bucket, SELF-SIZED like the Spark side
+    # (similarity.balanced_planes): nplanes = smallest p with 4**p >= n
+    # (== ceil(log2(n)/2); 4**p is a power of two so the double power is
+    # exact, and DuckDB's MIN-over-range lands on the identical integer as
+    # Python's ((n-1).bit_length()+1)//2). Weight literals are embedded for
+    # _ORACLE_MAX_PLANES planes — enough through n = 4**12 ~ 16.7M vectors,
+    # far past any oracle scale (the oracle runs at sf <= 0.1); plane p
+    # contributes bit 2**p only while p < nplanes, so the expression
+    # evaluates to the exact bucket the Spark side computes at ANY n.
+    _ORACLE_MAX_PLANES = 12
+    _nplanes = (
+        "(SELECT MIN(p) FROM range(0, 32) t(p), "
+        "(SELECT count(*) AS n_emb FROM embeddings) WHERE 4.0 ** p >= n_emb)"
+    )
+    weights = hyperplane_weights(_ORACLE_MAX_PLANES)
     bucket_terms = []
     for p, row in enumerate(weights):
         arr = "([" + ", ".join(f"{float(x)!r}" for x in row) + "]::DOUBLE[])"
         bucket_terms.append(
-            f"(CASE WHEN {dot_sql('embedding', arr)} > 0 THEN {1 << p} ELSE 0 END)"
+            f"(CASE WHEN {p} < {_nplanes}"
+            f" AND {dot_sql('embedding', arr)} > 0 THEN {1 << p} ELSE 0 END)"
         )
     _bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
     sqls["sim_ann_lsh"] = f"""
@@ -1868,9 +1883,13 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id
         LIMIT {SIM_TOPK}"""
 
-    from ..operators.similarity import ANN_PLANES
-
-    _masks = ", ".join(str(m) for m in [0] + [1 << p for p in range(ANN_PLANES)])
+    # probe masks are [0, 1, 2, 4, ..., 2**(nplanes-1)] — nplanes+1 probes,
+    # sized by the same self-sizing rule as the bucket expression above
+    _masks_rel = (
+        "(SELECT CASE WHEN i = 0 THEN 0"
+        " ELSE CAST(2.0 ** (i - 1) AS BIGINT) END AS mask"
+        f" FROM range(0, 33) t(i) WHERE i <= {_nplanes}) m"
+    )
     sqls["sim_ann_lsh_multiprobe"] = f"""
         WITH bucketed AS (
             SELECT vec_id, label, embedding, {_bucket} AS bucket
@@ -1879,7 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         probes AS (
             SELECT vec_id AS q_id, embedding AS q_vec,
                    xor(bucket, m.mask) AS probe_bucket
-            FROM bucketed, (SELECT unnest([{_masks}]::BIGINT[]) AS mask) m
+            FROM bucketed, {_masks_rel}
             WHERE vec_id = {SIM_QUERY_VEC_ID}
         )
         SELECT vec_id, label, cosine_sim
@@ -2382,6 +2401,65 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY drop_id, cell"""
 
     from ..operators.similarity import EMB_IVF_NPROBE
+
+    # Two medoid-update refinement rounds of the balanced quantizer, then
+    # the final hard assignment (operators/similarity.py::
+    # ivf_refine_medoid + registry.q_sim_ivf_refined). Every comparison is
+    # either a sequential-fold double (bit-identical in both engines) or
+    # exact int64 arithmetic: pair distances are integerized as
+    # floor(l2sq * 1e6) BEFORE the per-cell sum, so the medoid election is
+    # order-independent. Unrolled: assign(seeds) -> medoid -> assign ->
+    # medoid -> final assign.
+    def _ivf_assign_cte(name: str, cent: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell
+                       ) AS rn
+                FROM embeddings e CROSS JOIN {cent} c
+            ) WHERE rn = 1
+        )"""
+
+    def _ivf_medoid_cte(name: str, assign: str) -> str:
+        return f"""
+        {name}_mem AS (
+            SELECT a.cell, e.vec_id, e.embedding
+            FROM embeddings e JOIN {assign} a ON e.vec_id = a.vec_id
+        ),
+        {name}_sc AS (
+            SELECT x.cell, x.vec_id AS a_id,
+                   SUM(CAST(floor(
+                       {_l2sq_sql("x.embedding", "y.embedding")} * 1000000.0
+                   ) AS BIGINT)) AS score
+            FROM {name}_mem x JOIN {name}_mem y ON x.cell = y.cell
+            GROUP BY x.cell, x.vec_id
+        ),
+        {name} AS (
+            SELECT s.cell, s.a_id AS medoid_id, e.embedding AS c_vec
+            FROM (
+                SELECT cell, a_id,
+                       row_number() OVER (
+                           PARTITION BY cell ORDER BY score, a_id
+                       ) AS rn
+                FROM {name}_sc
+            ) s JOIN embeddings e ON s.a_id = e.vec_id
+            WHERE s.rn = 1
+        )"""
+
+    sqls["sim_ivf_refined"] = f"""
+        WITH {_balanced_cent},
+        {_ivf_assign_cte("ra1", "cent").strip()},
+        {_ivf_medoid_cte("rm1", "ra1").strip()},
+        {_ivf_assign_cte("ra2", "rm1").strip()},
+        {_ivf_medoid_cte("rm2", "ra2").strip()},
+        {_ivf_assign_cte("ra3", "rm2").strip()}
+        SELECT a.vec_id, a.cell, m.medoid_id,
+               CAST(count(*) OVER (PARTITION BY a.cell) AS BIGINT)
+                   AS cell_size
+        FROM ra3 a JOIN rm2 m ON a.cell = m.cell"""
 
     # 3-probe IVF-blocked near-dup (operators/similarity.py:
     # embedding_dup_pairs_ivf): same BALANCED sqrt-sized quantizer as
@@ -4286,33 +4364,57 @@ def oracle_sql() -> dict[str, str]:
     # Portable Bloom membership gate (operators/sketches.py::bloom_bits/
     # bloom_membership + plans/registry.py::q_sketch_bloom_filter): same
     # md5 bit family, every probe verdict reproduced, false negatives
-    # pinned at exactly zero
-    from ..operators.sketches import BLOOM_K, BLOOM_M
+    # pinned at exactly zero. SELF-SIZED like the Spark side
+    # (sketches.bloom_params): m = the smallest power of two >=
+    # 8 * distinct build keys (floor 64; 2**b is exact in a double), k =
+    # GREATEST(1, (m * 693147) // (n * 1000000)) — ln(2) in integer ppm,
+    # so no cross-engine float-rounding risk; both land on the identical
+    # (m, k), which the output row asserts. The hash series is a fixed
+    # 0..30 range filtered by j < k (the sizing band keeps k <= 11;
+    # DuckDB's generate_series cannot take a lateral column bound).
     from .registry import BLOOM_PROBE_SPAN
 
+    _bloom_prm = """
+        prm AS (
+            SELECT n, m,
+                   CASE WHEN n = 0 THEN 1
+                        ELSE GREATEST(1, (m * 693147) // (n * 1000000))
+                   END AS k
+            FROM (
+                SELECT n,
+                       (SELECT CAST(2.0 ** MIN(b) AS BIGINT)
+                        FROM range(6, 63) t(b)
+                        WHERE 2.0 ** b >= 8 * n) AS m
+                FROM (SELECT count(*) AS n FROM ev)
+            )
+        )"""
     _bloom_bit_sql = (
         md5_long_sql(
-            "'bloom' || CAST(t.j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+            "'bloom|' || CAST(t.j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
         )
-        + f" % {BLOOM_M}"
+        + " % prm.m"
     )
     sqls["sketch_bloom_filter"] = f"""
         WITH ev AS (
             SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
         ),
+        {_bloom_prm},
         bits AS (
             SELECT DISTINCT {_bloom_bit_sql} AS bit
-            FROM ev, generate_series(0, {BLOOM_K - 1}) AS t(j)
+            FROM ev, prm, generate_series(0, 30) AS t(j)
+            WHERE t.j < prm.k
         ),
         probes AS (
             SELECT range AS user_id FROM range(0, {BLOOM_PROBE_SPAN})
         ),
         pj AS (
             SELECT user_id, {_bloom_bit_sql} AS bit
-            FROM probes, generate_series(0, {BLOOM_K - 1}) AS t(j)
+            FROM probes, prm, generate_series(0, 30) AS t(j)
+            WHERE t.j < prm.k
         ),
         verd AS (
-            SELECT p.user_id, count(b.bit) = {BLOOM_K} AS maybe_present
+            SELECT p.user_id,
+                   count(b.bit) = (SELECT k FROM prm) AS maybe_present
             FROM pj p LEFT JOIN bits b ON p.bit = b.bit
             GROUP BY p.user_id
         ),
@@ -4329,7 +4431,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN maybe_present AND t = 0 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_false_positives,
                CAST(sum(CASE WHEN NOT maybe_present AND t = 1 THEN 1 ELSE 0
-                   END) AS BIGINT) AS n_false_negatives
+                   END) AS BIGINT) AS n_false_negatives,
+               (SELECT CAST(m AS BIGINT) FROM prm) AS bloom_m,
+               (SELECT CAST(k AS BIGINT) FROM prm) AS bloom_k
         FROM truthed"""
 
     sqls["sketch_kmv_setops"] = f"""

@@ -1545,19 +1545,30 @@ def q_sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations refining the IVF coarse quantizer, then the
-    per-cell assignment counts — a genuinely ITERATIVE distributed
-    algorithm (assign -> elementwise mean -> reassign), so no SQL oracle:
-    rows-only check here; the k-means invariant (mean intra-cell distance
-    non-increasing) is asserted in tests/test_ivf.py."""
+    """Two fixed refinement iterations of the balanced IVF coarse
+    quantizer with MEDOID updates, then the final per-vector assignment
+    (vec_id, cell, medoid_id, cell_size). Round 6 moved this query from
+    rows-only to a full SQL oracle by swapping the mean update for the
+    medoid election (operators/similarity.py::ivf_refine_medoid — the
+    mean is a cross-row float aggregation no cross-engine cast agrees
+    on, measured; medoid scoring integerizes every pair distance before
+    the sum, so the whole 2-round refine is hash-exact). The mean-based
+    Lloyd path stays in the library (similarity.ivf_refine) under its
+    k-means invariant test."""
     emb = load_table(spark, sf_dir, "embeddings")
-    refined = similarity.ivf_refine(
-        emb, similarity.ivf_centroids(emb), iters=2
+    refined = similarity.ivf_refine_medoid(
+        emb,
+        similarity.ivf_centroids(emb, max_cells="balanced"),
+        iters=2,
     )
+    assign = similarity.ivf_assign(emb, refined)
+    w = Window.partitionBy("cell")
     return (
-        similarity.ivf_assign(emb, refined)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        assign.join(
+            refined.select("cell", "medoid_id"), "cell"
+        )
+        .withColumn("cell_size", F.count(F.lit(1)).over(w).cast("long"))
+        .select("vec_id", "cell", "medoid_id", "cell_size")
     )
 
 
@@ -2165,11 +2176,17 @@ def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .filter(F.col("user_id").isNotNull())
     )
-    bits = sketches.bloom_bits(ev, "user_id")
+    # self-sized (round-6): m = next pow2 >= 8 * distinct build keys,
+    # k = integer-ppm (m/n) ln 2 — emitted in the output row so the
+    # sizing arithmetic itself is oracle-checked (sketches.bloom_params)
+    bloom_m, bloom_k = sketches.bloom_params(ev, "user_id")
+    bits = sketches.bloom_bits(ev, "user_id", k=bloom_k, m=bloom_m)
     probes = spark.range(0, BLOOM_PROBE_SPAN).select(
         F.col("id").alias("user_id")
     )
-    verd = sketches.bloom_membership(bits, probes, "user_id")
+    verd = sketches.bloom_membership(
+        bits, probes, "user_id", k=bloom_k, m=bloom_m
+    )
     truth = ev.distinct().withColumn("_t", F.lit(1))
     j = verd.join(truth, "user_id", "left").select(
         "maybe_present", F.coalesce(F.col("_t"), F.lit(0)).alias("_t")
@@ -2201,6 +2218,8 @@ def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_present",
             "n_false_positives",
             "n_false_negatives",
+            F.lit(int(bloom_m)).cast("long").alias("bloom_m"),
+            F.lit(int(bloom_k)).cast("long").alias("bloom_k"),
         )
     )
 
@@ -3954,16 +3973,78 @@ def queries(fresh: bool = True) -> dict[str, QueryFn]:
 
 
 _RAW_QUERIES: dict[str, QueryFn] = {
-        # ---- driver 50-slot verification window (round 5) ----
-        # Slots 1-4: the oracle-backed queries that have never seen a
-        # driver check (the two staged late in round 4 plus the two new
-        # mm_*_dedup_sql banded-Hamming twins). Slots 5-7: the queries
-        # whose semantics changed this round (wh_negative_samples gained
-        # the overflow-safe modular multiply + single rank-frame build;
-        # the two IVF pair queries moved to the balanced sqrt-sized
-        # quantizer). Slots 8-50: rotation re-checks of the 43 queries
-        # whose newest driver evidence is round 1 — the oldest in the
-        # ledger (CDC parity + the r1 warehouse block).
+        # ---- driver 50-slot verification window (round 6) ----
+        # Slot 1: the single oracle-backed query never driver-checked
+        # (sketch_bloom_filter — added late in round 5, re-pointed this
+        # round at the self-sizing bloom_params geometry). Slots 2-11:
+        # the queries whose semantics changed this round —
+        # sim_ivf_refined moved from rows-only to the oracle-exact
+        # medoid refine, and the nine hyperplane-LSH consumers moved to
+        # the self-sizing planes="balanced" bucketing (5 planes at
+        # sf0.01 vs the old fixed 4, so their hashes genuinely change).
+        # Slots 12-50: rotation re-checks of the 39 remaining queries
+        # whose newest driver evidence is round 2 — the oldest in the
+        # ledger after round 5 refreshed the r1 block.
+        "sketch_bloom_filter": q_sketch_bloom_filter,
+        "sim_ivf_refined": q_sim_ivf_refined,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
+        "sim_ann_recall": q_sim_ann_recall,
+        "sim_knn_join_lsh": q_sim_knn_join_lsh,
+        "sim_knn_pagerank": q_sim_knn_pagerank,
+        "sim_knn_communities": q_sim_knn_communities,
+        "sim_knn_triangles": q_sim_knn_triangles,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "pipeline_diversity_sample": q_pipeline_diversity_sample,
+        "cdc_scd2_dim": q_cdc_scd2_dim,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "gen_workload": q_gen_workload,
+        "mm_decode_features": q_mm_decode_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_media_stats": q_mm_media_stats,
+        "mm_resize": q_mm_resize,
+        "pipeline_chunk_documents": q_pipeline_chunk_documents,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_decontaminate": q_pipeline_decontaminate,
+        "pipeline_domain_mix": q_pipeline_domain_mix,
+        "pipeline_filter_audit": q_pipeline_filter_audit,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        "pipeline_sample_stratified": q_pipeline_sample_stratified,
+        "pipeline_split_assign": q_pipeline_split_assign,
+        "profile_documents": q_profile_documents,
+        "profile_embeddings": q_profile_embeddings,
+        "search_bm25": q_search_bm25,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_embedding_dups": q_sim_embedding_dups,
+        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
+        "sim_knn_join": q_sim_knn_join,
+        "sim_pq_adc_topk": q_sim_pq_adc_topk,
+        "sim_pq_encode": q_sim_pq_encode,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "stream_interval_join_native": q_stream_interval_join_native,
+        "stream_sessions_native": q_stream_sessions_native,
+        "text_char_entropy": q_text_char_entropy,
+        "text_clean": q_text_clean,
+        "text_dedup_lines": q_text_dedup_lines,
+        "text_fingerprints": q_text_fingerprints,
+        "text_langid": q_text_langid,
+        "text_repetition": q_text_repetition,
+        "text_stats": q_text_stats,
+        "ts_subsequence_search": q_ts_subsequence_search,
+        "wh_recursive_spine": q_wh_recursive_spine,
+        "wh_sessions": q_wh_sessions,
+        # ---- end of driver 50-slot verification window ----
+        # rows-only queries (no SQL oracle by design — the driver harness
+        # scores them err, so they never enter the window; each carries
+        # its own invariant/differential tests). sim_ivf_refined left
+        # this set in round 6 (medoid refine, full SQL oracle):
+        "mm_image_dedup": q_mm_image_dedup,
+        "mm_audio_dedup": q_mm_audio_dedup,
+        "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
+        # driver-green in earlier rounds with unchanged semantics since:
         "stream_dedup_state_native": q_stream_dedup_state_native,
         "sim_embedding_dups_ivf_capped": q_sim_embedding_dups_ivf_capped,
         "mm_image_dedup_sql": q_mm_image_dedup_sql,
@@ -4014,25 +4095,11 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_value_anomalies": q_wh_value_anomalies,
         "wh_value_histogram": q_wh_value_histogram,
         "wh_window_frames": q_wh_window_frames,
-        # ---- end of driver 50-slot verification window ----
-        # newest additions (stage into the round-6 window):
-        "sketch_bloom_filter": q_sketch_bloom_filter,
-        # rows-only queries (no SQL oracle by design — the driver harness
-        # scores them err, so they never enter the window; each carries
-        # its own invariant/differential tests):
-        "mm_image_dedup": q_mm_image_dedup,
-        "mm_audio_dedup": q_mm_audio_dedup,
-        "sim_ivf_refined": q_sim_ivf_refined,
-        "text_bpe_train": q_text_bpe_train,
-        "text_bpe_encode": q_text_bpe_encode,
-        # driver-green in earlier rounds with unchanged semantics since:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "stream_scd2_native": q_stream_scd2_native,
         "mm_video_dedup": q_mm_video_dedup,
         "pipeline_keep_best": q_pipeline_keep_best,
         "sim_decontaminate": q_sim_decontaminate,
-        "sim_knn_communities": q_sim_knn_communities,
-        "pipeline_diversity_sample": q_pipeline_diversity_sample,
         "sketch_kmv_setops": q_sketch_kmv_setops,
         "pipeline_contamination_report": q_pipeline_contamination_report,
         "wh_winsorize": q_wh_winsorize,
@@ -4047,7 +4114,6 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "ts_trend_lines": q_ts_trend_lines,
         "ts_robust_trend": q_ts_robust_trend,
         "ts_seasonal_profile": q_ts_seasonal_profile,
-        "sim_knn_triangles": q_sim_knn_triangles,
         "wh_equidepth_hist": q_wh_equidepth_hist,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "pipeline_temperature_mix": q_pipeline_temperature_mix,
@@ -4058,14 +4124,12 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "wh_quality_audit": q_wh_quality_audit,
         "sketch_hll_users": q_sketch_hll_users,
         "ts_anomaly": q_ts_anomaly,
-        "sim_hard_negatives": q_sim_hard_negatives,
         "sketch_hist_quantiles": q_sketch_hist_quantiles,
         "pipeline_token_budget": q_pipeline_token_budget,
         "sim_random_projection": q_sim_random_projection,
         "wh_k_anonymity": q_wh_k_anonymity,
         "wh_entity_resolution": q_wh_entity_resolution,
         "stream_anomaly_native": q_stream_anomaly_native,
-        "sim_knn_pagerank": q_sim_knn_pagerank,
         "pipeline_span_corrupt": q_pipeline_span_corrupt,
         "wh_attribution": q_wh_attribution,
         "cdc_engagement_hits": q_cdc_engagement_hits,
@@ -4124,47 +4188,4 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "pipeline_lang_balance": q_pipeline_lang_balance,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_cdc_report": q_dedup_cdc_report,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "sim_embedding_dups_lsh": q_sim_embedding_dups_lsh,
-        "sim_pq_encode": q_sim_pq_encode,
-        "stream_interval_join_native": q_stream_interval_join_native,
-        "gen_workload": q_gen_workload,
-        "wh_sessions": q_wh_sessions,
-        "stream_sessions_native": q_stream_sessions_native,
-        "cdc_scd2_dim": q_cdc_scd2_dim,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_topk_cosine": q_sim_topk_cosine,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
-        "sim_ann_ivf": q_sim_ann_ivf,
-        "sim_ann_recall": q_sim_ann_recall,
-        "sim_knn_join": q_sim_knn_join,
-        "sim_knn_join_lsh": q_sim_knn_join_lsh,
-        "sim_embedding_dups": q_sim_embedding_dups,
-        "sim_pq_adc_topk": q_sim_pq_adc_topk,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_clean": q_text_clean,
-        "text_fingerprints": q_text_fingerprints,
-        "text_char_entropy": q_text_char_entropy,
-        "text_repetition": q_text_repetition,
-        "search_bm25": q_search_bm25,
-        "ts_subsequence_search": q_ts_subsequence_search,
-        "pipeline_decontaminate": q_pipeline_decontaminate,
-        "pipeline_pack_sequences": q_pipeline_pack_sequences,
-        "pipeline_sample_stratified": q_pipeline_sample_stratified,
-        "pipeline_domain_mix": q_pipeline_domain_mix,
-        "pipeline_split_assign": q_pipeline_split_assign,
-        "pipeline_filter_audit": q_pipeline_filter_audit,
-        "mm_decode_features": q_mm_decode_features,
-        "mm_media_stats": q_mm_media_stats,
-        "mm_resize": q_mm_resize,
-        "mm_frame_sample": q_mm_frame_sample,
-        "profile_documents": q_profile_documents,
-        "text_dedup_lines": q_text_dedup_lines,
-        "pipeline_chunk_documents": q_pipeline_chunk_documents,
-        "wh_recursive_spine": q_wh_recursive_spine,
-        "profile_embeddings": q_profile_embeddings,
     }

@@ -205,3 +205,39 @@ def test_bloom_no_false_negatives_and_merge_equals_batch(spark):
     merged = {r.bit for r in sketches.bloom_merge(half_a, half_b).collect()}
     batch = {r.bit for r in bits.collect()}
     assert merged == batch
+
+
+def test_bloom_self_sizing_holds_fp_bound_at_two_scales(spark):
+    """Round-6 verdict stretch item: bloom_params derives (m, k) from the
+    build side, so the analytic false-positive bound
+    p = (1 - e^(-k n / m))^k must hold at ANY corpus size — measured FP
+    rate within 2x of the bound at two corpus sizes an order of
+    magnitude apart (the fixed round-5 (m, k) was sized for ~9k keys
+    only). Also pins the integer-ppm k derivation and the pow2 m band
+    m/n in [8, 16)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators import sketches
+
+    for n, probe_n in ((500, 4000), (5000, 8000)):
+        keys = spark.range(0, n).select(F.col("id").alias("k"))
+        absent = spark.range(1_000_000, 1_000_000 + probe_n).select(
+            F.col("id").alias("k")
+        )
+        m, k = sketches.bloom_params(keys, "k")
+        assert m & (m - 1) == 0 and 8 * n <= m < 16 * n
+        assert k == max(1, (m * 693_147) // (n * 1_000_000))
+        bits = sketches.bloom_bits(keys, "k", k=k, m=m)
+        # no false negatives, ever
+        self_verd = sketches.bloom_membership(bits, keys, "k", k=k, m=m)
+        assert self_verd.filter(~F.col("maybe_present")).count() == 0
+        # measured FP rate within 2x of the analytic bound
+        fp = (
+            sketches.bloom_membership(bits, absent, "k", k=k, m=m)
+            .filter(F.col("maybe_present"))
+            .count()
+        )
+        bound = (1.0 - math.exp(-k * n / m)) ** k
+        assert fp / probe_n <= 2.0 * bound, (n, m, k, fp, bound)
