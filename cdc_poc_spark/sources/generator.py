@@ -469,6 +469,29 @@ def gen_testdata_events(
     )
 
 
+def gen_supplier(spark: SparkSession, n: int, seed: str = "tdsup") -> DataFrame:
+    """``n`` suppliers in the testdata schema (s_suppkey, s_name,
+    s_nationkey, s_acctbal): TPC-H-style ``Supplier#%09d`` names (whose
+    single-digit differences form the edit-distance-1 match graph
+    wh_entity_resolution resolves — the density structure scales with n
+    exactly as the shipped table's does), 25 nations, acctbal uniform in
+    [-999.99, 9999.99] like TPC-H. Added in round 6 so the sf1 spot-bench
+    can run the supplier-input queries at a true 10x step instead of
+    skipping them."""
+    rows = spark.range(n)
+    i = F.col("id")
+    return rows.select(
+        i.alias("s_suppkey"),
+        F.format_string("Supplier#%09d", i).alias("s_name"),
+        (md5_long_seeded(i, f"{seed}:nat") % 25).cast("int").alias(
+            "s_nationkey"
+        ),
+        (
+            F.round(_uniform(i, f"{seed}:bal") * 10999.98 - 999.99, 2)
+        ).alias("s_acctbal"),
+    )
+
+
 __all__ = [
     "DEVICES",
     "EVENT_WEIGHTS",
@@ -478,6 +501,7 @@ __all__ = [
     "gen_embeddings",
     "gen_events",
     "gen_events_stream",
+    "gen_supplier",
     "gen_testdata_events",
     "wire_encode",
 ]

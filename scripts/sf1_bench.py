@@ -56,7 +56,12 @@ TOP_QUERIES = [
 ]
 
 SF01 = "/root/testdata/sf0.1"
-SF01_ROWS = {"events": 100_000, "documents": 5_000, "embeddings": 2_000}
+SF01_ROWS = {
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+    "supplier": 1_000,
+}
 
 
 def _stream_twin(spark, sf1_dir: str) -> dict:
@@ -114,6 +119,7 @@ def main() -> None:
         "events": lambda: G.gen_testdata_events(spark, SF01_ROWS["events"] * m),
         "documents": lambda: G.gen_documents(spark, SF01_ROWS["documents"] * m),
         "embeddings": lambda: G.gen_embeddings(spark, SF01_ROWS["embeddings"] * m),
+        "supplier": lambda: G.gen_supplier(spark, SF01_ROWS["supplier"] * m),
     }
     for name, fn in gens.items():
         path = os.path.join(args.out, f"{name}.parquet")

@@ -280,3 +280,40 @@ def test_gen_embeddings_and_events_schemas_and_dups(spark):
     ).first()
     assert stats[0] >= 0.0 and 40 < stats[1] < 60
     assert stats[2] == 5 and 1400 <= stats[3] <= 1500
+
+
+def test_gen_supplier_schema_and_match_graph(spark):
+    """Round-6 testdata twin: the generated supplier table must mirror
+    the shipped schema (s_suppkey, s_name, s_nationkey, s_acctbal),
+    carry TPC-H-style zero-padded names (whose single-digit differences
+    form the edit-distance-1 graph wh_entity_resolution resolves), stay
+    deterministic, and keep acctbal inside the TPC-H band."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.sources import generator as G
+
+    s = G.gen_supplier(spark, 1000)
+    assert s.schema.simpleString() == (
+        "struct<s_suppkey:bigint,s_name:string,s_nationkey:int,"
+        "s_acctbal:double>"
+    )
+    rows = s.orderBy("s_suppkey").limit(3).collect()
+    assert [r.s_name for r in rows] == [
+        "Supplier#000000000", "Supplier#000000001", "Supplier#000000002",
+    ]
+    stats = s.agg(
+        F.min("s_acctbal"), F.max("s_acctbal"),
+        F.countDistinct("s_nationkey"), F.count(F.lit(1)),
+    ).first()
+    assert stats[0] >= -999.99 and stats[1] <= 9999.99
+    assert stats[2] == 25 and stats[3] == 1000
+    # deterministic across builds
+    a = {tuple(r) for r in G.gen_supplier(spark, 200).collect()}
+    b = {tuple(r) for r in G.gen_supplier(spark, 200).repartition(7).collect()}
+    assert a == b
+    # the edit-distance-1 name graph is non-trivial at this density
+    from cdc_poc_spark.operators.clustering import resolve_entities
+
+    ents = resolve_entities(s.limit(200), "s_name")
+    n_clusters = ents.select("entity_id").distinct().count()
+    assert n_clusters < 200  # single-digit neighbours actually merged
