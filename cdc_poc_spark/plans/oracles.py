@@ -1977,24 +1977,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         best AS (SELECT vec_id, sub, cell, d FROM dist WHERE rn = 1)"""
 
-    _PQ_CTES = _pq_ctes(
-        f"SELECT vec_id AS cell, embedding FROM embeddings"
-        f" WHERE vec_id % {PQ_CENTROID_MOD} = 0"
+    from ..operators.similarity import (
+        IVFPQ_COARSE_CELLS,
+        IVFPQ_MAX_CODES,
+        PQ_MAX_CODES,
     )
-    from ..operators.similarity import IVFPQ_COARSE_CELLS, IVFPQ_MAX_CODES
 
-    # capped codebook for the IVF-PQ path: first max_codes seeds by vec_id
-    # rank (classic fixed-size PQ codebook)
+    # capped codebook: first max_codes seeds by vec_id rank — the classic
+    # fixed-size PQ codebook, and (round 6) the DEFAULT for the plain PQ
+    # queries too: the uncapped every-29th-vector seed grows the codebook
+    # with the corpus and the sf1 spot-bench measured the assignment join
+    # at 40.8x wall for a 10x data step. PQ_MAX_CODES == IVFPQ_MAX_CODES
+    # (256, 8-bit codes), so all three PQ oracles share the identical
+    # capped CTE text and can never drift from one another.
+    assert PQ_MAX_CODES == IVFPQ_MAX_CODES
     _PQ_CTES_CAP = _pq_ctes(
         f"SELECT cell, embedding FROM ("
         f"SELECT vec_id AS cell, embedding,"
         f" row_number() OVER (ORDER BY vec_id) AS _rk"
         f" FROM embeddings WHERE vec_id % {PQ_CENTROID_MOD} = 0)"
-        f" WHERE _rk <= {IVFPQ_MAX_CODES}"
+        f" WHERE _rk <= {PQ_MAX_CODES}"
     )
 
     sqls["sim_pq_encode"] = f"""
-        WITH {_PQ_CTES.strip()}
+        WITH {_PQ_CTES_CAP.strip()}
         SELECT vec_id,
                string_agg(CAST(cell AS VARCHAR), '-' ORDER BY sub) AS codes,
                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -2003,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         FROM best GROUP BY vec_id"""
 
     sqls["sim_pq_adc_topk"] = f"""
-        WITH {_PQ_CTES.strip()},
+        WITH {_PQ_CTES_CAP.strip()},
         q AS (SELECT sub, list_slice(embedding, sub*{_sd}+1, sub*{_sd}+{_sd}) AS q_sub
               FROM embeddings CROSS JOIN subs
               WHERE vec_id = {SIM_QUERY_VEC_ID}),

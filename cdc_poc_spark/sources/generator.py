@@ -412,32 +412,69 @@ def gen_documents(spark: SparkSession, n: int, seed: str = "docs") -> DataFrame:
 
 def gen_embeddings(spark: SparkSession, n: int, seed: str = "vecs") -> DataFrame:
     """``n`` embeddings in the testdata schema (vec_id, embedding
-    array<float> of 64, label 0-9): each vector is its label's seeded
-    center plus per-dimension noise; ~3% of rows are exact re-draws of an
-    earlier vector nudged by 1e-3 — the near-duplicate population the
-    sim_* operators mine."""
+    array<float> of 64, label 0-9): UNIT-NORM vectors with seeded
+    per-(base, dim) uniform directions, so non-dup pairwise cosines
+    concentrate near 0 (+-1/sqrt(64)) exactly like the shipped tables'
+    (measured on sf0.1: |v|^2 = 1.0, adjacent same-label cosine avg 0.01,
+    max 0.31 — random directions; label is metadata, not geometry). ~3% of
+    rows are near-dups: the base row's raw draw plus a 1e-3 nudge, then
+    normalized, so dup pairs sit at cosine ~1-1e-7 and everything else
+    stays far below any dup threshold.
+
+    Load-bearing for scale benchmarks, learned the measured way (the
+    embedding-side sibling of gen_documents' Heaps-law lesson): the first
+    version drew each vector as its LABEL's center plus noise — 10 tight
+    cones at same-label cosine ~0.92, a geometry the shipped data does
+    not have — and at a 10x corpus every same-label pair became a
+    blocking-stage candidate, inflating the whole embedding-pair family
+    quadratically (sim_embedding_dups_ivf 78x for a 10x data step; with
+    shipped-matching geometry the candidate population scales with the
+    true dup population, which is linear in n)."""
     rows = spark.range(n)
     i = F.col("id")
-    is_dup = (_uniform(i, f"{seed}:isdup") < EMBED_DUP_FRAC) & (i >= 20)
-    base = F.when(
-        is_dup, i - (md5_long_seeded(i, f"{seed}:back") % 17 + 1)
-    ).otherwise(i)
+
+    def _is_dup(e: Column) -> Column:
+        return (_uniform(e, f"{seed}:isdup") < EMBED_DUP_FRAC) & (e >= 20)
+
+    def _hop(e: Column) -> Column:
+        return e - (md5_long_seeded(e, f"{seed}:back") % 17 + 1)
+
+    is_dup = _is_dup(i)
+    # Chase the back-reference to a NON-dup base (same rationale as
+    # gen_documents: a dup-of-a-dup's emitted vector is the grand-base's
+    # direction, so a single-hop reference would label pairs that are not
+    # in fact close). Three hops leave ~EMBED_DUP_FRAC^4 unresolved.
+    b1 = _hop(i)
+    b2 = F.when(_is_dup(b1), _hop(b1)).otherwise(b1)
+    b3 = F.when(_is_dup(b2), _hop(b2)).otherwise(b2)
+    base = F.when(is_dup, F.when(_is_dup(b3), _hop(b3)).otherwise(b3)).otherwise(i)
     label = (md5_long_seeded(base, f"{seed}:label") % EMBED_GEN_LABELS).cast("int")
 
     def _u01(key: Column, salt: str) -> Column:
         return (md5_long_seeded(key, salt) % _U_MOD).cast("double") / _U_MOD
 
     dim_key = lambda k, d: F.concat(k.cast("string"), F.lit(":"), d.cast("string"))
-    vec = F.transform(
+    raw = F.transform(
         F.sequence(F.lit(0), F.lit(EMBED_GEN_DIM - 1)),
         lambda d: (
-            (_u01(dim_key(label, d), f"{seed}:center") - 0.5) * 2.0
-            + (_u01(dim_key(base, d), f"{seed}:noise") - 0.5) * 0.6
+            (_u01(dim_key(base, d), f"{seed}:noise") - 0.5)
             + F.when(is_dup, (_u01(dim_key(i, d), f"{seed}:nudge") - 0.5) * 2e-3)
             .otherwise(F.lit(0.0))
-        ).cast("float"),
+        ),
     )
-    return rows.select(i.alias("vec_id"), vec.alias("embedding"), label.alias("label"))
+    staged = rows.select(
+        i.alias("vec_id"), raw.alias("_raw"), label.alias("label")
+    )
+    norm = F.sqrt(
+        F.aggregate("_raw", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return staged.select(
+        "vec_id",
+        F.transform("_raw", lambda x: (x / norm).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
 
 
 def gen_testdata_events(

@@ -282,6 +282,47 @@ def test_gen_embeddings_and_events_schemas_and_dups(spark):
     assert stats[2] == 5 and 1400 <= stats[3] <= 1500
 
 
+def test_gen_embeddings_geometry_matches_shipped(spark):
+    """The twin's sim-op-relevant statistics must match the shipped
+    embeddings (measured on sf0.1: |v|^2 = 1.0 exactly, adjacent-pair
+    cosine avg 0.01 / max 0.31 — i.e. random unit directions, label is
+    metadata not geometry). The first twin drew 10 label-centered cones
+    (same-label cosine ~0.92) and every embedding-pair op measured
+    quadratic candidate pathology at 10x instead of algorithm — this
+    test pins the corrected geometry at two scales 8x apart."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.similarity import dot
+    from cdc_poc_spark.sources import generator as G
+
+    for n in (1000, 8000):
+        e = G.gen_embeddings(spark, n)
+        norms = e.select(
+            dot(F.col("embedding"), F.col("embedding")).alias("sq")
+        ).agg(F.min("sq"), F.max("sq")).first()
+        assert 0.9999 < norms[0] and norms[1] < 1.0001
+        # adjacent-id pairs are non-dup with overwhelming probability:
+        # their cosines must concentrate near 0 like random 64-dim
+        # directions (std 1/8), nowhere near any dup threshold
+        a = e.alias("a")
+        b = e.alias("b")
+        cos = (
+            a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+            .select(dot(F.col("a.embedding"), F.col("b.embedding")).alias("c"))
+            .agg(
+                F.avg("c"),
+                F.sum((F.abs(F.col("c")) > 0.75).cast("int")),
+                F.count("*"),
+            )
+            .first()
+        )
+        assert abs(cos[0]) < 0.05
+        # a dup whose back-reference offset is exactly 1 IS an adjacent
+        # pair at cosine ~1 (expected ~ n * 0.03/17 of them); everything
+        # else must sit far below any dup threshold
+        assert cos[1] / cos[2] < 0.01
+
+
 def test_gen_supplier_schema_and_match_graph(spark):
     """Round-6 testdata twin: the generated supplier table must mirror
     the shipped schema (s_suppkey, s_name, s_nationkey, s_acctbal),

@@ -208,3 +208,39 @@ def test_semantic_decontaminate_flags_only_near_bench(spark):
     assert set(got) == {1, 51}
     assert got[1][0] == 1 and got[1][1] > 0.99
     assert got[51] == (1, 1.0)
+
+
+def test_pq_codebook_fixed_at_scale(spark):
+    """Round 6: pq_encode / pq_adc_topk default to the classic fixed
+    256-entry codebook (PQ_MAX_CODES). Below 256*29 ~ 7.4k vectors the
+    cap never binds (all shipped testdata scales are unchanged); above
+    it the codebook must STOP growing — the uncapped every-29th-vector
+    seed made assignment O(n^2/29) and measured 40.8x wall at a 10x data
+    step in the round-6 sf1 spot-bench."""
+    from cdc_poc_spark.sources import generator as G
+
+    emb = G.gen_embeddings(spark, 9000)  # 9000/29 = 310 raw seeds > 256
+    used = (
+        similarity.pq_encode(emb)
+        .select(F.explode(F.split("codes", "-")).alias("cell"))
+        .distinct()
+        .count()
+    )
+    assert used <= similarity.PQ_MAX_CODES
+    top = similarity.pq_adc_topk(emb, 0, k=10).collect()
+    assert len(top) == 10
+    # ADC scores are sums of LUT entries over the SAME capped codebook —
+    # every scored vector's code cells must come from the capped seed set
+    seeds = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % similarity.PQ_CENTROID_MOD == 0)
+        .orderBy("vec_id")
+        .limit(similarity.PQ_MAX_CODES)
+        .collect()
+    }
+    cells = {
+        int(c)
+        for r in similarity.pq_encode(emb).limit(50).collect()
+        for c in r.codes.split("-")
+    }
+    assert cells <= seeds
