@@ -24,10 +24,16 @@ applies the merge chain to distinct words only and joins the pieces back
 to token positions — again corpus-sized work only at the boundary scan
 and the final per-doc reassembly.
 
-Control plane: each training round reads back ONE row (the argmax pair)
-— bounded by ``num_merges``, the same driver-side footprint as the CC
+Control plane: with the default ``strategy="auto"`` the merge loop runs
+in-driver over the collected vocabulary when it fits the
+``BPE_DRIVER_VOCAB_CAP`` guard (the vocabulary is control-plane-sized by
+Heaps' law; this is the classic single-node BPE trainer shape and costs
+zero per-round jobs), falling back to the distributed fold rounds past
+the cap — where each round reads back ONE row (the argmax pair),
+bounded by ``num_merges``, the same driver-side footprint as the CC
 loop's convergence scalar. The merge table itself is ``num_merges`` rows
-and broadcasts by construction.
+and broadcasts by construction. The two strategies are differentially
+tested equal and both match the independent pure-Python reference.
 """
 
 from __future__ import annotations
@@ -41,6 +47,11 @@ from .text_analysis import tokens
 BPE_NUM_MERGES = 10
 _WORDS_PARTITIONS = 8
 _CKPT_EVERY = 5
+# Vocabulary guard for the driver-side merge loop: 2^21 distinct words
+# (a full web-corpus vocabulary per Heaps' law is ~10^5-10^6; 2M words
+# of ~10 chars is ~tens of MB of driver state). Past it, train_merges
+# falls back to the distributed fold rounds automatically.
+BPE_DRIVER_VOCAB_CAP = 1 << 21
 
 
 def _chars(word: Column) -> Column:
@@ -157,8 +168,68 @@ def _fuse_merge_groups(
     return groups
 
 
+def _train_driver(
+    word_counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over collected ``(word, count)`` rows —
+    incremental pair counts with a pair -> word inverted index, so each
+    round touches only the words containing the chosen pair (the classic
+    single-node BPE trainer shape). Semantics are identical to the
+    distributed fold rounds: same weighted pair counts, same argmax
+    tie-break (count desc, then (a, b) lexical — Python code-point order
+    == Spark's UTF8 binary order, UTF-8 preserves code-point ordering),
+    same leftmost-first merge application, same hapax early stop.
+    ``list(word)`` matches :func:`_chars` symbol-for-symbol (both keep
+    non-BMP code points whole)."""
+    from collections import Counter, defaultdict
+
+    vocab = [list(w) for w, _ in word_counts]
+    counts = [c for _, c in word_counts]
+    pc: Counter[tuple[str, str]] = Counter()
+    where: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, syms in enumerate(vocab):
+        c = counts[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += c
+            where[p].add(idx)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b, int(cnt)))
+        fused = a + b
+        for idx in list(where.get((a, b), ())):
+            syms, c = vocab[idx], counts[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] -= c
+                if pc[p] <= 0:
+                    del pc[p]
+                where[p].discard(idx)
+            new: list[str] = []
+            for s in syms:  # leftmost-first, same as _apply_merge
+                if new and new[-1] == a and s == b:
+                    new[-1] = fused
+                else:
+                    new.append(s)
+            vocab[idx] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pc[p] += c
+                where[p].add(idx)
+    return merges
+
+
 def train_merges(
-    docs: DataFrame, num_merges: int = BPE_NUM_MERGES
+    docs: DataFrame,
+    num_merges: int = BPE_NUM_MERGES,
+    strategy: str = "auto",
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn up to ``num_merges`` BPE merges from the corpus.
 
@@ -167,30 +238,71 @@ def train_merges(
     expressions) and the same as a DataFrame ``(rank, a, b,
     pair_count)``.
 
-    Each round: weighted adjacent-pair counts over the distinct-word
-    table -> deterministic argmax (count desc, then (a, b) lexical,
-    phrased as ``min(struct(-count, a, b))`` — a two-stage partial
-    aggregate, cheaper than a TakeOrdered sort) -> fold-merge that pair
-    into every word's symbol sequence. Loop hygiene, A/B-measured at
-    sf0.001/sf0.1 (10s -> ~3s for 10 merges): the word table is
-    coalesced to a few partitions (per-round jobs on a vocabulary-sized
-    table are scheduling-bound, not data-bound; a cluster run with a
-    10^6-word vocab would raise ``_WORDS_PARTITIONS``) and lineage is
-    truncated with localCheckpoint every ``_CKPT_EVERY`` merges instead
-    of every round — between truncations a round re-evaluates at most
-    ``_CKPT_EVERY - 1`` extra folds over the tiny table, far cheaper
-    than a materialization job each. Training stops early when no pair
-    repeats (max count < 2 — merging a hapax pair only renames it)."""
-    words = (
+    The corpus is touched exactly once either way — by the distributed
+    word-count aggregate. What varies is where the merge LOOP runs over
+    the distinct-word table, which is vocabulary-sized (Heaps' law) and
+    therefore control-plane data, not corpus data:
+
+    - ``strategy="auto"`` (default): if the vocabulary fits the
+      ``BPE_DRIVER_VOCAB_CAP`` guard (2^21 distinct words — tens of MB,
+      the same driver-footprint class as the CC convergence scalar and
+      the cap-asserted sketch probe), collect it once and run the merge
+      loop in-driver with incremental pair counts
+      (:func:`_train_driver`) — zero per-round jobs. This is the classic
+      single-node BPE trainer shape and removes the per-round scheduler
+      latency that dominated the distributed loop at local scale
+      (round-6 A/B: the 10-round distributed loop spent ~3s on
+      vocabulary-sized jobs that the driver loop does in milliseconds).
+      Past the cap it falls back to the distributed rounds
+      automatically. The cap read costs one job (``limit(cap+1)``).
+    - ``strategy="driver"`` / ``"distributed"``: force one path (the
+      strategies are differentially tested equal, and both match the
+      independent pure-Python reference in tests/test_bpe.py).
+
+    Distributed rounds: weighted adjacent-pair counts over the
+    distinct-word table -> deterministic argmax (count desc, then (a, b)
+    lexical, phrased as ``min(struct(-count, a, b))`` — a two-stage
+    partial aggregate, cheaper than a TakeOrdered sort) -> fold-merge
+    that pair into every word's symbol sequence. Loop hygiene,
+    A/B-measured at sf0.001/sf0.1 (10s -> ~3s for 10 merges): the word
+    table is coalesced to a few partitions (per-round jobs on a
+    vocabulary-sized table are scheduling-bound, not data-bound; a
+    cluster run with a 10^6-word vocab would raise
+    ``_WORDS_PARTITIONS``) and lineage is truncated with localCheckpoint
+    every ``_CKPT_EVERY`` merges instead of every round — between
+    truncations a round re-evaluates at most ``_CKPT_EVERY - 1`` extra
+    folds over the tiny table, far cheaper than a materialization job
+    each. Training stops early when no pair repeats (max count < 2 —
+    merging a hapax pair only renames it)."""
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    spark = docs.sparkSession
+    word_counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
-        .withColumn("syms", _chars(F.col("word")))
+    )
+    if strategy != "distributed":
+        rows = word_counts
+        if strategy == "auto":
+            rows = rows.limit(BPE_DRIVER_VOCAB_CAP + 1)
+        collected = rows.collect()
+        if strategy == "driver" or len(collected) <= BPE_DRIVER_VOCAB_CAP:
+            merges = _train_driver(
+                [(r.word, int(r.wcount)) for r in collected],
+                num_merges,
+            )
+            merges_df = spark.createDataFrame(
+                [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+                "rank long, a string, b string, pair_count long",
+            )
+            return merges, merges_df
+    words = (
+        word_counts.withColumn("syms", _chars(F.col("word")))
         .select("wcount", "syms")
         .coalesce(_WORDS_PARTITIONS)
         .localCheckpoint()
     )
-    spark = docs.sparkSession
     merges: list[tuple[str, str, int]] = []
     rounds_since_ckpt = 0
     for _ in range(int(num_merges)):

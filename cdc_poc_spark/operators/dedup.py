@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_seeded, minhash_constants
-from ..functions.partitioning import spread
+from ..functions.partitioning import hash_distinct, spread
 from .text_analysis import tokens
 
 # MinHash-LSH defaults: 12 hashes in 4 bands of 3 — generous recall at the
@@ -184,15 +184,16 @@ def ngram_jaccard_pairs(
     pref = arrs.select(
         "doc_id", F.explode(F.slice("shs", 1, plen)).alias("shingle")
     )
-    cand = (
+    cand = hash_distinct(
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
+        "doc_a",
+        "doc_b",
     )
     aa = arrs.select(
         F.col("doc_id").alias("doc_a"),
@@ -257,14 +258,15 @@ def containment_pairs(
     full = arrs.select(
         F.col("doc_id").alias("doc_f"), F.explode("shs").alias("shingle")
     )
-    cand = (
+    cand = hash_distinct(
         pref.join(full, "shingle")
         .filter(F.col("doc_id") != F.col("doc_f"))
         .select(
             F.least("doc_id", "doc_f").alias("doc_a"),
             F.greatest("doc_id", "doc_f").alias("doc_b"),
-        )
-        .distinct()
+        ),
+        "doc_a",
+        "doc_b",
     )
     aa = arrs.select(
         F.col("doc_id").alias("doc_a"),
@@ -354,7 +356,7 @@ def minhash_lsh_candidates(
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    return pairs.distinct()
+    return hash_distinct(pairs, "doc_a", "doc_b")
 
 
 def minhash_lsh_dups(
@@ -392,15 +394,16 @@ def minhash_lsh_dups(
     sigs = base.filter(F.size("sh") > 0).select("doc_id", *sig_cols)
     all_buckets = _banded(sigs, bands, rows)
     a, b_ = all_buckets.alias("a"), all_buckets.alias("b")
-    cands = (
+    cands = hash_distinct(
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket_key") == F.col("b.bucket_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
+        "doc_a",
+        "doc_b",
     )
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -466,7 +469,7 @@ def incremental_minhash_dups(
         return _banded(base.filter(F.size("sh") > 0).select("doc_id", *sig_cols), bands, rows)
 
     idx, bat = _prep(index_docs), _prep(batch_docs)
-    cands = (
+    cands = hash_distinct(
         _buckets(bat)
         .alias("b")
         .join(
@@ -476,8 +479,9 @@ def incremental_minhash_dups(
         )
         .select(
             F.col("b.doc_id").alias("doc_batch"), F.col("a.doc_id").alias("doc_index")
-        )
-        .distinct()
+        ),
+        "doc_batch",
+        "doc_index",
     )
     sb = bat.select(F.col("doc_id").alias("doc_batch"), F.col("sh").alias("sh_b"))
     sa = idx.select(F.col("doc_id").alias("doc_index"), F.col("sh").alias("sh_a"))

@@ -220,3 +220,34 @@ def test_greedy_encode_matches_fold_chain(spark):
         for r in bpe.encode(docs, merges, method="folds").collect()
     }
     assert greedy == folds
+
+
+def test_bpe_train_strategies_agree(spark):
+    """Round 6: train_merges grew a driver-side merge loop (the default
+    below BPE_DRIVER_VOCAB_CAP — the vocabulary is control-plane-sized
+    by Heaps' law, and the per-round Spark jobs were pure scheduler
+    latency at any scale where the vocab fits the driver). Both
+    strategies must produce the IDENTICAL merge table on corpora with
+    ties, overlap runs, non-ASCII symbols, and repeated words — and the
+    incremental pair-count bookkeeping must agree with the full recount
+    the distributed rounds do."""
+    texts = [
+        "the quick brown fox the quick",
+        "aaaa aaa aa a",
+        "part park parse sparse éé éclair",
+        "ababab abab ab",
+        "tie tje tke",  # forced count ties -> lexical tie-break
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_driver, df_driver = bpe.train_merges(docs, 12, strategy="driver")
+    got_dist, df_dist = bpe.train_merges(docs, 12, strategy="distributed")
+    assert got_driver == got_dist == ref_train(texts, 12)
+    assert (
+        [tuple(r) for r in df_driver.orderBy("rank").collect()]
+        == [tuple(r) for r in df_dist.orderBy("rank").collect()]
+    )
+    # auto at this size resolves to the driver loop and must match too
+    got_auto, _ = bpe.train_merges(docs, 12)
+    assert got_auto == got_driver
