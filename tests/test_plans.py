@@ -553,3 +553,23 @@ def test_bench_list_resolves_against_registry():
     missing = [n for n in bench.BENCH_QUERIES if n not in reg]
     assert not missing, missing
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_hash_distinct_single_wide_exchange(spark):
+    """partitioning.hash_distinct (round 6): the candidate-pair dedup
+    must carry exactly ONE shuffle (dropDuplicates reuses the explicit
+    repartition's hash layout instead of adding its own exchange), and
+    that shuffle's partition count must be the explicit full-width one —
+    a bare .distinct() lets AQE size the exchange by bytes and collapse
+    the dedup onto 1-2 partitions (measured 116.3s vs 18.3s for
+    embedding_dup_pairs_ivf on the 10x corpus)."""
+    from cdc_poc_spark.functions.partitioning import hash_distinct
+
+    df = spark.range(10000).selectExpr(
+        "id % 97 AS vec_a", "id % 89 AS vec_b"
+    )
+    plan = _plan(hash_distinct(df, "vec_a", "vec_b"))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    par = spark.sparkContext.defaultParallelism
+    assert f", {par})," in plan or f", {par})" in plan, plan
