@@ -1842,12 +1842,23 @@ def oracle_sql() -> dict[str, str]:
     def _l2sq_sql(a: str, b: str) -> str:
         return f"({dot_sql(a, a)} + {dot_sql(b, b)} - 2 * {dot_sql(a, b)})"
 
-    from ..operators.similarity import IVF_CENTROID_MOD, IVF_NPROBE
+    from ..operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_COARSE_CELLS,
+        IVF_NPROBE,
+    )
 
+    # cent is the FIXED query-time coarse codebook (round 6): first
+    # IVF_COARSE_CELLS seeds by vec_id rank, the identical capped-seed
+    # device as the PQ codebook — with the uncapped growing seed the
+    # assignment CROSS JOIN below is O(n^2/29) in both engines.
     sqls["sim_ann_ivf"] = f"""
         WITH cent AS (
-            SELECT vec_id AS cell, embedding AS c_vec
-            FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+            SELECT cell, c_vec FROM (
+                SELECT vec_id AS cell, embedding AS c_vec,
+                       row_number() OVER (ORDER BY vec_id) AS _rk
+                FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0
+            ) WHERE _rk <= {IVF_COARSE_CELLS}
         ),
         q AS (SELECT embedding AS q_vec FROM embeddings
               WHERE vec_id = {SIM_QUERY_VEC_ID}),
