@@ -1392,6 +1392,107 @@ def oracle_sql() -> dict[str, str]:
         FROM enc
         GROUP BY doc_id"""
 
+    # ---- BPE train/encode (round 6: rows-only -> full SQL oracles) ----
+    # BPE is iterative, but the merge COUNT is a fixed constant
+    # (BPE_NUM_MERGES), so the whole training loop unrolls into a chain
+    # of CTE rounds: weighted adjacent-pair counts over the distinct-word
+    # state -> argmax (cnt DESC, then (a, b) — DuckDB binary collation ==
+    # Spark UTF8 == Python code points) -> leftmost fold-merge applied
+    # via list_reduce over a chr(31)-delimited symbol STRING (DuckDB 1.0
+    # has no list-accumulator reduce; the sentinel-delimited string is
+    # the same device as the fold-dot list_prepend). Early stop (no pair
+    # with cnt >= 2) makes best_k empty; the LEFT JOIN then NULLs the
+    # merge rule, the CASE never fires, and every later round is a no-op
+    # — exactly the Python trainer's break. Assumes chr(31) (ASCII unit
+    # separator) never occurs inside a token, which holds for every
+    # testdata corpus. string_split(word, '') is per-code-point like
+    # Spark's split(word, '') and Python's list(word).
+    from ..operators.bpe import BPE_NUM_MERGES
+
+    _BSEP = "chr(31)"
+
+    def _bpe_round(k: int) -> str:
+        prev = f"bvocab_{k - 1}"
+        return f"""
+        bpairs_{k} AS (
+            SELECT syms[i] AS a, syms[i+1] AS b, SUM(wcount) AS cnt
+            FROM (SELECT wcount, string_split(s, {_BSEP})[2:] AS syms
+                  FROM {prev}),
+                 unnest(range(1, len(syms))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        bbest_{k} AS (
+            SELECT a, b, cnt FROM bpairs_{k}
+            WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        bvocab_{k} AS (
+            SELECT word, wcount,
+                   list_reduce(
+                       list_prepend('', string_split(s, {_BSEP})[2:]),
+                       (acc, x) -> CASE
+                           WHEN acc <> ''
+                                AND ends_with(acc, {_BSEP} || bbest_{k}.a)
+                                AND x = bbest_{k}.b
+                           THEN left(acc,
+                                     length(acc) - length(bbest_{k}.a) - 1)
+                                || {_BSEP} || bbest_{k}.a || bbest_{k}.b
+                           ELSE acc || {_BSEP} || x END
+                   ) AS s
+            FROM {prev} LEFT JOIN bbest_{k} ON TRUE
+        )"""
+
+    _BPE_CTES = (
+        f"""
+        bvocab_0 AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS wcount,
+                   list_reduce(list_prepend('', string_split(word, '')),
+                               (acc, x) -> acc || {_BSEP} || x) AS s
+            FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS word
+                  FROM documents)
+            GROUP BY word
+        )"""
+        + ","
+        + ",".join(_bpe_round(k) for k in range(1, BPE_NUM_MERGES + 1))
+    )
+
+    sqls["text_bpe_train"] = (
+        "WITH "
+        + _BPE_CTES
+        + "\n        SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({k - 1} AS BIGINT) AS rank, a, b,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM bbest_{k}"
+            for k in range(1, BPE_NUM_MERGES + 1)
+        )
+        + ") ORDER BY rank"
+    )
+
+    sqls["text_bpe_encode"] = (
+        "WITH "
+        + _BPE_CTES
+        + f""",
+        benc AS (SELECT word, substr(s, 2) AS flat
+                 FROM bvocab_{BPE_NUM_MERGES}),
+        btok AS (
+            SELECT doc_id, toks[i] AS word, i AS pos
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '')
+                             AS toks
+                  FROM documents),
+                 unnest(range(1, len(toks) + 1)) AS t(i)
+        )
+        SELECT doc_id,
+               string_agg(replace(flat, {_BSEP}, ' '), ' ' ORDER BY pos)
+                   AS pieces,
+               CAST(SUM(length(flat) - length(replace(flat, {_BSEP}, ''))
+                        + 1) AS BIGINT) AS n_pieces,
+               CAST(SUM(length(replace(flat, {_BSEP}, ''))) AS BIGINT)
+                   AS n_chars
+        FROM btok JOIN benc USING (word)
+        GROUP BY doc_id"""
+    )
+
     sqls["text_lm_score"] = """
         WITH t AS (
             SELECT doc_id,

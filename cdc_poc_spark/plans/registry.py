@@ -1747,12 +1747,13 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge-table training (operators/bpe.py): one
-    corpus-sized word-count aggregate, then ``BPE_NUM_MERGES`` argmax +
-    fold-merge rounds over the vocabulary-sized distinct-word table.
-    Genuinely iterative (each merge depends on all previous), so
-    rows-only for the driver; exactness is held by the pure-Python
-    reference differential in tests/test_bpe.py."""
+    """BPE merge-table training (operators/bpe.py): one corpus-sized
+    word-count aggregate, then ``BPE_NUM_MERGES`` merge rounds over the
+    vocabulary-sized distinct-word state (in-driver below the vocab cap,
+    distributed folds past it). Iterative — but the merge count is a
+    FIXED constant, so the loop unrolls into a chained-CTE DuckDB oracle
+    (round 6; oracles.py): full hash-checked SQL parity, on top of the
+    pure-Python reference differential in tests/test_bpe.py."""
     merges, merges_df = bpe.train_merges(load_table(spark, sf_dir, "documents"))
     return merges_df
 
@@ -1761,7 +1762,10 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword-encode the corpus with merges learned from it: the merge
     chain folds over DISTINCT words only, pieces join back to token
     positions (the word-cache trick). Output pieces are space-joined
-    (pieces are substrings of whitespace tokens, so lossless)."""
+    (pieces are substrings of whitespace tokens, so lossless). SQL
+    oracle since round 6: the unrolled training CTE chain's final vocab
+    state IS the sequential encode of every distinct word (the
+    greedy == sequential equivalence tests pin the Spark side to it)."""
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe.train_merges(docs)
     return bpe.encode(docs, merges)
@@ -4033,17 +4037,28 @@ _RAW_QUERIES: dict[str, QueryFn] = {
         "text_repetition": q_text_repetition,
         "text_stats": q_text_stats,
         "ts_subsequence_search": q_ts_subsequence_search,
+        # Newly oracle-backed this round (never driver-checked, so they
+        # outrank rotation re-checks): BPE train/encode left the
+        # rows-only set late in round 6 — the fixed merge count unrolls
+        # the training loop into a chained-CTE DuckDB oracle (see
+        # oracles.py) — displacing the two youngest rotation entries
+        # (wh_recursive_spine, wh_sessions; their r2 evidence rotates in
+        # round 7).
+        "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
+        # ---- end of driver 50-slot verification window ----
         "wh_recursive_spine": q_wh_recursive_spine,
         "wh_sessions": q_wh_sessions,
-        # ---- end of driver 50-slot verification window ----
         # rows-only queries (no SQL oracle by design — the driver harness
         # scores them err, so they never enter the window; each carries
         # its own invariant/differential tests). sim_ivf_refined left
-        # this set in round 6 (medoid refine, full SQL oracle):
+        # this set in round 6 (medoid refine, full SQL oracle);
+        # text_bpe_train/text_bpe_encode left it too (chained-CTE
+        # oracle), leaving only the two codec-round-trip queries — whose
+        # banded-Hamming join+verify stages carry their own oracle-exact
+        # *_sql signature twins below:
         "mm_image_dedup": q_mm_image_dedup,
         "mm_audio_dedup": q_mm_audio_dedup,
-        "text_bpe_train": q_text_bpe_train,
-        "text_bpe_encode": q_text_bpe_encode,
         # driver-green in earlier rounds with unchanged semantics since:
         "stream_dedup_state_native": q_stream_dedup_state_native,
         "sim_embedding_dups_ivf_capped": q_sim_embedding_dups_ivf_capped,
