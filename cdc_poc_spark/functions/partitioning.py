@@ -90,7 +90,18 @@ def hash_distinct(df: DataFrame, *cols: str) -> DataFrame:
     output. Explicit partition counts are exempt from AQE coalescing,
     and ``dropDuplicates`` over the repartition keys reuses the
     exchange, so the plan still carries exactly ONE shuffle for the
-    dedup."""
+    dedup.
+
+    Precondition: ``cols`` must cover EVERY column of ``df`` — this is a
+    ``.distinct()`` replacement, not a keep-one-per-key operator. On a
+    wider frame ``dropDuplicates`` would keep one arbitrary row per key
+    and silently change semantics, so that call shape is rejected."""
+    if set(cols) != set(df.columns):
+        raise ValueError(
+            "hash_distinct replaces .distinct(): cols must equal df.columns "
+            f"(got {sorted(cols)} vs {sorted(df.columns)}); "
+            "pre-project the frame or use dropDuplicates explicitly"
+        )
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, *cols).dropDuplicates(list(cols))
 

@@ -282,27 +282,36 @@ def train_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
     )
-    if strategy != "distributed":
-        rows = word_counts
-        if strategy == "auto":
-            rows = rows.limit(BPE_DRIVER_VOCAB_CAP + 1)
-        collected = rows.collect()
-        if strategy == "driver" or len(collected) <= BPE_DRIVER_VOCAB_CAP:
-            merges = _train_driver(
-                [(r.word, int(r.wcount)) for r in collected],
-                num_merges,
-            )
-            merges_df = spark.createDataFrame(
-                [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
-                "rank long, a string, b string, pair_count long",
-            )
-            return merges, merges_df
+    if strategy == "auto":
+        # Learn the cardinality with a COUNT over a persisted frame, not a
+        # collect: near the cap a collect-to-decide would ship hundreds of
+        # MB of Row objects to the driver just to measure len(), and on
+        # fallback the aggregate would re-run from scratch. The persist
+        # also feeds whichever path wins, so the word-count scan runs once.
+        word_counts = word_counts.persist()
+        if word_counts.limit(BPE_DRIVER_VOCAB_CAP + 1).count() > BPE_DRIVER_VOCAB_CAP:
+            strategy = "distributed"
+        else:
+            strategy = "driver"
+    if strategy == "driver":
+        collected = word_counts.collect()
+        word_counts.unpersist()
+        merges = _train_driver(
+            [(r.word, int(r.wcount)) for r in collected],
+            num_merges,
+        )
+        merges_df = spark.createDataFrame(
+            [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+            "rank long, a string, b string, pair_count long",
+        )
+        return merges, merges_df
     words = (
         word_counts.withColumn("syms", _chars(F.col("word")))
         .select("wcount", "syms")
         .coalesce(_WORDS_PARTITIONS)
         .localCheckpoint()
     )
+    word_counts.unpersist()  # no-op unless the auto path persisted it
     merges: list[tuple[str, str, int]] = []
     rounds_since_ckpt = 0
     for _ in range(int(num_merges)):

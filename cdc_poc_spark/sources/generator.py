@@ -529,15 +529,179 @@ def gen_supplier(spark: SparkSession, n: int, seed: str = "tdsup") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-shaped testdata twins (round 7): the sf1 spot-bench previously
+# skipped the 19 wh_* queries whose inputs are the TPC-H star schema
+# (lineitem/orders/part/customer + the fixed nation/region dims) because
+# only events/documents/embeddings/supplier had 10x generators. These
+# generators reproduce the SHIPPED testdata tables' schemas, vocabularies
+# and density structure (profiled from /root/testdata/sf0.1: flag/status/
+# priority/segment frequencies, value ranges, 1..7 lines per order with
+# mean ~4, day-granular date ranges, the adj+noun p_name vocabulary whose
+# token overlap drives the part-text queries) as seeded Catalyst
+# expressions — fresh draws in the same distribution, not id-offset
+# replicas, so join fan-outs and group cardinalities scale the way a real
+# corpus's would. nation/region are generated at their FIXED sizes:
+# dimensions legitimately stay small as facts grow (the broadcast-join
+# premise the whole engine is built on).
+
+TPCH_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+TPCH_PTYPES = ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+TPCH_ADJS = ("blue", "cold", "hot", "large", "new", "old", "red", "small")
+TPCH_NOUNS = ("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+TPCH_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+TPCH_REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+
+def gen_region(spark: SparkSession) -> DataFrame:
+    """The fixed 5-row region dim, identical to the shipped table."""
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(TPCH_REGIONS)],
+        "r_regionkey int, r_name string",
+    )
+
+
+def gen_nation(spark: SparkSession) -> DataFrame:
+    """The fixed 25-row nation dim in the shipped naming scheme
+    (NATION_i, region = i mod 5)."""
+    return spark.createDataFrame(
+        [(i, f"NATION_{i}", i % 5) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
+def gen_part(spark: SparkSession, n: int, seed: str = "tdpart") -> DataFrame:
+    """``n`` parts in the testdata schema: 8x8 adj+noun names (the shared
+    token vocabulary the part-text queries group on), 25 brands, 6 types,
+    sizes 1-50, retail price cycling 900.0-999.9 by partkey like the
+    shipped table."""
+    rows = spark.range(n)
+    i = F.col("id")
+    return rows.select(
+        i.alias("p_partkey"),
+        F.concat_ws(
+            " ",
+            _pick(i, f"{seed}:adj", TPCH_ADJS),
+            _pick(i, f"{seed}:noun", TPCH_NOUNS),
+        ).alias("p_name"),
+        F.concat(
+            F.lit("Brand#"),
+            (md5_long_seeded(i, f"{seed}:brand") % 25 + 1).cast("string"),
+        ).alias("p_brand"),
+        _pick(i, f"{seed}:type", TPCH_PTYPES).alias("p_type"),
+        (md5_long_seeded(i, f"{seed}:size") % 50 + 1).cast("int").alias("p_size"),
+        (F.lit(900.0) + (i % 1000).cast("double") / 10.0).alias("p_retailprice"),
+    )
+
+
+def gen_customer(
+    spark: SparkSession, n: int, seed: str = "tdcust"
+) -> DataFrame:
+    """``n`` customers: Customer#%09d names, 25 nations, acctbal uniform
+    in [-999.99, 9999.99], 5-way market segment."""
+    rows = spark.range(n)
+    i = F.col("id")
+    return rows.select(
+        i.alias("c_custkey"),
+        F.format_string("Customer#%09d", i).alias("c_name"),
+        (md5_long_seeded(i, f"{seed}:nat") % 25).cast("int").alias("c_nationkey"),
+        F.round(_uniform(i, f"{seed}:bal") * 10999.98 - 999.99, 2).alias(
+            "c_acctbal"
+        ),
+        _pick(i, f"{seed}:seg", TPCH_SEGMENTS).alias("c_mktsegment"),
+    )
+
+
+def gen_orders(
+    spark: SparkSession, n: int, n_customers: int, seed: str = "tdord"
+) -> DataFrame:
+    """``n`` orders: custkey uniform over the customer pool, F/O/P status,
+    totalprice uniform ~[1k, 500k], day-granular dates over the shipped
+    1995-01-01..2001-08-01 range, 5-way priority."""
+    rows = spark.range(n)
+    i = F.col("id")
+    days = (md5_long_seeded(i, f"{seed}:date") % 2404).cast("int")
+    return rows.select(
+        i.alias("o_orderkey"),
+        (md5_long_seeded(i, f"{seed}:cust") % int(n_customers)).alias("o_custkey"),
+        _pick(i, f"{seed}:status", ("F", "O", "P")).alias("o_orderstatus"),
+        F.round(_uniform(i, f"{seed}:price") * 498991.27 + 1001.91, 2).alias(
+            "o_totalprice"
+        ),
+        (
+            F.to_timestamp(F.lit("1995-01-01 00:00:00"))
+            + F.make_interval(days=days)
+        ).alias("o_orderdate"),
+        _pick(i, f"{seed}:pri", TPCH_PRIORITIES).alias("o_orderpriority"),
+    )
+
+
+def gen_lineitem(
+    spark: SparkSession,
+    n_orders: int,
+    n_parts: int,
+    n_suppliers: int,
+    seed: str = "tdli",
+) -> DataFrame:
+    """~4x``n_orders`` line items: each order draws 1-7 lines (uniform,
+    mean 4 — the shipped per-order fan-out), line columns seeded from the
+    (orderkey, linenumber) composite so every line is an independent
+    deterministic draw. Generation is one range + one explode of a
+    bounded sequence — no shuffle, embarrassingly parallel at any n."""
+    orders = spark.range(n_orders)
+    o = F.col("id")
+    n_lines = (md5_long_seeded(o, f"{seed}:nl") % 7 + 1).cast("int")
+    lines = orders.select(
+        o.alias("l_orderkey"),
+        F.explode(F.sequence(F.lit(1), n_lines)).alias("l_linenumber"),
+    )
+    # composite per-line key: orderkey * 8 + linenumber (linenumber <= 7)
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return lines.select(
+        "l_orderkey",
+        (md5_long_seeded(k, f"{seed}:part") % int(n_parts)).alias("l_partkey"),
+        (md5_long_seeded(k, f"{seed}:supp") % int(n_suppliers)).alias("l_suppkey"),
+        F.col("l_linenumber").cast("int"),
+        (md5_long_seeded(k, f"{seed}:qty") % 50 + 1).cast("double").alias(
+            "l_quantity"
+        ),
+        F.round(
+            _uniform(k, f"{seed}:price") * 104099.23 + 900.68, 2
+        ).alias("l_extendedprice"),
+        ((md5_long_seeded(k, f"{seed}:disc") % 11).cast("double") / 100.0).alias(
+            "l_discount"
+        ),
+        ((md5_long_seeded(k, f"{seed}:tax") % 9).cast("double") / 100.0).alias(
+            "l_tax"
+        ),
+        _pick(k, f"{seed}:rf", ("A", "N", "R")).alias("l_returnflag"),
+        _pick(k, f"{seed}:ls", ("F", "O")).alias("l_linestatus"),
+        (
+            F.to_timestamp(F.lit("1995-01-02 00:00:00"))
+            + F.make_interval(
+                days=(md5_long_seeded(k, f"{seed}:ship") % 2498).cast("int")
+            )
+        ).alias("l_shipdate"),
+    )
+
+
 __all__ = [
     "DEVICES",
     "EVENT_WEIGHTS",
     "DURATION_BANDS",
     "gen_content",
+    "gen_customer",
     "gen_documents",
     "gen_embeddings",
     "gen_events",
     "gen_events_stream",
+    "gen_lineitem",
+    "gen_nation",
+    "gen_orders",
+    "gen_part",
+    "gen_region",
     "gen_supplier",
     "gen_testdata_events",
     "wire_encode",

@@ -40,10 +40,11 @@ def test_cc_matches_union_find(spark):
 def test_cc_chain_converges_in_log_rounds(spark):
     # a 64-node path graph is the worst case for plain label propagation
     # (diameter 63); pointer jumping must close it well inside the cap
+    # (forced distributed: auto would short-circuit to the driver path)
     n = 64
     pairs = [(i, i + 1) for i in range(n - 1)]
     edges = spark.createDataFrame(pairs, ["src", "dst"])
-    got = connected_components(edges, max_rounds=12)
+    got = connected_components(edges, max_rounds=12, strategy="distributed")
     assert got.select(F.count_distinct("cluster_id")).first()[0] == 1
     assert got.filter(F.col("cluster_id") != 0).count() == 0
     assert got.count() == n
@@ -53,7 +54,41 @@ def test_cc_raises_without_fixpoint(spark):
     pairs = [(i, i + 1) for i in range(40)]
     edges = spark.createDataFrame(pairs, ["src", "dst"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_rounds=1)
+        connected_components(edges, max_rounds=1, strategy="distributed")
+
+
+def test_cc_driver_matches_distributed(spark):
+    # the round-7 guarded driver fast path must produce the identical
+    # (node, cluster_id) relation as the distributed loop — chains,
+    # cliques, isolated-by-self-loop nodes, and 60-bit-sized ids mixed
+    pairs = (
+        [(i, i + 1) for i in range(30)]  # path
+        + [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+        + [(2**59 + 7, 2**59 + 11), (2**59 + 11, 3)]
+        + [(500, 500)]
+    )
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    drv = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, strategy="driver").collect()
+    }
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, strategy="distributed").collect()
+    }
+    assert drv == dist
+
+
+def test_cc_auto_takes_driver_path_under_cap(spark):
+    # under the cap, auto == driver (identical relation), and the result
+    # is still correct against the pure-python reference
+    pairs = [(2 * i, 2 * i + 1) for i in range(50)] + [(1, 2)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == _py_components(pairs)
 
 
 def test_dup_clusters_keeper_invariants(spark, sf_dir):

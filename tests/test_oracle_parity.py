@@ -20,22 +20,13 @@ def test_every_query_has_oracle_or_is_flagged():
     # histogram / md5 CMS counters — whose estimates the oracle reproduces
     # bit-for-bit; the engine-internal HLL++/GK/count_min_sketch fast paths
     # remain as library functions with error-bound tests in test_wh_sql.py)
-    # sim_ivf_refined: iterative Lloyd refinement (k-means) — invariants
-    # asserted in tests/test_ivf.py instead
-    # mm_image_dedup: PNG render->decode->aHash round-trip is not
-    # SQL-expressible; hash/band/join correctness asserted against
-    # constructed duplicate images in tests/test_multimodal.py
-    # text_bpe_train / text_bpe_encode: BPE merge learning is genuinely
-    # iterative (each merge depends on all previous — no single SQL pass);
-    # exactness held by the pure-Python reference differential in
-    # tests/test_bpe.py
-    allowed_rows_only: set[str] = {
-        "sim_ivf_refined",
-        "mm_image_dedup",
-        "mm_audio_dedup",
-        "text_bpe_train",
-        "text_bpe_encode",
-    }
+    # Round 7: the rows-only set is EMPTY — mm_image_dedup/mm_audio_dedup
+    # (the last two members) gained full oracles once their render specs
+    # moved to the portable md5-60bit hash and their fingerprints to
+    # exact integer arithmetic; the codec encode/decode round trips are
+    # pixel/sample-identity (tests/test_media_codecs.py), so the oracles
+    # model them as identity and recompute everything else.
+    allowed_rows_only: set[str] = set()
     assert set(missing) <= allowed_rows_only
 
 
