@@ -42,6 +42,13 @@ class PipelineConfig:
     warehouse_path: str
     serving_prefix: str = "serving_"
     trigger_once: bool = True  # availableNow for tests; prod: 30 s cadence
+    # Fault injection for checkpoint-recovery tests: raise BEFORE
+    # processing the micro-batch with this id, killing the query after
+    # the preceding batches committed — the deterministic stand-in for
+    # an executor/driver crash mid-run. Structured Streaming then
+    # re-runs the SAME batch id with the SAME data on restart, which is
+    # exactly the exactly-once contract the kill-and-resume tests pin.
+    inject_fail_at_batch: int | None = None
 
 
 def file_wire_source(
@@ -90,6 +97,12 @@ def run_cdc_pipeline(
     parsed = debezium.parse_envelope(wire, after_schema)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if config.inject_fail_at_batch is not None and (
+            batch_id == config.inject_fail_at_batch
+        ):
+            raise RuntimeError(
+                f"injected fault before batch {batch_id} (recovery test)"
+            )
         good = debezium.good_rows(batch_df)
         enriched = enrich(good, dim)
         sinks.write_warehouse(enriched, config.warehouse_path)
