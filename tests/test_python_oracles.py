@@ -1,13 +1,15 @@
-"""Python-oracle differentials for the rows-only (non-SQL-expressible)
-codec pipelines: an independent pure numpy/pandas reimplementation of the
-full render -> decode -> fingerprint -> banded-join pipeline, compared
-against the Spark result over the real sf0.001 corpus. The DuckDB harness
-cannot check these (no codec in SQL); this is the equivalent-strength
-differential for them."""
+"""Python-oracle differentials for the codec pipelines: an independent
+pure numpy/pandas reimplementation of the full render -> decode ->
+fingerprint -> banded-join pipeline, compared against the Spark result
+over the real sf0.001 corpus. Since round 7 the same pipelines also carry
+full DuckDB oracles (md5-convention renders + integer-exact fingerprints
+made them SQL-expressible); this differential stays as the third,
+codec-inclusive leg — unlike the SQL oracle it round-trips the REAL
+PNG/WAV bytes."""
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -54,16 +56,17 @@ def test_image_dedup_matches_python_oracle(spark):
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         toks = text.split()
         cells = np.array(
-            [zlib.crc32(" ".join(toks[i:i + 3]).encode()) % 256
+            [int(hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()[:15],
+                 16) % 256
              for i in range(max(0, len(toks) - 2))], dtype=np.int64)
         grid = np.bincount(cells, minlength=256).reshape(16, 16)
         peak = grid.max()
         px = (grid * 255 // peak).astype(np.uint8) if peak else grid.astype(np.uint8)
         # round-trip through the real PNG codec, as the operator does
         _w, _h, _c, dec = mc.png_decode(mc.png_encode(px))
-        gray = dec.astype(np.float64).mean(axis=2)
+        gray = dec.astype(np.int64).sum(axis=2)
         small = mc.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
-        hashes[int(doc_id)] = _to_u64_bits((small > small.mean()).flatten())
+        hashes[int(doc_id)] = _to_u64_bits((small * 64 > small.sum()).flatten())
     expected = _banded_pairs(hashes)
     media = multimodal.synthesize_png_corpus(spark.read.parquet(DOCS))
     got = {
@@ -82,18 +85,22 @@ def test_audio_dedup_matches_python_oracle(spark):
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         toks = text.split() or [""]
         amps = np.array(
-            [(zlib.crc32(t.encode()) % 20000) - 10000 for t in toks], dtype=np.int16)
+            [(int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 20000) - 10000
+             for t in toks], dtype=np.int16)
         samples = np.repeat(amps, 16)
         # round-trip through the real WAV codec, as the operator does
         with wave.open(io.BytesIO(mc.wav_encode(samples)), "rb") as w:
             raw = w.readframes(w.getnframes())
-        s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
         n_sl = 65
         if len(s) < n_sl:
             continue
-        cuts = (np.arange(n_sl + 1) * len(s)) // n_sl
-        energy = np.array([np.abs(s[cuts[i]:cuts[i + 1]]).mean() for i in range(n_sl)])
-        hashes[int(doc_id)] = _to_u64_bits(energy[:-1] > energy[1:])
+        # balanced partition (slice = floor(pos * n_sl / n)), integer
+        # cross-multiply comparison — the round-7 exactness contract
+        cuts = (np.arange(n_sl + 1) * len(s) + n_sl - 1) // n_sl
+        sums = np.array([np.abs(s[cuts[i]:cuts[i + 1]]).sum() for i in range(n_sl)])
+        ns = np.diff(cuts)
+        hashes[int(doc_id)] = _to_u64_bits(sums[:-1] * ns[1:] > sums[1:] * ns[:-1])
     expected = _banded_pairs(hashes)
     media = multimodal.synthesize_wav_corpus(spark.read.parquet(DOCS))
     got = {
