@@ -624,8 +624,10 @@ def token_envelope_fingerprints(
     cross-multiply e_j * n_{j+1} > e_{j+1} * n_j — no floating division
     anywhere. Docs with fewer than (windows+1)/samples_per_token tokens
     yield no fingerprint, like sub-slice-count WAVs. Plan: one
-    posexplode, a bounded run explode, two hash-partitioned aggregates
-    and a 61-row-per-doc window — linear, keyed by media_id throughout.
+    posexplode, a touched-slice explode (closed-form interval overlap —
+    ~1-2 rows per token instead of the naive run-per-sample expansion),
+    two hash-partitioned aggregates and a 61-row-per-doc window —
+    linear, keyed by media_id throughout.
     """
     from ..functions.hashing import md5_long
     from .text_analysis import tokens
@@ -639,6 +641,18 @@ def token_envelope_fingerprints(
     counts = t.groupBy("media_id").agg(
         (F.count(F.lit(1)) * run).alias("total")
     )
+    # Closed-form slice assignment (round 7): a token's ``run`` constant-
+    # energy samples occupy the contiguous interval [base, base+run); the
+    # balanced partition puts sample s in slice floor(s*n_sl/total), so
+    # the token touches ONLY slices j_lo..j_hi (j_lo = slice of base,
+    # j_hi = slice of base+run-1) and contributes overlap-length many
+    # samples to each — an exact integer interval intersection against
+    # the slice boundaries cut(j) = ceil(j*total/n_sl). Replaces the
+    # per-sample explode (run x token rows — 8x row inflation before the
+    # aggregate) with a per-(token, touched-slice) explode (~1-2 rows per
+    # token for any doc longer than ~2 slices); identical (es, ns) per
+    # slice, measured ~2x end-to-end on the sf0.1 signature twins, and at
+    # scale the row count no longer multiplies by the smoothing run.
     t = (
         t.join(counts.filter(F.col("total") >= n_sl), "media_id")
         .select(
@@ -646,18 +660,38 @@ def token_envelope_fingerprints(
             "total",
             (F.col("pos") * run).alias("base"),
             F.pmod(md5_long(F.col("tok")), F.lit(256)).alias("e"),
-            F.explode(F.sequence(F.lit(0), F.lit(run - 1))).alias("i"),
         )
         .select(
             "media_id",
-            F.floor((F.col("base") + F.col("i")) * n_sl / F.col("total"))
-            .cast("int")
-            .alias("slice"),
+            "total",
+            "base",
             "e",
+            F.explode(
+                F.sequence(
+                    F.expr(f"base * {n_sl} div total"),
+                    F.expr(f"(base + {run - 1}) * {n_sl} div total"),
+                )
+            ).alias("slice"),
+        )
+        .select(
+            "media_id",
+            F.col("slice").cast("int").alias("slice"),
+            "e",
+            (
+                F.least(
+                    F.col("base") + run,
+                    F.expr(f"((slice + 1) * total + {n_sl - 1}) div {n_sl}"),
+                )
+                - F.greatest(
+                    F.col("base"),
+                    F.expr(f"(slice * total + {n_sl - 1}) div {n_sl}"),
+                )
+            ).alias("ov"),
         )
     )
     ws = t.groupBy("media_id", "slice").agg(
-        F.sum("e").alias("es"), F.count(F.lit(1)).alias("ns")
+        F.sum(F.col("e") * F.col("ov")).alias("es"),
+        F.sum("ov").alias("ns"),
     )
     w = Window.partitionBy("media_id").orderBy("slice")
     bits = ws.select(
