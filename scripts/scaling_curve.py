@@ -184,6 +184,19 @@ OPS = {
     "dbscan (grid+CC)": lambda d, v: _spatial().dbscan(
         _spatial().synthesize_points(_events(d))
     ),
+    # r7: the distributed CC loop FORCED (every probe scale is under the
+    # 2^22-edge driver cap, so the auto path would never exercise the
+    # >cap iteration — this row keeps the cluster-scale path's own curve
+    # on the record alongside the driver fast path dbscan now measures)
+    "cc_distributed (forced >cap path)": lambda d, v: _clustering()
+    .connected_components(
+        _spatial().grid_distance_join(
+            _spatial().synthesize_points(_events(d))
+        ).select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        strategy="distributed",
+    ),
     # r4 sketch family: one-scan mergeable register builds — output is
     # BOUNDED (2^p registers / depth*width cells) regardless of corpus, so
     # the curve should be flat-to-linear (scan cost only). Guarded.
@@ -220,6 +233,12 @@ def _spatial():
     from cdc_poc_spark.operators import spatial
 
     return spatial
+
+
+def _clustering():
+    from cdc_poc_spark.operators import clustering
+
+    return clustering
 
 
 def _sim():
