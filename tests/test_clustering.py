@@ -210,3 +210,43 @@ def test_incremental_components_merge_cases(spark):
     }
     assert got == want
     assert (30, 20) in got and (41, 40) in got and (11, 1) in got
+
+
+def test_cc_driver_property_random_graphs(spark):
+    """Property: on arbitrary random graphs, the numpy driver solver, the
+    distributed loop, and the pure-python reference agree exactly. Seeded
+    exhaustively rather than via hypothesis: each spark round-trip is
+    ~seconds, so a fixed battery of adversarial shapes (paths, stars,
+    cliques, bridges, self-loops, duplicate/reversed edges, sparse random)
+    beats a shrinking search for wall-clock."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    # sparse random graphs of varying density
+    for n, m in [(30, 10), (40, 40), (25, 60), (60, 30)]:
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    # long path + disconnected clique + star, with reversed duplicates
+    path = [(i, i + 1) for i in range(50)]
+    cases.append(path + [(b, a) for a, b in path[::3]])
+    cases.append(
+        [(100, 100 + i) for i in range(1, 8)]
+        + [(200 + i, 200 + j) for i in range(4) for j in range(i + 1, 4)]
+        + [(300, 300)]
+    )
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        want = _py_components(pairs)
+        drv = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges, strategy="driver").collect()
+        }
+        dist = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                edges, strategy="distributed"
+            ).collect()
+        }
+        assert drv == want and dist == want
