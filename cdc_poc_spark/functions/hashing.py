@@ -35,6 +35,16 @@ def md5_long_seeded(col: Column, seed: str) -> Column:
     return md5_long(F.concat(F.lit(seed), col.cast("string")))
 
 
+def md5_long_py(s: str) -> int:
+    """Python scalar twin of :func:`md5_long` — for renders/oracles that
+    compute the portable convention inside plain Python (codec synthesis,
+    pure-python differentials). One definition so a convention change
+    cannot silently diverge across call sites."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def md5_long_sql(expr: str) -> str:
     """DuckDB twin of :func:`md5_long` for oracle SQL."""
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"

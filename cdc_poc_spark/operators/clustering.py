@@ -131,16 +131,30 @@ def connected_components(
     if strategy == "driver" or (
         strategy == "auto" and capped_n <= CC_DRIVER_EDGE_CAP
     ):
+        # output typed like the input ids: the driver/distributed paths
+        # must agree at the TYPE level too, or crossing the cap under
+        # auto would flip the schema of an otherwise identical relation
+        id_type = one_dir.schema["src"].dataType
         pdf = _driver_components(one_dir.toPandas())
-        return spark.createDataFrame(pdf, "node long, cluster_id long")
-    # distributed loop: explicit dst-keyed layout sized to the graph —
-    # AQE coalesces the tiny label shuffles by BYTES, serializing
-    # iteration rounds whose cost is per-stage fixed overhead, and the
-    # persisted dst partitioning lets every round's propagate join reuse
-    # the exchange (measured on the 125k-edge wh_dbscan core graph:
-    # 21.0s -> 12.0s for the 18-round loop before the driver fast path
-    # made that graph a sub-cap case)
-    npart = max(8, min(spark.sparkContext.defaultParallelism, capped_n // 50_000))
+        return spark.createDataFrame(pdf, "node long, cluster_id long").select(
+            F.col("node").cast(id_type).alias("node"),
+            F.col("cluster_id").cast(id_type).alias("cluster_id"),
+        )
+    # Distributed loop layout: for SMALL graphs (forced-distributed, or
+    # probes) pin an explicit dst-keyed layout — AQE coalesces the tiny
+    # label shuffles by BYTES, serializing iteration rounds whose cost is
+    # per-stage fixed overhead, and the persisted dst partitioning lets
+    # every round's propagate join reuse the exchange (measured on the
+    # 125k-edge wh_dbscan core graph: 21.0s -> 12.0s for the 18-round
+    # loop). For graphs PAST the driver cap the capped count saturates
+    # and says nothing about true size, and their shuffles are not tiny —
+    # there the engine's own shuffle partitioning + AQE sizing is the
+    # right layout, so no explicit repartition is forced.
+    npart = (
+        None
+        if capped_n > CC_DRIVER_EDGE_CAP
+        else max(8, min(spark.sparkContext.defaultParallelism, capped_n // 50_000))
+    )
     nodes = (
         one_dir.select(F.col("src").alias("node"))
         .union(one_dir.select(F.col("dst").alias("node")))
@@ -154,9 +168,10 @@ def connected_components(
         )
         .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .distinct()
-        .repartition(npart, "dst")
-        .persist()
     )
+    if npart is not None:
+        sym = sym.repartition(npart, "dst")
+    sym = sym.persist()
     # fold the first propagation into initialization: with initial labels
     # label(u) = u, round 1's "min over {self ∪ neighbours}" is just the
     # min neighbour id over the self-looped edge set — no join needed, one

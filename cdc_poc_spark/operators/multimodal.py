@@ -289,17 +289,15 @@ def synthesize_png_corpus(docs: DataFrame, side: int = 16) -> DataFrame:
     render->encode->decode->aHash pipeline value-for-value (the PNG
     encode/decode round trip is pixel-identity, proven by
     tests/test_media_codecs.py, so the oracle models it as identity)."""
-    import hashlib as _hashlib
-
     import numpy as np
 
     from ..functions import media_codecs as mc
+    from ..functions.hashing import md5_long_py
 
     n_cells = side * side
 
     def _cell(s: str) -> int:
-        # md5_long twin: first 60 bits of md5 as a non-negative int
-        return int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % n_cells
+        return md5_long_py(s) % n_cells
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -487,16 +485,13 @@ def synthesize_wav_corpus(docs: DataFrame, samples_per_token: int = 16) -> DataF
     reproduce the decoded sample stream (the PCM WAV encode/decode round
     trip is sample-identity) and with it the downstream fingerprint.
     Deterministic."""
-    import hashlib as _hashlib
-
     import numpy as np
 
     from ..functions import media_codecs as mc
+    from ..functions.hashing import md5_long_py
 
     def _amp(t: str) -> int:
-        return (
-            int(_hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % 20000
-        ) - 10000
+        return (md5_long_py(t) % 20000) - 10000
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

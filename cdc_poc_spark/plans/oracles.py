@@ -1927,12 +1927,26 @@ def oracle_sql() -> dict[str, str]:
         "THEN {u} - 18446744073709551616 ELSE {u} END"
     )
 
+    # The codec RENDERS tokenize with Python str.split() (any whitespace)
+    # while this oracle splits on single spaces; the corpora are
+    # space-only, and like the BPE sentinel assumption this one is
+    # GUARDED — a document carrying tab/newline/CR/VT/FF whitespace makes
+    # the oracle fail loudly instead of producing a bogus differential.
+    _MM_TOKS_CTE = (
+        "toks AS (SELECT doc_id, list_filter(string_split("
+        "CASE WHEN regexp_matches(text, '[\\t\\n\\r\\x0B\\x0C]') "
+        "THEN error('mm oracle: document contains non-space whitespace; "
+        "the Python render tokenizes with str.split(), which diverges "
+        "from the single-space split here') "
+        "ELSE text END, ' '), x -> x <> '') AS toks FROM documents)"
+    )
+
     # image: 16x16 trigram-histogram grid -> px = cnt*255 // peak ->
     # 8x8 nearest downsample picks the even (row, col) cells ->
     # bit (r*8+c) set when px*64 > sum of the 64 sampled px
     _tri_hash = md5_long_sql("(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
     sqls["mm_image_dedup"] = _banded_hamming_sql(
-        f"""{TOKS_CTE},
+        f"""{_MM_TOKS_CTE},
         tri AS (
             SELECT doc_id, {_tri_hash} % 256 AS cell
             FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
@@ -1975,7 +1989,7 @@ def oracle_sql() -> dict[str, str]:
     _wav_nsl = 65
     _amp = f"abs({md5_long_sql('tok')} % 20000 - 10000)"
     sqls["mm_audio_dedup"] = _banded_hamming_sql(
-        f"""{TOKS_CTE},
+        f"""{_MM_TOKS_CTE},
         wt AS (
             SELECT doc_id, unnest(toks) AS tok,
                    generate_subscripts(toks, 1) - 1 AS pos,

@@ -1661,8 +1661,11 @@ def _incr_clusters_setup(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     fp = _input_fingerprint(sf_dir, "documents")
+    # key includes the semantic constants, so changing the pair threshold
+    # or shingle width invalidates the cache without a manual version bump
+    sem = f"jt={JACCARD_THRESHOLD}|k={dedup.SHINGLE_K}"
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|incr_clusters|{_SETUP_VERSION}|{fp}".encode()
+        f"{os.path.abspath(sf_dir)}|incr_clusters|{_SETUP_VERSION}|{sem}|{fp}".encode()
     ).hexdigest()[:16]
     out = os.path.join(_SETUP_CACHE_ROOT, key)
     if os.path.exists(os.path.join(out, "_DONE")):
@@ -1687,7 +1690,13 @@ def _incr_clusters_setup(spark: SparkSession, sf_dir: str) -> str:
         f.write(fp)
     try:
         os.rename(tmp, out)
-    except OSError:  # lost a concurrent-build race: theirs is equivalent
+    except OSError:
+        # only a lost concurrent-build race is benign (theirs is
+        # equivalent); any other rename failure must surface, not return
+        # a path that does not exist
+        if not os.path.exists(os.path.join(out, "_DONE")):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

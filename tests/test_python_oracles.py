@@ -9,13 +9,12 @@ PNG/WAV bytes."""
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
 from cdc_poc_spark.operators import multimodal
 from cdc_poc_spark.functions import media_codecs as mc
+from cdc_poc_spark.functions.hashing import md5_long_py
 
 SF = "/root/testdata/sf0.001"
 DOCS = f"{SF}/documents.parquet"
@@ -56,8 +55,7 @@ def test_image_dedup_matches_python_oracle(spark):
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         toks = text.split()
         cells = np.array(
-            [int(hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()[:15],
-                 16) % 256
+            [md5_long_py(" ".join(toks[i:i + 3])) % 256
              for i in range(max(0, len(toks) - 2))], dtype=np.int64)
         grid = np.bincount(cells, minlength=256).reshape(16, 16)
         peak = grid.max()
@@ -85,8 +83,7 @@ def test_audio_dedup_matches_python_oracle(spark):
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         toks = text.split() or [""]
         amps = np.array(
-            [(int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 20000) - 10000
-             for t in toks], dtype=np.int16)
+            [(md5_long_py(t) % 20000) - 10000 for t in toks], dtype=np.int16)
         samples = np.repeat(amps, 16)
         # round-trip through the real WAV codec, as the operator does
         with wave.open(io.BytesIO(mc.wav_encode(samples)), "rb") as w:
