@@ -87,9 +87,13 @@ def connected_components(
     diameter, so 50 covers any realistic graph).
 
     ``strategy``: ``"auto"`` (default) takes the driver fast path when the
-    edge set fits CC_DRIVER_EDGE_CAP, else the distributed loop;
-    ``"driver"`` / ``"distributed"`` force one path. All paths produce the
-    identical (node, cluster_id) relation — differentially tested in
+    edge set fits CC_DRIVER_EDGE_CAP **and ids are integral** (the numpy
+    solver is int64-only), else the distributed loop; ``"driver"`` /
+    ``"distributed"`` force one path (forcing ``"driver"`` on
+    non-integral ids raises TypeError). The distributed loop accepts any
+    orderable id type — non-integral ids use an exact changed-label
+    convergence probe instead of the decimal checksum. All paths produce
+    the identical (node, cluster_id) relation — differentially tested in
     tests/test_clustering.py.
 
     Checkpoint strategy (distributed path): by default each round
@@ -125,11 +129,29 @@ def connected_components(
     # (materialized by the first action below)
     one_dir = _pin(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     spark = edges.sparkSession
+    # The driver solver ranks ids through numpy int64 arrays, so it is
+    # only sound for integral node ids. The distributed loop orders any
+    # comparable id type, so non-integral ids under "auto" silently keep
+    # the general path; forcing "driver" on them is a caller error and
+    # fails here with this module's message, not a numpy cast error.
+    from pyspark.sql import types as T
+
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ids_integral = isinstance(
+        one_dir.schema["src"].dataType, _INTEGRAL
+    ) and isinstance(one_dir.schema["dst"].dataType, _INTEGRAL)
+    if strategy == "driver" and not ids_integral:
+        raise TypeError(
+            "connected_components(strategy='driver') requires integral "
+            f"(byte/short/int/long) node ids; got src={one_dir.schema['src'].dataType}, "
+            f"dst={one_dir.schema['dst'].dataType}. Use strategy='distributed' "
+            "(or 'auto') for string/decimal ids, or factorize ids first."
+        )
     # one capped count over the pinned projection learns the size class
     # (and materializes the pin every later path needs anyway)
     capped_n = one_dir.limit(CC_DRIVER_EDGE_CAP + 1).count()
     if strategy == "driver" or (
-        strategy == "auto" and capped_n <= CC_DRIVER_EDGE_CAP
+        strategy == "auto" and ids_integral and capped_n <= CC_DRIVER_EDGE_CAP
     ):
         # output typed like the input ids: the driver/distributed paths
         # must agree at the TYPE level too, or crossing the cap under
@@ -181,10 +203,20 @@ def connected_components(
         .agg(F.min("dst").alias("cluster_id"))
         .select(F.col("src").alias("node"), "cluster_id")
     )
-    # convergence checksum in DECIMAL(38,0): node ids may be 60-bit
-    # hashes (resolve_entities), whose BIGINT sum overflows under ANSI
-    _csum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_csum).first()[0]
+    # Convergence detection is type-dependent (ADVICE r7 — the loop must
+    # genuinely handle non-integral ids, not just claim to):
+    #   integral ids — checksum in DECIMAL(38,0) (node ids may be 60-bit
+    #     hashes, resolve_entities, whose BIGINT sum overflows under
+    #     ANSI); labels only decrease, so sum equality IS the fixpoint.
+    #   anything else (string/decimal/date ids) — an EXACT per-round
+    #     changed-label probe (join old vs new on node, limit-1 count):
+    #     one extra tiny join per round, zero collision risk, and it
+    #     doubles as the action that materializes the round's lazy pin.
+    prev_sum = None
+    if ids_integral:
+        _csum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        prev_sum = labels.agg(_csum).first()[0]
+    prev_labels = labels
     for _ in range(max_rounds):
         # 1. propagate: label <- min over {self ∪ neighbours}' labels
         propagated = (
@@ -207,11 +239,25 @@ def connected_components(
                 ),
             )
         )
-        cur_sum = labels.agg(_csum).first()[0]
-        if cur_sum == prev_sum:
+        if ids_integral:
+            cur_sum = labels.agg(_csum).first()[0]
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            old = prev_labels.select(
+                F.col("node").alias("o_node"), F.col("cluster_id").alias("o_label")
+            )
+            done = (
+                labels.join(old, labels["node"] == F.col("o_node"))
+                .filter(F.col("cluster_id") != F.col("o_label"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        prev_labels = labels
+        if done:
             sym.unpersist()
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 

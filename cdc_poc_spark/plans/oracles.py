@@ -1930,11 +1930,17 @@ def oracle_sql() -> dict[str, str]:
     # The codec RENDERS tokenize with Python str.split() (any whitespace)
     # while this oracle splits on single spaces; the corpora are
     # space-only, and like the BPE sentinel assumption this one is
-    # GUARDED — a document carrying tab/newline/CR/VT/FF whitespace makes
-    # the oracle fail loudly instead of producing a bogus differential.
+    # GUARDED — a document carrying any OTHER character Python's
+    # str.isspace() accepts (the class below is exactly that set minus
+    # the space — ASCII controls \t\n\v\f\r, the \x1c-\x1f separators,
+    # NEL, NBSP, and the Unicode Zs/Zl/Zp spaces; verified exhaustive
+    # against chr(i).isspace() in tests/test_python_oracles.py) makes the
+    # oracle fail loudly instead of producing a bogus differential.
     _MM_TOKS_CTE = (
         "toks AS (SELECT doc_id, list_filter(string_split("
-        "CASE WHEN regexp_matches(text, '[\\t\\n\\r\\x0B\\x0C]') "
+        "CASE WHEN regexp_matches(text, "
+        "'[\\t\\n\\x0B\\x0C\\r\\x{1C}-\\x{1F}\\x{85}\\x{A0}\\x{1680}"
+        "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]') "
         "THEN error('mm oracle: document contains non-space whitespace; "
         "the Python render tokenizes with str.split(), which diverges "
         "from the single-space split here') "

@@ -1632,23 +1632,36 @@ def q_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cache inline on first call — same output either way, which is
 # exactly what its oracle (full CC over index ∪ batch) keeps proving.
 _SETUP_CACHE_ROOT = "/tmp/cdc_poc_spark_setup"
-_SETUP_VERSION = "r7a"
+_SETUP_VERSION = "r8a"
 
 
 def _input_fingerprint(sf_dir: str, table: str) -> str:
-    """mtime+size fingerprint of a table's parquet files — cheap staleness
-    check (no Spark jobs) so a regenerated sf_dir invalidates the cache."""
+    """Content-bearing fingerprint of a table's parquet files — cheap (no
+    Spark jobs, bounded IO) but stale-proof: besides name+mtime+size it
+    hashes each file's parquet FOOTER (last 64 KiB), which carries the
+    row-group metadata and column statistics — a table regenerated with
+    identical mtime_ns+size (e.g. restored from an archive, ADVICE r7)
+    still changes the footer bytes unless the data is byte-identical."""
+    import hashlib
     import os
+
+    def _one(p: str) -> str:
+        st = os.stat(p)
+        h = hashlib.md5()
+        with open(p, "rb") as fh:
+            fh.seek(max(0, st.st_size - 65536))
+            h.update(fh.read(65536))
+        return f"{st.st_mtime_ns}:{st.st_size}:{h.hexdigest()[:12]}"
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(path):
         for f in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, f))
-            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp):
+                parts.append(f"{f}:{_one(fp)}")
     elif os.path.exists(path):
-        st = os.stat(path)
-        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+        parts.append(_one(path))
     return "|".join(parts)
 
 
@@ -1664,12 +1677,22 @@ def _incr_clusters_setup(spark: SparkSession, sf_dir: str) -> str:
     # key includes the semantic constants, so changing the pair threshold
     # or shingle width invalidates the cache without a manual version bump
     sem = f"jt={JACCARD_THRESHOLD}|k={dedup.SHINGLE_K}"
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|incr_clusters|{_SETUP_VERSION}|{sem}|{fp}".encode()
-    ).hexdigest()[:16]
-    out = os.path.join(_SETUP_CACHE_ROOT, key)
+    # the dir name leads with a stable sf_dir tag so superseded keys for
+    # the SAME input dir are identifiable and pruned on rebuild (ADVICE
+    # r7: stale key dirs otherwise accumulate across rounds)
+    sfdir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    key = hashlib.md5(f"incr_clusters|{_SETUP_VERSION}|{sem}|{fp}".encode()).hexdigest()[
+        :16
+    ]
+    out = os.path.join(_SETUP_CACHE_ROOT, f"{sfdir_tag}-{key}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    # prune superseded siblings for this sf_dir (best-effort: a loser of
+    # a concurrent race may already have removed one)
+    if os.path.isdir(_SETUP_CACHE_ROOT):
+        for d in os.listdir(_SETUP_CACHE_ROOT):
+            if d.startswith(f"{sfdir_tag}-") and d != f"{sfdir_tag}-{key}":
+                shutil.rmtree(os.path.join(_SETUP_CACHE_ROOT, d), ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     all_pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"

@@ -91,6 +91,24 @@ def test_cc_auto_takes_driver_path_under_cap(spark):
     assert got == _py_components(pairs)
 
 
+def test_cc_string_ids_skip_driver_path(spark):
+    # ADVICE r7: the driver solver is int64-only, so non-integral ids
+    # under "auto" must keep the distributed loop (and still be correct),
+    # while forcing "driver" fails with this module's own TypeError, not
+    # a numpy cast error from inside pandas.
+    import pytest
+
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(edges, strategy="driver")
+
+
 def test_dup_clusters_keeper_invariants(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     clusters = dup_clusters(docs, 0.2).collect()

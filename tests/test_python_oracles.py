@@ -107,3 +107,32 @@ def test_audio_dedup_matches_python_oracle(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_mm_oracle_whitespace_guard_matches_python_split():
+    """The _MM_TOKS_CTE guard class must flag EXACTLY the characters
+    Python str.split() treats as whitespace, minus the space itself —
+    exhaustively over the BMP + astral planes (ADVICE r7: the old guard
+    missed \\x1c-\\x1f, NEL, NBSP, and the Zs block)."""
+    import re
+    import sys
+
+    import duckdb
+
+    from cdc_poc_spark.plans import oracles
+
+    sql = oracles.oracle_sql()["mm_image_dedup"]
+    m = re.search(r"regexp_matches\(text, '(\[[^']+\])'\)", sql)
+    assert m, "mm oracle guard regex not found"
+    pat = m.group(1)
+    con = duckdb.connect()
+    # one vectorized probe: every codepoint as a 1-char string
+    chars = [chr(i) for i in range(sys.maxunicode + 1) if chr(i).isspace()]
+    chars += [" ", "a", "0", "⁠", "﻿"]  # word-joiner/BOM: NOT space
+    flags = con.execute(
+        "SELECT list_transform(?::VARCHAR[], c -> regexp_matches(c, ?))",
+        [chars, pat],
+    ).fetchone()[0]
+    for c, flagged in zip(chars, flags):
+        want = c.isspace() and c != " "
+        assert flagged == want, f"guard mismatch at U+{ord(c):04X}"
