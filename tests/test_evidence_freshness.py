@@ -1,0 +1,85 @@
+"""Static tests for scripts/evidence_freshness.py — the symbol-level
+slice extractor that derives the driver verification window. No Spark,
+no git-history access: everything runs against the working tree."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "evidence_freshness", os.path.join(HERE, "scripts", "evidence_freshness.py")
+)
+ef = importlib.util.module_from_spec(_spec)
+sys.modules["evidence_freshness"] = ef
+_spec.loader.exec_module(ef)
+
+
+def test_resolve_relative_imports():
+    cur = "cdc_poc_spark.plans.registry"
+    assert ef._resolve_from("operators", 2, cur) == "cdc_poc_spark.operators"
+    assert ef._resolve_from(None, 1, cur) == "cdc_poc_spark.plans"
+    assert ef._resolve_from("cdc_mapping", 1, cur) == "cdc_poc_spark.plans.cdc_mapping"
+    assert ef._resolve_from("x.y", 0, cur) == "x.y"
+
+
+def test_registry_index_maps_queries_and_aliases():
+    view = ef.TreeView(None)
+    reg = view.index(ef.REGISTRY_MOD)
+    assert reg is not None
+    assert reg.raw_queries["dedup_exact"] == "q_dedup_exact"
+    # `from ..operators import dedup` -> module alias
+    assert reg.mod_alias["dedup"] == "cdc_poc_spark.operators.dedup"
+    # `from ..sources.testdata import load_table` -> symbol source
+    assert reg.name_src["load_table"] == ("cdc_poc_spark.sources.testdata", "load_table")
+
+
+def test_query_slice_tracks_cross_module_symbols():
+    view = ef.TreeView(None)
+    s = ef.query_slice(view, "dedup_exact")
+    assert s is not None
+    keys = set(s)
+    # the q_ function itself, its operator callee, and the shared loader
+    assert "sym:cdc_poc_spark.plans.registry:q_dedup_exact" in keys
+    assert "sym:cdc_poc_spark.operators.dedup:exact_dups" in keys
+    assert "sym:cdc_poc_spark.sources.testdata:load_table" in keys
+    # symbol granularity: an unrelated helper in the same module must NOT
+    # be in the slice (additive churn elsewhere can't mark this stale)
+    assert "sym:cdc_poc_spark.operators.dedup:minhash_lsh_dups" not in keys
+    assert not any(k == "mod:cdc_poc_spark.operators.dedup" for k in keys)
+
+
+def test_query_slice_differs_between_queries():
+    view = ef.TreeView(None)
+    a = ef.query_slice(view, "dedup_exact")
+    b = ef.query_slice(view, "dedup_clusters")
+    assert a is not None and b is not None
+    assert set(a) != set(b)
+    # dedup_clusters executes connected_components; dedup_exact doesn't
+    cc = "sym:cdc_poc_spark.operators.clustering:connected_components"
+    assert cc in b and cc not in a
+
+
+def test_every_registry_query_slices_cleanly():
+    view = ef.TreeView(None)
+    reg = view.index(ef.REGISTRY_MOD)
+    assert reg is not None
+    assert len(reg.raw_queries) >= 190
+    for qname in reg.raw_queries:
+        s = ef.query_slice(view, qname)
+        assert s, f"empty slice for {qname}"
+        assert all(v != "ABSENT" for v in s.values()), f"absent module in {qname}"
+
+
+def test_suggest_window_shape():
+    rows = [
+        {"query": f"q{i}", "evidence_round": 3 + i % 4, "stale": []}
+        for i in range(60)
+    ]
+    rows[7]["stale"] = ["sym:x:y"]
+    win = ef.suggest_window(rows)
+    assert len(win) == ef.WINDOW_SIZE == 50
+    assert win[0] == "q7"  # stale first
+    assert len(set(win)) == 50
