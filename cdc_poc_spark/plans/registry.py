@@ -4078,78 +4078,70 @@ def _fresh(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-# ---- driver 50-slot verification window (round 7) ----
+# ---- driver 50-slot verification window (round 8) ----
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; this list pins that window explicitly (rotation = edit this
-# list, not dict surgery). Round-7 staging, per verdict items 5/6 and the
-# round-6 advice:
-#   slots 1-2: mm_image_dedup / mm_audio_dedup — newly oracle-backed this
-#     round (md5-render + integer-exact fingerprints gave the codec paths
-#     full SQL oracles; their output hashes genuinely change), closing the
-#     last two never-driver-checked rows: 197/197 oracle-backed.
-#   slots 3-4: wh_recursive_spine / wh_sessions — the round-2-era evidence
-#     the round-6 window displaced; the advice asked for their return.
-#   slots 5-8: the four CC consumers whose loop internals changed this
-#     round (lazy checkpoints + folded first propagation — outputs must
-#     hash-match unchanged, which these rows prove): wh_dbscan,
-#     dedup_clusters_incremental (also moved to untimed setup),
-#     wh_entity_resolution, pipeline_keep_best.
-#   slots 9-50: the 42 alphabetically-first of the 49 round-3-era rows —
-#     the ledger's oldest cohort. Deferred to round 8 (next-oldest then):
-#     wh_returned_items, wh_scalar_subquery, wh_ship_delay,
-#     wh_small_qty_revenue, wh_supplier_part_variety, wh_top_supplier,
-#     wh_topn_per_group, plus the round-4 cohort.
+# list, not dict surgery). Round-8 staging is MECHANICAL for the first
+# time: the list below is the verbatim output of
+#   python scripts/evidence_freshness.py --window
+# (round-7 verdict item 6) — the 29 queries whose latest green driver row
+# predates a change to code/oracle they execute (symbol-level static
+# slice diff against each row's evidence tree: the r7/r8 CC rework and
+# type guard, the r7 hash_distinct/similarity/_pq_seeds/BPE advice fixes,
+# the r8 mm-oracle whitespace guard and incremental-setup cache rekey),
+# followed by the oldest fresh evidence: the seven r3-era wh_* rows the
+# round-7 verdict named, then the r4 cohort alphabetically.
 _DRIVER_WINDOW = [
-    "mm_image_dedup",
-    "mm_audio_dedup",
-    "wh_recursive_spine",
-    "wh_sessions",
-    "wh_dbscan",
-    "dedup_clusters_incremental",
-    "wh_entity_resolution",
-    "pipeline_keep_best",
-    "cdc_schema_evolution",
-    "dedup_cdc_chunks",
-    "dedup_cdc_report",
-    "dedup_containment",
-    "dedup_lsh_measure",
-    "dedup_ngram_jaccard",
-    "dedup_substring",
-    "pipeline_chunk_pack",
-    "pipeline_dedup_report",
-    "pipeline_domain_cap",
-    "pipeline_importance_weights",
-    "pipeline_lang_balance",
-    "pipeline_shuffle_export",
-    "pipeline_snapshot_diff",
-    "sim_embedding_dups_incremental",
-    "sim_quantize_int8",
-    "text_lm_score",
-    "text_nb_lang",
-    "text_ngram_diversity",
-    "text_pii_redact",
-    "text_pii_stats",
-    "text_tfidf_terms",
-    "text_vocab",
-    "text_vocab_encode",
-    "ts_autocorr",
-    "wh_customer_distribution",
-    "wh_customer_quantiles",
-    "wh_disjunctive_join",
-    "wh_dormant_customers",
-    "wh_excess_shipments",
-    "wh_forecast_revenue",
-    "wh_fuzzy_supplier_names",
-    "wh_important_parts",
-    "wh_large_volume_orders",
-    "wh_late_suppliers",
-    "wh_market_share",
-    "wh_min_cost_supplier",
-    "wh_nation_trade_volume",
-    "wh_order_priority",
-    "wh_product_profit",
-    "wh_promo_revenue",
-    "wh_range_join",
+"dedup_minhash_lsh",
+"pipeline_contamination_report",
+"pipeline_curation_funnel",
+"sim_decontaminate",
+"sim_ivfpq_topk",
+"stream_clusters_native",
+"stream_kmv_native",
+"stream_scd2_native",
+"dedup_minhash_incremental",
+"mm_audio_dedup_sql",
+"sim_embedding_dups_ivf",
+"sim_embedding_dups_ivf_capped",
+"sim_semantic_dedup",
+"dedup_clusters",
+"pipeline_clean_corpus",
+"sim_ann_ivf",
+"sim_ann_recall",
+"sim_embedding_dups_lsh",
+"sim_ivf_refined",
+"sim_pq_adc_topk",
+"sim_pq_encode",
+"text_bpe_encode",
+"text_bpe_train",
+"dedup_clusters_incremental",
+"mm_audio_dedup",
+"mm_image_dedup",
+"pipeline_keep_best",
+"wh_dbscan",
+"wh_entity_resolution",
+"wh_returned_items",
+"wh_scalar_subquery",
+"wh_ship_delay",
+"wh_small_qty_revenue",
+"wh_supplier_part_variety",
+"wh_top_supplier",
+"wh_topn_per_group",
+"cdc_engagement_hits",
+"cdc_enriched",
+"dedup_cdc_incremental",
+"mm_video_dedup",
+"pipeline_span_corrupt",
+"pipeline_temperature_mix",
+"pipeline_token_budget",
+"profile_drift",
+"sim_centroid_drift",
+"sim_random_projection",
+"sketch_hist_quantiles",
+"sketch_hll_users",
+"sketch_kmv_setops",
+"stream_anomaly_native",
 ]
 
 
