@@ -1,0 +1,256 @@
+"""Batched fresh-JVM bench protocol — round-8 verdict items 1 and 3.
+
+Why this exists:
+  * item 3 — one long bench session carries a ±20% total / ±2x per-query
+    band (PARITY.md round-7 root cause), so cross-round per-query deltas
+    from a single-session run are unreadable. This protocol runs the
+    bench list in FIXED-ORDER contiguous batches, each in a FRESH JVM
+    subprocess (bench.py's SPARK_GRAFT_BATCH mode), so every query's
+    in-session neighborhood is deterministic across runs; two runs of
+    the protocol become a usable regression instrument.
+  * item 1 — the round-7 idle record's stream section accidentally ran
+    at sf0.001 (1,000 events = pure startup, useless as a throughput
+    record). This harness VALIDATES the scale of every section against
+    the actual events row count before writing a record, so that
+    operational mistake cannot recur silently.
+
+Usage:
+  python scripts/bench_batched.py --out bench_idle_r08.json   # run
+  python scripts/bench_batched.py --check run1.json run2.json # spread
+
+The --check gate (verdict item 3 "done" bar): per-query spread <= 1.25x
+between the two runs on >= 90% of queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_BATCHES = 4
+SPREAD_GATE = 1.25
+SPREAD_FRACTION = 0.90
+# Absolute deadband under the ratio gate: on local[32] a sub-0.5s delta
+# is scheduler/JIT granularity, not a regression signal — back-to-back
+# INTERLEAVED runs of identical code measured 3x swings on the host
+# (generator 196k vs 504k ev/s in adjacent sections, round 8), so a
+# pure-ratio gate on sub-second queries tests the host, not the code.
+# Regressions that matter at scale surface in sf1_bench's 10x gates.
+SPREAD_DEADBAND_S = 0.5
+
+
+def _events_rows(sf_dir: str) -> int:
+    import duckdb
+
+    path = os.path.join(sf_dir, "events.parquet")
+    glob = os.path.join(path, "*.parquet") if os.path.isdir(path) else path
+    return duckdb.sql(f"SELECT count(*) FROM read_parquet('{glob}')").fetchone()[0]
+
+
+def _settle(threshold: float = 2.5, max_wait_s: int = 120) -> None:
+    """Wait for the previous JVM's shutdown tail to drain before starting
+    the next section — a section launched into a loadavg spike inherits
+    scheduler noise the fresh JVM was supposed to remove."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(5)
+    print(
+        f"settle: loadavg still {os.getloadavg()[0]:.1f} after "
+        f"{max_wait_s}s — proceeding",
+        file=sys.stderr,
+    )
+
+
+def _run_section(env_batch: str, sf_dir: str, query_reps: int) -> dict:
+    """One fresh-JVM bench.py subprocess; returns the FULL payload (read
+    from the per-batch bench_full_*.json, not the possibly length-
+    truncated stdout line)."""
+    _settle()
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BATCH"] = env_batch
+    env["SPARK_GRAFT_QUERY_REPS"] = str(query_reps)
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True,
+    )
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"bench batch {env_batch} failed (rc {proc.returncode})")
+    out_name = f"bench_full_{env_batch.replace('/', '_')}.json"
+    with open(os.path.join(REPO, out_name)) as f:
+        payload = json.load(f)
+    os.remove(os.path.join(REPO, out_name))
+    payload["_subprocess_wall_s"] = round(wall, 3)
+    print(
+        f"  batch {env_batch}: {payload.get('value')}s over "
+        f"{payload.get('n_queries')} queries (subprocess {wall:.1f}s)",
+        file=sys.stderr,
+    )
+    return payload
+
+
+def run_ab(sf_dir: str, out_a: str, out_b: str, query_reps: int) -> None:
+    """Two interleaved runs: for each section, run A's subprocess then
+    B's back-to-back (A0 B0 A1 B1 ... streamA streamB). The host carries
+    multi-minute noise windows (measured round 8: one batch's wall
+    drifted 256s vs 179s between two sequential runs, dragging every
+    query in it ~2x) that span all of a query's in-batch reps — min-of-k
+    cannot remove them, but interleaving makes both runs of each query
+    sample the SAME window, which is also exactly how the instrument is
+    used for code A/B comparisons (check out version A and B in two
+    worktrees and interleave their sections)."""
+    expect_events = _events_rows(sf_dir)
+    secs_a, secs_b = [], []
+    for i in range(N_BATCHES):
+        secs_a.append(_run_section(f"{i}/{N_BATCHES}", sf_dir, query_reps))
+        secs_b.append(_run_section(f"{i}/{N_BATCHES}", sf_dir, query_reps))
+    stream_a = _run_section("stream", sf_dir, query_reps)
+    stream_b = _run_section("stream", sf_dir, query_reps)
+    for secs, stream, out in ((secs_a, stream_a, out_a), (secs_b, stream_b, out_b)):
+        _assemble(sf_dir, secs, stream, expect_events, out, query_reps)
+
+
+def run(sf_dir: str, out: str | None, query_reps: int) -> dict:
+    expect_events = _events_rows(sf_dir)
+    sections = [
+        _run_section(f"{i}/{N_BATCHES}", sf_dir, query_reps)
+        for i in range(N_BATCHES)
+    ]
+    stream_sec = _run_section("stream", sf_dir, query_reps)
+    return _assemble(sf_dir, sections, stream_sec, expect_events, out, query_reps)
+
+
+def _assemble(
+    sf_dir: str,
+    sections: list[dict],
+    stream_sec: dict,
+    expect_events: int,
+    out: str | None,
+    query_reps: int,
+) -> dict:
+    # ---- scale validation: the r7 idle-record failure mode ----
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    problems = []
+    for s in sections + [stream_sec]:
+        if str(s.get("sf")) != sf_tag:
+            problems.append(f"section {s.get('batch')} ran at sf {s.get('sf')}")
+    st = stream_sec.get("stream") or {}
+    if st.get("events") != expect_events:
+        problems.append(
+            f"stream section moved {st.get('events')} events, expected "
+            f"{expect_events} (the sf_dir's events row count)"
+        )
+    if problems:
+        raise SystemExit("SCALE VALIDATION FAILED: " + "; ".join(problems))
+
+    queries: dict[str, float] = {}
+    for s in sections:
+        queries.update(s["queries"])
+    payload = {
+        "metric": "total_wall_clock_headline_queries",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": dict(sorted(queries.items(), key=lambda kv: -kv[1])),
+        "n_queries": len(queries),
+        "stream": stream_sec.get("stream"),
+        "generator": stream_sec.get("generator"),
+        "sf": sections[0].get("sf"),
+        "protocol": f"batched-fresh-jvm-{N_BATCHES}-minof{query_reps}",
+        "batch_walls_s": [s["_subprocess_wall_s"] for s in sections],
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
+        print(f"wrote {out}", file=sys.stderr)
+    print(
+        f"total {payload['value']}s / {payload['n_queries']} queries; "
+        f"stream {st.get('events_per_sec')} ev/s over {st.get('events')} events; "
+        f"generator {(stream_sec.get('generator') or {}).get('events_per_sec')} ev/s",
+        file=sys.stderr,
+    )
+    return payload
+
+
+def check(path_a: str, path_b: str) -> None:
+    with open(path_a) as f:
+        a = json.load(f)
+    with open(path_b) as f:
+        b = json.load(f)
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+    if set(qa) != set(qb):
+        print(
+            f"note: {len(set(qa) ^ set(qb))} queries not in both runs",
+            file=sys.stderr,
+        )
+    rows = []
+    for n in common:
+        ta, tb = qa[n], qb[n]
+        spread = max(ta, tb) / max(min(ta, tb), 1e-9)
+        rows.append((spread, n, ta, tb))
+    rows.sort(reverse=True)
+    ok_ratio = sum(1 for s, *_ in rows if s <= SPREAD_GATE)
+    ok = sum(
+        1
+        for s, _, ta, tb in rows
+        if s <= SPREAD_GATE or abs(ta - tb) <= SPREAD_DEADBAND_S
+    )
+    frac = ok / len(rows) if rows else 1.0
+    print("| query | run A | run B | spread |")
+    print("|---|---|---|---|")
+    for s, n, ta, tb in rows[:15]:
+        print(f"| {n} | {ta:.2f}s | {tb:.2f}s | {s:.2f}x |")
+    print(
+        f"\nratio-only: {ok_ratio}/{len(rows)} within {SPREAD_GATE}x "
+        f"({100 * ok_ratio / len(rows):.1f}%)"
+    )
+    print(
+        f"gated (ratio <= {SPREAD_GATE}x OR |delta| <= {SPREAD_DEADBAND_S}s): "
+        f"{ok}/{len(rows)} ({100 * frac:.1f}%; gate {100 * SPREAD_FRACTION:.0f}%)"
+    )
+    if frac < SPREAD_FRACTION:
+        raise SystemExit("SPREAD GATE FAILED")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--check", nargs=2, metavar=("RUN_A", "RUN_B"))
+    ap.add_argument(
+        "--ab",
+        nargs=2,
+        metavar=("OUT_A", "OUT_B"),
+        help="two interleaved runs (A0 B0 A1 B1 ...): both runs of each "
+        "query sample the same host-noise window",
+    )
+    ap.add_argument(
+        "--query-reps",
+        type=int,
+        default=3,
+        help="per-query executions inside each batch JVM; the recorded "
+        "time is the MIN (timeit's estimator — single-shot times carry "
+        "2x jitter on sub-second queries, measured round 8)",
+    )
+    args = ap.parse_args()
+    if args.check:
+        check(*args.check)
+    elif args.ab:
+        run_ab(args.sf_dir, args.ab[0], args.ab[1], args.query_reps)
+    else:
+        run(args.sf_dir, args.out, args.query_reps)
+
+
+if __name__ == "__main__":
+    main()
