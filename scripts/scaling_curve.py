@@ -297,6 +297,15 @@ def main() -> None:
         help="internal: measure one replica factor in this JVM and print "
         "a JSON line",
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="fresh-JVM repetitions per scale; each cell reports the "
+        "per-op MEDIAN across reps (round-8 verdict item 5: single-rep "
+        "cells carry scheduler artifacts — the r7 2x column had dbscan "
+        "13.6s between 2.2s/3.5s neighbours)",
+    )
     args = ap.parse_args()
     if args.ops:
         pats = [p.strip().lower() for p in args.ops.split(",")]
@@ -324,20 +333,31 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {k: {} for k in OPS}
     rows_out: dict[str, dict[int, int]] = {k: {} for k in OPS}
     for m in REPLICAS:
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--base", args.base, "--single-scale", str(m)]
-        if args.ops:
-            cmd += ["--ops", args.ops]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, check=True
-        )
-        print(out.stderr.splitlines()[-1] if out.stderr else "",
-              file=sys.stderr)
-        payload = json.loads(out.stdout.strip().splitlines()[-1])
-        for name, t in payload["results"].items():
-            results[name][m] = t
-        for name, n in payload["rows"].items():
-            rows_out[name][m] = n
+        reps: list[dict] = []
+        for _ in range(max(1, args.reps)):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--base", args.base, "--single-scale", str(m)]
+            if args.ops:
+                cmd += ["--ops", args.ops]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True
+            )
+            print(out.stderr.splitlines()[-1] if out.stderr else "",
+                  file=sys.stderr)
+            reps.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        import statistics
+
+        for name in reps[0]["results"]:
+            results[name][m] = statistics.median(
+                r["results"][name] for r in reps
+            )
+            rows_out[name][m] = reps[0]["rows"][name]
+            rows_set = {r["rows"][name] for r in reps}
+            if len(rows_set) > 1:  # deterministic ops: reps must agree
+                raise SystemExit(
+                    f"row-count disagreement across reps for {name} at "
+                    f"{m}x: {sorted(rows_set)}"
+                )
     print("| operator | " + " | ".join(f"{m}x" for m in REPLICAS) + " | alpha |")
     print("|---|" + "---|" * (len(REPLICAS) + 1))
     alphas: dict[str, float] = {}
