@@ -83,3 +83,36 @@ def test_suggest_window_shape():
     assert len(win) == ef.WINDOW_SIZE == 50
     assert win[0] == "q7"  # stale first
     assert len(set(win)) == 50
+
+
+def test_stale_queries_are_staged_in_driver_window():
+    """Standing invariant: at any commit, every query the freshness audit
+    marks stale must sit in the CURRENT _DRIVER_WINDOW — i.e. the next
+    driver round re-proves everything whose code/oracle changed since its
+    last green row. (After that round's CORRECTNESS lands, the stale set
+    empties; between rounds this is exactly 'staging is complete'.)"""
+    import subprocess
+
+    import pytest
+
+    git = subprocess.run(
+        ["git", "rev-parse", "--git-dir"], cwd=HERE, capture_output=True
+    )
+    if git.returncode != 0:
+        pytest.skip("no git history available")
+    rows = ef.audit()
+    stale = {r["query"] for r in rows if r["stale"]}
+    import re
+
+    reg_text = open(
+        os.path.join(HERE, "cdc_poc_spark", "plans", "registry.py")
+    ).read()
+    m = re.search(r"_DRIVER_WINDOW = \[(.*?)\]", reg_text, re.S)
+    assert m
+    window = set(re.findall(r'"([^"]+)"', m.group(1)))
+    unstaged = stale - window
+    assert not unstaged, (
+        f"{len(unstaged)} stale queries not in _DRIVER_WINDOW: "
+        f"{sorted(unstaged)} — regenerate the window with "
+        f"scripts/evidence_freshness.py --window"
+    )
