@@ -201,7 +201,9 @@ def main() -> None:
     # it in the JVM) becomes deterministic across runs, so per-query
     # deltas between two runs of scripts/bench_batched.py are readable
     # instead of drowned in the ±20% long-session band (PARITY.md r7).
-    batch = os.environ.get("SPARK_GRAFT_BATCH")
+    # `or None`: an empty-string export must behave exactly like unset,
+    # not half-enable batch mode (skip streams but run all queries)
+    batch = os.environ.get("SPARK_GRAFT_BATCH") or None
     if batch and batch != "stream":
         i, n_batches = (int(x) for x in batch.split("/"))
         names = batch_slice(names, i, n_batches)

@@ -1656,10 +1656,14 @@ def _input_fingerprint(sf_dir: str, table: str) -> str:
     path = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            fp = os.path.join(path, f)
-            if os.path.isfile(fp):
-                parts.append(f"{f}:{_one(fp)}")
+        # recurse: partitioned tables keep their part files in key=value
+        # SUBDIRECTORIES — a top-level-only listing would fingerprint
+        # nothing but _SUCCESS
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            rel = os.path.relpath(root, path)
+            for f in sorted(files):
+                parts.append(f"{rel}/{f}:{_one(os.path.join(root, f))}")
     elif os.path.exists(path):
         parts.append(_one(path))
     return "|".join(parts)
@@ -1684,14 +1688,24 @@ def _incr_clusters_setup(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(f"incr_clusters|{_SETUP_VERSION}|{sem}|{fp}".encode()).hexdigest()[
         :16
     ]
-    out = os.path.join(_SETUP_CACHE_ROOT, f"{sfdir_tag}-{key}")
+    # dir layout: <family>-<sfdir_tag>-<key> — the family prefix scopes
+    # pruning, so a future second setup hook caching under the same root
+    # can never be deleted by this one's rebuilds
+    leaf = f"incr_clusters-{sfdir_tag}-{key}"
+    out = os.path.join(_SETUP_CACHE_ROOT, leaf)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
-    # prune superseded siblings for this sf_dir (best-effort: a loser of
-    # a concurrent race may already have removed one)
+    # prune superseded siblings for this (family, sf_dir) — best-effort: a
+    # loser of a concurrent race may already have removed one. Never touch
+    # ".tmp." dirs: they are another process's IN-FLIGHT build, not a
+    # superseded key.
     if os.path.isdir(_SETUP_CACHE_ROOT):
         for d in os.listdir(_SETUP_CACHE_ROOT):
-            if d.startswith(f"{sfdir_tag}-") and d != f"{sfdir_tag}-{key}":
+            if (
+                d.startswith(f"incr_clusters-{sfdir_tag}-")
+                and d != leaf
+                and ".tmp." not in d
+            ):
                 shutil.rmtree(os.path.join(_SETUP_CACHE_ROOT, d), ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     all_pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(

@@ -140,9 +140,18 @@ def _assemble(
 ) -> dict:
     # ---- scale validation: the r7 idle-record failure mode ----
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    def _sf_matches(v) -> bool:
+        # bench.py serializes numeric tags as float ("1" -> 1.0); compare
+        # numerically when both sides parse, else literally
+        try:
+            return float(v) == float(sf_tag)
+        except (TypeError, ValueError):
+            return str(v) == sf_tag
+
     problems = []
     for s in sections + [stream_sec]:
-        if str(s.get("sf")) != sf_tag:
+        if not _sf_matches(s.get("sf")):
             problems.append(f"section {s.get('batch')} ran at sf {s.get('sf')}")
     st = stream_sec.get("stream") or {}
     if st.get("events") != expect_events:
@@ -211,9 +220,10 @@ def check(path_a: str, path_b: str) -> None:
     print("|---|---|---|---|")
     for s, n, ta, tb in rows[:15]:
         print(f"| {n} | {ta:.2f}s | {tb:.2f}s | {s:.2f}x |")
+    n_rows = max(len(rows), 1)
     print(
         f"\nratio-only: {ok_ratio}/{len(rows)} within {SPREAD_GATE}x "
-        f"({100 * ok_ratio / len(rows):.1f}%)"
+        f"({100 * ok_ratio / n_rows:.1f}%)"
     )
     print(
         f"gated (ratio <= {SPREAD_GATE}x OR |delta| <= {SPREAD_DEADBAND_S}s): "

@@ -245,6 +245,7 @@ def _walk_symbol(
     mark_module,
     local_alias: dict[str, str],
     local_names: dict[str, tuple[str, str]],
+    files: set[str],
 ) -> None:
     """Collect references out of one def's body: symbols in the same
     module, `alias.attr` cross-module symbols, whole-module marks for
@@ -278,7 +279,16 @@ def _walk_symbol(
             if n in idx.defs:
                 push(idx.modname, n)
             elif n in local_names:
-                push(*local_names[n])
+                # the locally-imported name may actually be a SUBMODULE
+                # used as a bare object — resolve against the tree's file
+                # set: a real submodule must be hashed WHOLESALE (symbol
+                # tracking can't follow a module object), while a plain
+                # imported name stays a symbol push
+                sub = local_alias.get(n)
+                if sub and _mod_to_path(sub, files):
+                    mark_module(sub)
+                else:
+                    push(*local_names[n])
             elif n in idx.name_src:
                 push(*idx.name_src[n])
             elif n in local_alias:
@@ -336,7 +346,7 @@ def query_slice(view: TreeView, qname: str) -> dict[str, str] | None:
         if idx.loose:
             loose = "\n".join(idx.loose)
             out[f"loose:{mod}"] = hashlib.md5(loose.encode()).hexdigest()
-        _walk_symbol(idx, node, push, mark_module, {}, {})
+        _walk_symbol(idx, node, push, mark_module, {}, {}, view.files)
     for mod in sorted(whole):
         h = view.file_hash(mod)
         out[f"mod:{mod}"] = h if h is not None else "ABSENT"
@@ -368,6 +378,17 @@ def oracle_hashes(ref: str | None) -> dict[str, str]:
         with open(cache) as f:
             return json.load(f)
     wt = os.path.join(CACHE_DIR, f"wt_{commit[:12]}")
+    # a crashed prior run can leave the worktree behind (its cache file
+    # was never written), and `git worktree add` refuses an existing
+    # path — clean up best-effort before adding
+    if os.path.exists(wt):
+        try:
+            _git("worktree", "remove", "--force", wt)
+        except subprocess.CalledProcessError:
+            import shutil
+
+            shutil.rmtree(wt, ignore_errors=True)
+            _git("worktree", "prune")
     _git("worktree", "add", "--detach", wt, commit)
     try:
         out = subprocess.run(
