@@ -268,3 +268,27 @@ def test_cc_driver_property_random_graphs(spark):
             ).collect()
         }
         assert drv == want and dist == want
+
+
+def test_cc_string_ids_random_graphs_match_reference(spark):
+    """The round-8 non-integral path (exact changed-label convergence
+    probe instead of the decimal checksum) must agree with the pure
+    python reference on random graphs whose nodes are STRINGS — min
+    labels then follow lexicographic order, which the zero-padded
+    rendering keeps aligned with the integer reference."""
+    import random
+
+    rng = random.Random(11)
+    for n, m in [(25, 15), (30, 45), (40, 20)]:
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        want = {
+            f"n{a:03d}": f"n{b:03d}" for a, b in _py_components(pairs).items()
+        }
+        edges = spark.createDataFrame(
+            [(f"n{a:03d}", f"n{b:03d}") for a, b in pairs], ["src", "dst"]
+        )
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == want
