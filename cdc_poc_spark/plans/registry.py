@@ -1633,6 +1633,24 @@ def q_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly what its oracle (full CC over index ∪ batch) keeps proving.
 _SETUP_CACHE_ROOT = "/tmp/cdc_poc_spark_setup"
 _SETUP_VERSION = "r8a"
+# A superseded completed cache key survives this long after its _DONE
+# stamp before rebuilds may collect it — longer than any harness's lazy
+# read of a setup artifact it was handed (ADVICE r8 race).
+_SETUP_PRUNE_GRACE_S = 1800
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if `pid` is a live process (signal-0 probe; EPERM counts as
+    alive — it exists, we just can't signal it)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def _input_fingerprint(sf_dir: str, table: str) -> str:
@@ -1669,6 +1687,45 @@ def _input_fingerprint(sf_dir: str, table: str) -> str:
     return "|".join(parts)
 
 
+def _prune_setup_cache(family: str, sfdir_tag: str, keep_leaf: str) -> None:
+    """Collect superseded/orphaned setup-cache dirs for one family —
+    best-effort: a loser of a concurrent race may already have removed
+    one. A COMPLETED sibling key for the same (family, sf_dir) is only
+    removed once its _DONE stamp is older than _SETUP_PRUNE_GRACE_S:
+    another live process may have received that path from its own setup
+    call moments ago and still be lazily reading it (ADVICE r8) — any
+    such reader finishes well inside the grace window, while a genuinely
+    superseded key ages past it and is collected on a later rebuild.
+    ".tmp.<pid>" dirs are another process's IN-FLIGHT build while that
+    pid is alive; once the pid is gone they are crashed-build orphans and
+    are removed (ADVICE r8: previously they accumulated forever)."""
+    import os
+    import shutil
+    import time
+
+    if not os.path.isdir(_SETUP_CACHE_ROOT):
+        return
+    now = time.time()
+    for d in os.listdir(_SETUP_CACHE_ROOT):
+        if not d.startswith(f"{family}-"):
+            continue  # family-scoped: never touch other hooks' keys
+        p = os.path.join(_SETUP_CACHE_ROOT, d)
+        if ".tmp." in d:
+            pid_s = d.rsplit(".tmp.", 1)[-1]
+            if pid_s.isdigit() and not _pid_alive(int(pid_s)):
+                shutil.rmtree(p, ignore_errors=True)
+            continue
+        if d.startswith(f"{family}-{sfdir_tag}-") and d != keep_leaf:
+            try:
+                age = now - os.stat(os.path.join(p, "_DONE")).st_mtime
+            except OSError:
+                # no _DONE and no live tmp suffix: a half-assembled
+                # orphan from a crashed rename — safe to collect
+                age = float("inf")
+            if age > _SETUP_PRUNE_GRACE_S:
+                shutil.rmtree(p, ignore_errors=True)
+
+
 def _incr_clusters_setup(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the standing clustering and the batch pair delta for
     dedup_clusters_incremental; idempotent, atomic (tmp dir + rename),
@@ -1695,18 +1752,7 @@ def _incr_clusters_setup(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(_SETUP_CACHE_ROOT, leaf)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
-    # prune superseded siblings for this (family, sf_dir) — best-effort: a
-    # loser of a concurrent race may already have removed one. Never touch
-    # ".tmp." dirs: they are another process's IN-FLIGHT build, not a
-    # superseded key.
-    if os.path.isdir(_SETUP_CACHE_ROOT):
-        for d in os.listdir(_SETUP_CACHE_ROOT):
-            if (
-                d.startswith(f"incr_clusters-{sfdir_tag}-")
-                and d != leaf
-                and ".tmp." not in d
-            ):
-                shutil.rmtree(os.path.join(_SETUP_CACHE_ROOT, d), ignore_errors=True)
+    _prune_setup_cache("incr_clusters", sfdir_tag, leaf)
     docs = load_table(spark, sf_dir, "documents")
     all_pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
@@ -4092,70 +4138,71 @@ def _fresh(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-# ---- driver 50-slot verification window (round 8) ----
+# ---- driver 50-slot verification window (round 9) ----
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; this list pins that window explicitly (rotation = edit this
-# list, not dict surgery). Round-8 staging is MECHANICAL for the first
-# time: the list below is the verbatim output of
+# list, not dict surgery). The list below is the verbatim output of
 #   python scripts/evidence_freshness.py --window
-# (round-7 verdict item 6) — the 29 queries whose latest green driver row
-# predates a change to code/oracle they execute (symbol-level static
-# slice diff against each row's evidence tree: the r7/r8 CC rework and
-# type guard, the r7 hash_distinct/similarity/_pq_seeds/BPE advice fixes,
-# the r8 mm-oracle whitespace guard and incremental-setup cache rekey),
-# followed by the oldest fresh evidence: the seven r3-era wh_* rows the
-# round-7 verdict named, then the r4 cohort alphabetically.
+# after the round-8 snapshot landed: ONE stale row (this round's
+# setup-cache prune rework touched dedup_clusters_incremental's executed
+# surface, so its r8 row must be re-proven), then pure evidence-age
+# rotation — the 18 r4-era rows the round-8 verdict named, then the 31
+# alphabetically-first rows of the r5 cohort (the 32nd, wh_percentiles,
+# was displaced by the stale row and rotates in next round). The audit
+# now also seeds the shared _fresh/free_caches/queries() wrapper
+# prologue into every slice (ADVICE r8). After this round's CORRECTNESS
+# lands, no registry row's evidence predates r5.
 _DRIVER_WINDOW = [
-"dedup_minhash_lsh",
-"pipeline_contamination_report",
-"pipeline_curation_funnel",
-"sim_decontaminate",
-"sim_ivfpq_topk",
-"stream_clusters_native",
-"stream_kmv_native",
-"stream_scd2_native",
-"dedup_minhash_incremental",
-"mm_audio_dedup_sql",
-"sim_embedding_dups_ivf",
-"sim_embedding_dups_ivf_capped",
-"sim_semantic_dedup",
-"dedup_clusters",
-"pipeline_clean_corpus",
-"sim_ann_ivf",
-"sim_ann_recall",
-"sim_embedding_dups_lsh",
-"sim_ivf_refined",
-"sim_pq_adc_topk",
-"sim_pq_encode",
-"text_bpe_encode",
-"text_bpe_train",
 "dedup_clusters_incremental",
-"mm_audio_dedup",
-"mm_image_dedup",
-"pipeline_keep_best",
-"wh_dbscan",
-"wh_entity_resolution",
-"wh_returned_items",
-"wh_scalar_subquery",
-"wh_ship_delay",
-"wh_small_qty_revenue",
-"wh_supplier_part_variety",
-"wh_top_supplier",
-"wh_topn_per_group",
-"cdc_engagement_hits",
-"cdc_enriched",
-"dedup_cdc_incremental",
-"mm_video_dedup",
-"pipeline_span_corrupt",
-"pipeline_temperature_mix",
-"pipeline_token_budget",
-"profile_drift",
-"sim_centroid_drift",
-"sim_random_projection",
-"sketch_hist_quantiles",
-"sketch_hll_users",
-"sketch_kmv_setops",
-"stream_anomaly_native",
+"text_boilerplate_strip",
+"text_quality_buckets",
+"ts_anomaly",
+"ts_robust_trend",
+"ts_seasonal_profile",
+"ts_trend_lines",
+"wh_approx_percentiles",
+"wh_approx_users",
+"wh_attribution",
+"wh_co_engagement",
+"wh_equidepth_hist",
+"wh_event_pattern",
+"wh_heavy_hitters",
+"wh_hourly_events",
+"wh_k_anonymity",
+"wh_quality_audit",
+"wh_spatial_join",
+"wh_winsorize",
+"cdc_apply_changelog",
+"cdc_asof_enrich",
+"cdc_content_stats",
+"cdc_dead_letter",
+"cdc_enriched_valid",
+"cdc_enrichment_misses",
+"cdc_high_engagement",
+"cdc_incremental_agg",
+"cdc_leaderboard",
+"cdc_minute_window",
+"cdc_parse_envelope",
+"cdc_parse_unwrapped",
+"cdc_user_engagement",
+"mm_image_dedup_sql",
+"pipeline_weighted_sample",
+"stream_asof_stateful",
+"stream_dedup_native",
+"stream_dedup_state_native",
+"stream_leaderboard_native",
+"stream_minute_window_native",
+"text_ngram_topk",
+"wh_cohort_retention",
+"wh_cube",
+"wh_distinct_agg",
+"wh_event_transitions",
+"wh_explode_tokens",
+"wh_funnel",
+"wh_grouping_sets",
+"wh_negative_samples",
+"wh_outer_join",
+"wh_payload_json",
 ]
 
 

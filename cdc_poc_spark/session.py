@@ -70,7 +70,12 @@ def get_spark(
         # fallback (late-session ops 1.5-6x slower). 1500 entries covers
         # the 143-plan bench with headroom; the enlarged code cache
         # keeps them all compiled.
-        .config("spark.sql.codegen.cache.maxEntries", "1500")
+        # (env-overridable for interleaved conf A/Bs — bench_batched.py
+        # --ab-env; the default stays the measured 1500.)
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "1500"),
+        )
         # NOTE: driver JVM options only take effect when THIS builder
         # launches the JVM. getOrCreate() against an already-running
         # session silently ignores them — leaving the 1500-entry codegen

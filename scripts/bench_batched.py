@@ -68,7 +68,9 @@ def _settle(threshold: float = 2.5, max_wait_s: int = 120) -> None:
     )
 
 
-def _run_section(env_batch: str, sf_dir: str, query_reps: int) -> dict:
+def _run_section(
+    env_batch: str, sf_dir: str, query_reps: int, extra_env: dict | None = None
+) -> dict:
     """One fresh-JVM bench.py subprocess; returns the FULL payload (read
     from the per-batch bench_full_*.json, not the possibly length-
     truncated stdout line)."""
@@ -77,6 +79,7 @@ def _run_section(env_batch: str, sf_dir: str, query_reps: int) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BATCH"] = env_batch
     env["SPARK_GRAFT_QUERY_REPS"] = str(query_reps)
+    env.update(extra_env or {})
     t0 = time.perf_counter()
     proc = subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, env=env,
@@ -99,41 +102,105 @@ def _run_section(env_batch: str, sf_dir: str, query_reps: int) -> dict:
     return payload
 
 
-def run_ab(sf_dir: str, out_a: str, out_b: str, query_reps: int) -> None:
+def run_ab(
+    sf_dir: str,
+    out_a: str,
+    out_b: str,
+    query_reps: int,
+    n_batches: int = N_BATCHES,
+    env_a: dict | None = None,
+    env_b: dict | None = None,
+    no_stream: bool = False,
+) -> None:
     """Two interleaved runs: for each section, run A's subprocess then
     B's back-to-back (A0 B0 A1 B1 ... streamA streamB). The host carries
     multi-minute noise windows (measured round 8: one batch's wall
     drifted 256s vs 179s between two sequential runs, dragging every
     query in it ~2x) that span all of a query's in-batch reps — min-of-k
     cannot remove them, but interleaving makes both runs of each query
-    sample the SAME window, which is also exactly how the instrument is
-    used for code A/B comparisons (check out version A and B in two
-    worktrees and interleave their sections)."""
+    sample the SAME window. Code A/Bs check out version A and B in two
+    worktrees and interleave their sections; CONF A/Bs pass --ab-env so
+    the two arms differ only in one environment variable (e.g. the
+    codegen-cache size) against the same tree. For a conf whose effect
+    only shows in LONG sessions, run with --n-batches 1 so each arm is
+    one full-list JVM."""
     expect_events = _events_rows(sf_dir)
     secs_a, secs_b = [], []
-    for i in range(N_BATCHES):
-        secs_a.append(_run_section(f"{i}/{N_BATCHES}", sf_dir, query_reps))
-        secs_b.append(_run_section(f"{i}/{N_BATCHES}", sf_dir, query_reps))
-    stream_a = _run_section("stream", sf_dir, query_reps)
-    stream_b = _run_section("stream", sf_dir, query_reps)
+    for i in range(n_batches):
+        secs_a.append(_run_section(f"{i}/{n_batches}", sf_dir, query_reps, env_a))
+        secs_b.append(_run_section(f"{i}/{n_batches}", sf_dir, query_reps, env_b))
+    stream_a = stream_b = None
+    if not no_stream:
+        stream_a = _run_section("stream", sf_dir, query_reps, env_a)
+        stream_b = _run_section("stream", sf_dir, query_reps, env_b)
     for secs, stream, out in ((secs_a, stream_a, out_a), (secs_b, stream_b, out_b)):
         _assemble(sf_dir, secs, stream, expect_events, out, query_reps)
 
 
-def run(sf_dir: str, out: str | None, query_reps: int) -> dict:
+def _run_stream_1m(sf1_dir: str) -> dict:
+    """Fresh-JVM 1M-event streaming twin via sf1_bench --stream-only
+    (round-9 verdict item 5); scale-validated here AND inside the
+    subprocess before anything is recorded."""
+    _settle()
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join("scripts", "sf1_bench.py"),
+            "--stream-only",
+            "--out",
+            sf1_dir,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"stream-1m section failed (rc {proc.returncode})")
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    if payload["best"]["events"] != 1_000_000:
+        raise SystemExit(
+            f"SCALE VALIDATION FAILED: stream-1m moved "
+            f"{payload['best']['events']} events, expected 1000000"
+        )
+    payload["_subprocess_wall_s"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"  stream-1m: best {payload['best']['events_per_sec']} ev/s over "
+        f"{len(payload['runs'])} runs",
+        file=sys.stderr,
+    )
+    return payload
+
+
+def run(
+    sf_dir: str, out: str | None, query_reps: int, stream_1m_dir: str | None = None
+) -> dict:
     expect_events = _events_rows(sf_dir)
     sections = [
         _run_section(f"{i}/{N_BATCHES}", sf_dir, query_reps)
         for i in range(N_BATCHES)
     ]
     stream_sec = _run_section("stream", sf_dir, query_reps)
-    return _assemble(sf_dir, sections, stream_sec, expect_events, out, query_reps)
+    stream_1m = _run_stream_1m(stream_1m_dir) if stream_1m_dir else None
+    payload = _assemble(sf_dir, sections, stream_sec, expect_events, None, query_reps)
+    if stream_1m:
+        payload["stream_1m"] = {
+            "events": stream_1m["best"]["events"],
+            "best": stream_1m["best"],
+            "runs": stream_1m["runs"],
+        }
+    if out:
+        with open(out, "w") as f:
+            f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+        print(f"wrote {out}", file=sys.stderr)
+    return payload
 
 
 def _assemble(
     sf_dir: str,
     sections: list[dict],
-    stream_sec: dict,
+    stream_sec: dict | None,
     expect_events: int,
     out: str | None,
     query_reps: int,
@@ -150,11 +217,11 @@ def _assemble(
             return str(v) == sf_tag
 
     problems = []
-    for s in sections + [stream_sec]:
+    for s in sections + ([stream_sec] if stream_sec else []):
         if not _sf_matches(s.get("sf")):
             problems.append(f"section {s.get('batch')} ran at sf {s.get('sf')}")
-    st = stream_sec.get("stream") or {}
-    if st.get("events") != expect_events:
+    st = (stream_sec or {}).get("stream") or {}
+    if stream_sec is not None and st.get("events") != expect_events:
         problems.append(
             f"stream section moved {st.get('events')} events, expected "
             f"{expect_events} (the sf_dir's events row count)"
@@ -171,10 +238,10 @@ def _assemble(
         "unit": "sec",
         "queries": dict(sorted(queries.items(), key=lambda kv: -kv[1])),
         "n_queries": len(queries),
-        "stream": stream_sec.get("stream"),
-        "generator": stream_sec.get("generator"),
+        "stream": (stream_sec or {}).get("stream"),
+        "generator": (stream_sec or {}).get("generator"),
         "sf": sections[0].get("sf"),
-        "protocol": f"batched-fresh-jvm-{N_BATCHES}-minof{query_reps}",
+        "protocol": f"batched-fresh-jvm-{len(sections)}-minof{query_reps}",
         "batch_walls_s": [s["_subprocess_wall_s"] for s in sections],
     }
     line = json.dumps(payload, separators=(",", ":"))
@@ -185,13 +252,14 @@ def _assemble(
     print(
         f"total {payload['value']}s / {payload['n_queries']} queries; "
         f"stream {st.get('events_per_sec')} ev/s over {st.get('events')} events; "
-        f"generator {(stream_sec.get('generator') or {}).get('events_per_sec')} ev/s",
+        f"generator "
+        f"{((stream_sec or {}).get('generator') or {}).get('events_per_sec')} ev/s",
         file=sys.stderr,
     )
     return payload
 
 
-def check(path_a: str, path_b: str) -> None:
+def check(path_a: str, path_b: str, artifact: str | None = None) -> None:
     with open(path_a) as f:
         a = json.load(f)
     with open(path_b) as f:
@@ -216,6 +284,16 @@ def check(path_a: str, path_b: str) -> None:
         if s <= SPREAD_GATE or abs(ta - tb) <= SPREAD_DEADBAND_S
     )
     frac = ok / len(rows) if rows else 1.0
+    # deadband-excused big-ratio rows: the deadband exists because the
+    # host demonstrably swings 3x on identical sub-second code, but that
+    # also means a real 3x regression on a 0.3s query can hide under it
+    # (ADVICE r8) — surface every such row in the artifact so it's a
+    # visible follow-up for the interleaved A/B mode, not a silent pass.
+    excused = [
+        {"query": n, "a_s": round(ta, 3), "b_s": round(tb, 3), "spread": round(s, 3)}
+        for s, n, ta, tb in rows
+        if s > SPREAD_GATE and abs(ta - tb) <= SPREAD_DEADBAND_S
+    ]
     print("| query | run A | run B | spread |")
     print("|---|---|---|---|")
     for s, n, ta, tb in rows[:15]:
@@ -229,7 +307,37 @@ def check(path_a: str, path_b: str) -> None:
         f"gated (ratio <= {SPREAD_GATE}x OR |delta| <= {SPREAD_DEADBAND_S}s): "
         f"{ok}/{len(rows)} ({100 * frac:.1f}%; gate {100 * SPREAD_FRACTION:.0f}%)"
     )
-    if frac < SPREAD_FRACTION:
+    passed = frac >= SPREAD_FRACTION
+    if artifact:
+        # machine-readable record (ADVICE r8): BOTH fractions plus the
+        # full excused list persist alongside the pass/fail, so the gate's
+        # loosening is never invisible in the written record.
+        with open(artifact, "w") as f:
+            json.dump(
+                {
+                    "run_a": os.path.basename(path_a),
+                    "run_b": os.path.basename(path_b),
+                    "n_common": len(rows),
+                    "gate": {
+                        "spread_max": SPREAD_GATE,
+                        "deadband_s": SPREAD_DEADBAND_S,
+                        "fraction_required": SPREAD_FRACTION,
+                    },
+                    "ratio_only": {
+                        "ok": ok_ratio,
+                        "fraction": round(ok_ratio / n_rows, 4),
+                    },
+                    "gated": {"ok": ok, "fraction": round(frac, 4)},
+                    "deadband_excused": excused,
+                    "excused_over_3x": sum(1 for e in excused if e["spread"] > 3),
+                    "passed": passed,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+        print(f"wrote {artifact}", file=sys.stderr)
+    if not passed:
         raise SystemExit("SPREAD GATE FAILED")
 
 
@@ -239,11 +347,43 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--check", nargs=2, metavar=("RUN_A", "RUN_B"))
     ap.add_argument(
+        "--check-out",
+        default=None,
+        help="write the spread-check result (both fractions, excused "
+        "rows, pass/fail) to this JSON path",
+    )
+    ap.add_argument(
         "--ab",
         nargs=2,
         metavar=("OUT_A", "OUT_B"),
         help="two interleaved runs (A0 B0 A1 B1 ...): both runs of each "
         "query sample the same host-noise window",
+    )
+    ap.add_argument(
+        "--ab-env",
+        default=None,
+        metavar="NAME,VAL_A,VAL_B",
+        help="conf A/B: set env NAME to VAL_A in arm A's sections and "
+        "VAL_B in arm B's (e.g. SPARK_GRAFT_CODEGEN_CACHE,1500,6000)",
+    )
+    ap.add_argument(
+        "--n-batches",
+        type=int,
+        default=N_BATCHES,
+        help="sections per arm; 1 = each arm is one full-list JVM (use "
+        "for confs whose effect only shows in long sessions)",
+    )
+    ap.add_argument(
+        "--no-stream",
+        action="store_true",
+        help="skip the stream/generator section (query-list-only A/Bs)",
+    )
+    ap.add_argument(
+        "--stream-1m",
+        default=None,
+        metavar="SF1_DIR",
+        help="also run the 1M-event streaming twin (fresh JVM, best-of-2,"
+        " scale-validated) and record it as payload['stream_1m']",
     )
     ap.add_argument(
         "--query-reps",
@@ -255,11 +395,24 @@ def main() -> None:
     )
     args = ap.parse_args()
     if args.check:
-        check(*args.check)
+        check(*args.check, artifact=args.check_out)
     elif args.ab:
-        run_ab(args.sf_dir, args.ab[0], args.ab[1], args.query_reps)
+        env_a = env_b = None
+        if args.ab_env:
+            name, va, vb = args.ab_env.split(",", 2)
+            env_a, env_b = {name: va}, {name: vb}
+        run_ab(
+            args.sf_dir,
+            args.ab[0],
+            args.ab[1],
+            args.query_reps,
+            n_batches=args.n_batches,
+            env_a=env_a,
+            env_b=env_b,
+            no_stream=args.no_stream,
+        )
     else:
-        run(args.sf_dir, args.out, args.query_reps)
+        run(args.sf_dir, args.out, args.query_reps, stream_1m_dir=args.stream_1m)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,12 @@ query executes changed:
             for old trees computed once per commit in a detached
             temporary git worktree subprocess, cached under /tmp).
 
+Every slice is additionally seeded with the shared wrapper prologue the
+driver executes around every query — _fresh, session.free_caches, and
+the queries() assembly body (ADVICE r8; see PROLOGUE_SEEDS /
+PROLOGUE_EQUIV) — so a semantic change to that prologue marks every
+query stale, not none.
+
 Nothing from old trees is ever imported — old registry/operator slices
 are pure-static ast extraction over `git show` blobs; only oracle_sql()
 (programmatic string assembly) runs in a subprocess, pinned to its own
@@ -53,6 +59,59 @@ PKG = "cdc_poc_spark"
 REGISTRY_MOD = f"{PKG}.plans.registry"
 CACHE_DIR = "/tmp/cdc_poc_evidence_cache"
 WINDOW_SIZE = 50
+
+# Shared wrapper prologue every driver-executed query runs (ADVICE r8):
+# the driver calls queries()[name], which is _fresh(q_*) — so _fresh,
+# session.free_caches, and the queries() assembly are code EVERY query
+# executes, yet a q_*-rooted slice never reaches them. Seed them into
+# every slice. `queries` is hashed BODY-ONLY (non-transitive): its data
+# dependencies (_DRIVER_WINDOW, _RAW_QUERIES) are ordering-only and churn
+# by design every round's window rotation — walking them would mark the
+# whole registry stale on every rotation. A semantic change to the
+# assembly itself still shows (the body text changes), and _fresh's walk
+# covers the wrapper that actually executes per call.
+PROLOGUE_SEEDS = [
+    (REGISTRY_MOD, "_fresh", True),  # transitive: pulls free_caches
+    (f"{PKG}.session", "free_caches", True),
+    (REGISTRY_MOD, "queries", False),  # body-only, see above
+]
+
+# Hand-reviewed equivalence classes for prologue artifacts: hash pairs
+# adjudicated as semantically identical PER EXECUTED QUERY, so a
+# historical no-risk refactor doesn't backdate staleness onto every row
+# checked before it. Sole entry: the round-7 queries() change (r6 tree
+# 5af48d58... -> r7 tree 6873cdc8...) added _DRIVER_WINDOW-first dict
+# ORDERING — both sides return `_fresh(fn)` per query, and dict order
+# cannot change any query's result (diff reviewed round 9; reproduce with
+# `git show <r6^>:cdc_poc_spark/plans/registry.py`). Future prologue
+# changes get NO waiver unless reviewed and added here with the same
+# written justification.
+PROLOGUE_EQUIV: dict[str, list[frozenset[str]]] = {
+    f"prologue:{REGISTRY_MOD}:queries": [
+        frozenset(
+            {
+                "5af48d581e8d043c3361c67194ba45c1",
+                "6873cdc86145d8170f60dea134d357d3",
+            }
+        )
+    ]
+}
+
+
+def slice_diff(cur_slice: dict[str, str], old_slice: dict[str, str]) -> list[str]:
+    """Artifact keys that differ between two slices, minus hand-reviewed
+    prologue equivalences (see PROLOGUE_EQUIV)."""
+    out = []
+    for k in sorted(set(cur_slice) | set(old_slice)):
+        a, b = cur_slice.get(k), old_slice.get(k)
+        if a == b:
+            continue
+        if a is not None and b is not None and any(
+            {a, b} <= cls for cls in PROLOGUE_EQUIV.get(k, [])
+        ):
+            continue
+        out.append(k)
+    return out
 
 
 def _git(*args: str) -> str:
@@ -311,6 +370,16 @@ def query_slice(view: TreeView, qname: str) -> dict[str, str] | None:
     seen: set[tuple[str, str]] = set()
     whole: set[str] = set()
     work: list[tuple[str, str]] = [(REGISTRY_MOD, fn_name)]
+    for mod, name, transitive in PROLOGUE_SEEDS:
+        if transitive:
+            work.append((mod, name))
+        else:
+            idx = view.index(mod)
+            node = idx.defs.get(name) if idx else None
+            seg = (ast.get_source_segment(idx.text, node) or "") if node else ""
+            out[f"prologue:{mod}:{name}"] = (
+                hashlib.md5(seg.encode()).hexdigest() if seg else "ABSENT"
+            )
 
     def push(mod: str, name: str) -> None:
         if (mod, name) not in seen:
@@ -434,9 +503,7 @@ def audit() -> list[dict]:
             if old_slice is None:
                 reasons.append("added-since")
             else:
-                for k in sorted(set(cur_slice) | set(old_slice)):
-                    if cur_slice.get(k) != old_slice.get(k):
-                        reasons.append(k)
+                reasons.extend(slice_diff(cur_slice, old_slice))
             if old_oracles[ref].get(qname) != cur_oracles.get(qname):
                 reasons.append("oracle-changed")
         rows.append({"query": qname, "evidence_round": rnd, "stale": reasons})

@@ -73,6 +73,33 @@ def test_every_registry_query_slices_cleanly():
         assert all(v != "ABSENT" for v in s.values()), f"absent module in {qname}"
 
 
+def test_prologue_seeded_in_every_slice():
+    """ADVICE r8: the driver executes _fresh(fn) via the queries()
+    assembly, and _fresh calls session.free_caches — shared prologue in
+    every query's executed surface, so it must be in every slice."""
+    view = ef.TreeView(None)
+    for qname in ("dedup_exact", "wh_pricing_summary"):
+        s = ef.query_slice(view, qname)
+        assert s is not None
+        assert "sym:cdc_poc_spark.plans.registry:_fresh" in s
+        assert "sym:cdc_poc_spark.session:free_caches" in s
+        assert "prologue:cdc_poc_spark.plans.registry:queries" in s
+
+
+def test_slice_diff_prologue_waiver_is_exact():
+    key = "prologue:cdc_poc_spark.plans.registry:queries"
+    r6 = "5af48d581e8d043c3361c67194ba45c1"
+    r7 = "6873cdc86145d8170f60dea134d357d3"
+    base = {"sym:m:f": "x"}
+    # the one hand-reviewed ordering-only refactor is equivalent ...
+    assert ef.slice_diff({**base, key: r7}, {**base, key: r6}) == []
+    # ... any unreviewed prologue change marks the query stale
+    assert ef.slice_diff({**base, key: "00" * 16}, {**base, key: r6}) == [key]
+    # ... and a _fresh/free_caches body change is never waived
+    fk = "sym:cdc_poc_spark.plans.registry:_fresh"
+    assert ef.slice_diff({**base, fk: "a"}, {**base, fk: "b"}) == [fk]
+
+
 def test_suggest_window_shape():
     rows = [
         {"query": f"q{i}", "evidence_round": 3 + i % 4, "stale": []}
