@@ -409,8 +409,16 @@ def minhash_lsh_dups(
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     union_size = F.size("sh_a") + F.size("sh_b") - n_common
+    # SHUFFLE_HASH from the candidate side: the planner's static size
+    # estimate for sa/sb comes from compressed parquet bytes, but the
+    # materialized shingle arrays are ~10-50x that — at the 100x probe
+    # (500k docs) the estimate-driven BroadcastHashJoin of sa/sb blew
+    # past driver memory (round 9). Building the per-partition hash from
+    # the candidate-pair side (two longs per row) and streaming the
+    # array side is the shape that survives at any corpus size.
     return (
-        cands.join(sa, "doc_a")
+        cands.hint("shuffle_hash")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -487,8 +495,11 @@ def incremental_minhash_dups(
     sa = idx.select(F.col("doc_id").alias("doc_index"), F.col("sh").alias("sh_a"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     union_size = F.size("sh_a") + F.size("sh_b") - n_common
+    # candidate-side SHUFFLE_HASH for the same reason as minhash_lsh_dups:
+    # never let a compressed-bytes estimate broadcast the shingle arrays
     return (
-        cands.join(sb, "doc_batch")
+        cands.hint("shuffle_hash")
+        .join(sb, "doc_batch")
         .join(sa, "doc_index")
         .select(
             "doc_batch",

@@ -4143,17 +4143,22 @@ def _fresh(fn: QueryFn) -> QueryFn:
 # per round; this list pins that window explicitly (rotation = edit this
 # list, not dict surgery). The list below is the verbatim output of
 #   python scripts/evidence_freshness.py --window
-# after the round-8 snapshot landed: ONE stale row (this round's
+# after the round-8 snapshot landed: FOUR stale rows first (this round's
 # setup-cache prune rework touched dedup_clusters_incremental's executed
-# surface, so its r8 row must be re-proven), then pure evidence-age
-# rotation — the 18 r4-era rows the round-8 verdict named, then the 31
-# alphabetically-first rows of the r5 cohort (the 32nd, wh_percentiles,
-# was displaced by the stale row and rotates in next round). The audit
-# now also seeds the shared _fresh/free_caches/queries() wrapper
-# prologue into every slice (ADVICE r8). After this round's CORRECTNESS
-# lands, no registry row's evidence predates r5.
+# surface, and the sf10 probe's broadcast-OOM fix — candidate-side
+# SHUFFLE_HASH on the minhash verify joins — touched
+# dedup_minhash_lsh/_incremental/dedup_lsh_measure), then pure
+# evidence-age rotation — the 18 r4-era rows the round-8 verdict named,
+# then the 28 alphabetically-first rows of the r5 cohort (the displaced
+# tail rotates next round). The audit now also seeds the shared
+# _fresh/free_caches/queries() wrapper prologue into every slice
+# (ADVICE r8). After this round's CORRECTNESS lands, no registry row's
+# evidence predates r5.
 _DRIVER_WINDOW = [
+"dedup_lsh_measure",
 "dedup_clusters_incremental",
+"dedup_minhash_incremental",
+"dedup_minhash_lsh",
 "text_boilerplate_strip",
 "text_quality_buckets",
 "ts_anomaly",
@@ -4200,9 +4205,6 @@ _DRIVER_WINDOW = [
 "wh_explode_tokens",
 "wh_funnel",
 "wh_grouping_sets",
-"wh_negative_samples",
-"wh_outer_join",
-"wh_payload_json",
 ]
 
 

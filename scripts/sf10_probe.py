@@ -173,6 +173,9 @@ def main() -> None:
     ap.add_argument("--out-dir", default="/tmp/sf10")
     ap.add_argument("--mult", type=int, default=100)
     ap.add_argument("--record", default=None)
+    ap.add_argument(
+        "--only", default=None, help="comma-separated subset of PROBES to run"
+    )
     ap.add_argument("--single", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.single:
@@ -180,7 +183,10 @@ def main() -> None:
         return
     _generate(args.out_dir, args.mult)
     results = []
-    for qname in PROBES:
+    probes = (
+        {q: PROBES[q] for q in args.only.split(",")} if args.only else PROBES
+    )
+    for qname in probes:
         t0 = time.perf_counter()
         proc = subprocess.run(
             [
@@ -203,7 +209,7 @@ def main() -> None:
         )
         rec = json.loads(line[len("RESULT "):])
         rec["jvm_wall_s"] = round(time.perf_counter() - t0, 1)
-        alpha = PROBES[qname]
+        alpha = probes[qname]
         rec["curve_alpha"] = alpha
         rec["predicted_ratio"] = round(args.mult**alpha, 1) if alpha else None
         results.append(rec)
@@ -223,8 +229,21 @@ def main() -> None:
             f"{r['ratio']}x | {pred} | {r['peak_jvm_rss_gib']} GiB |"
         )
     if args.record:
+        merged = {"mult": args.mult, "results": results}
+        if args.only and os.path.exists(args.record):
+            # partial re-run (--only): merge over the prior record so the
+            # file always carries the full probe set
+            with open(args.record) as f:
+                prior = json.load(f)
+            if prior.get("mult") == args.mult:
+                keep = [
+                    r
+                    for r in prior["results"]
+                    if r["query"] not in {x["query"] for x in results}
+                ]
+                merged["results"] = keep + results
         with open(args.record, "w") as f:
-            json.dump({"mult": args.mult, "results": results}, f, indent=1)
+            json.dump(merged, f, indent=1)
             f.write("\n")
         print(f"wrote {args.record}", file=sys.stderr)
 
