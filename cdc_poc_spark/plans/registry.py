@@ -4143,22 +4143,30 @@ def _fresh(fn: QueryFn) -> QueryFn:
 # per round; this list pins that window explicitly (rotation = edit this
 # list, not dict surgery). The list below is the verbatim output of
 #   python scripts/evidence_freshness.py --window
-# after the round-8 snapshot landed: FOUR stale rows first (this round's
-# setup-cache prune rework touched dedup_clusters_incremental's executed
-# surface, and the sf10 probe's broadcast-OOM fix — candidate-side
-# SHUFFLE_HASH on the minhash verify joins — touched
-# dedup_minhash_lsh/_incremental/dedup_lsh_measure), then pure
-# evidence-age rotation — the 18 r4-era rows the round-8 verdict named,
-# then the 28 alphabetically-first rows of the r5 cohort (the displaced
-# tail rotates next round). The audit now also seeds the shared
+# after the round-8 snapshot landed: TEN stale rows first — this round's
+# setup-cache prune rework (dedup_clusters_incremental), the sf10
+# probe's broadcast-OOM fix on the minhash verify joins
+# (dedup_minhash_lsh/_incremental/dedup_lsh_measure), and the same
+# candidate-side SHUFFLE_HASH hardening applied proactively to the
+# shared embedding verify helper (_verify_pairs_cosine: the six sim_*/
+# pipeline_contamination_report consumers) — then pure evidence-age
+# rotation: the 18 r4-era rows the round-8 verdict named, then the 22
+# alphabetically-first rows of the r5 cohort (the displaced tail
+# rotates next round). The audit now also seeds the shared
 # _fresh/free_caches/queries() wrapper prologue into every slice
 # (ADVICE r8). After this round's CORRECTNESS lands, no registry row's
 # evidence predates r5.
 _DRIVER_WINDOW = [
 "dedup_lsh_measure",
+"sim_embedding_dups_incremental",
 "dedup_clusters_incremental",
 "dedup_minhash_incremental",
 "dedup_minhash_lsh",
+"pipeline_contamination_report",
+"sim_decontaminate",
+"sim_embedding_dups_ivf",
+"sim_embedding_dups_ivf_capped",
+"sim_embedding_dups_lsh",
 "text_boilerplate_strip",
 "text_quality_buckets",
 "ts_anomaly",
@@ -4199,12 +4207,6 @@ _DRIVER_WINDOW = [
 "stream_minute_window_native",
 "text_ngram_topk",
 "wh_cohort_retention",
-"wh_cube",
-"wh_distinct_agg",
-"wh_event_transitions",
-"wh_explode_tokens",
-"wh_funnel",
-"wh_grouping_sets",
 ]
 
 

@@ -61,3 +61,38 @@ def test_scale_validation_refuses_wrong_sf():
               "stream": {"events": 1000}, "_subprocess_wall_s": 1.0}
     with pytest.raises(SystemExit, match="SCALE VALIDATION"):
         bb._assemble("/root/testdata/sf0.1", sections, stream, 100_000, None, 3)
+
+
+def test_check_writes_artifact_with_both_fractions(tmp_path):
+    """ADVICE r8: the written record must carry the ratio-only AND the
+    deadbanded fractions plus every deadband-excused row, so the gate's
+    loosening is visible in the artifact, not only on stdout."""
+    a = {"queries": {f"q{i}": 1.0 for i in range(10)}}
+    b = {"queries": {f"q{i}": 1.0 for i in range(10)}}
+    # q0: 3.3x ratio but |delta| 0.46s < 0.5s deadband -> excused
+    a["queries"]["q0"], b["queries"]["q0"] = 0.2, 0.66
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    art = tmp_path / "check.json"
+    bb.check(str(pa), str(pb), artifact=str(art))
+    rec = json.loads(art.read_text())
+    assert rec["passed"] is True
+    assert rec["ratio_only"]["ok"] == 9 and rec["gated"]["ok"] == 10
+    assert rec["ratio_only"]["fraction"] < rec["gated"]["fraction"]
+    assert [e["query"] for e in rec["deadband_excused"]] == ["q0"]
+    assert rec["excused_over_3x"] == 1
+    assert rec["gate"]["deadband_s"] == bb.SPREAD_DEADBAND_S
+
+
+def test_assemble_without_stream_section():
+    """--no-stream (conf A/Bs): assembly must skip stream validation and
+    record stream/generator as None."""
+    sections = [
+        {"sf": 0.1, "batch": "0/1", "queries": {"q": 1.0},
+         "_subprocess_wall_s": 1.0}
+    ]
+    payload = bb._assemble("/root/testdata/sf0.1", sections, None, 100_000, None, 3)
+    assert payload["stream"] is None and payload["generator"] is None
+    assert payload["n_queries"] == 1
+    assert payload["protocol"] == "batched-fresh-jvm-1-minof3"
