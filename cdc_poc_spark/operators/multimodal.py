@@ -451,19 +451,22 @@ def image_dup_pairs(
     b = banded.select(
         "band", "key", F.col("media_id").alias("id_b"), F.col("ahash").alias("h_b")
     )
-    cands = (
+    # verify BEFORE the dedup exchange: hamming is a pure function of the
+    # two hashes already on the candidate row, and most band collisions
+    # fail the threshold — filtering first shrinks the distinct's shuffle
+    # to the (rare) true pairs instead of every candidate (guide §2.3).
+    # The result set is unchanged: (id_a, id_b) determines (h_a, h_b), so
+    # distinct-then-filter and filter-then-distinct keep the same pairs.
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-    )
-    return (
-        cands.select(
+        .select(
             "id_a",
             "id_b",
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

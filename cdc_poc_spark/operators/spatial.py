@@ -61,7 +61,14 @@ def grid_distance_join(
     """
     cx = F.floor(F.col("x") / F.lit(float(eps))).cast("long")
     cy = F.floor(F.col("y") / F.lit(float(eps))).cast("long")
-    cells = points.select("point_id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    # the cell projection feeds THREE scans (hot-cell counts, join side a,
+    # join side b); its lineage re-derives the coordinates per scan — for
+    # the synthesized-point callers that is two md5 hashes per point per
+    # scan. Persist the narrow (id, x, y, cell) rows once; the session
+    # cache-hygiene prologue reclaims them after the query's action.
+    cells = points.select(
+        "point_id", "x", "y", cx.alias("cx"), cy.alias("cy")
+    ).persist()
     if cell_cap is not None:
         hot = (
             cells.groupBy("cx", "cy")
@@ -162,9 +169,23 @@ def dbscan(
     if eps is None:
         eps = adaptive_eps(points.count())
     pairs = grid_distance_join(points, eps, cell_cap).select("id_a", "id_b")
-    sym = pairs.unionAll(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
+    # symmetrize with ONE pass over the pair join (explode both directions
+    # per row) instead of a self-union whose two branches each re-run the
+    # grid join when the persist materializes
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a"), F.col("id_b")),
+                    F.struct(
+                        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.id_a").alias("id_a"), F.col("e.id_b").alias("id_b"))
+        .persist()
+    )
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("_deg"))
     core = deg.filter(F.col("_deg") >= int(min_pts) - 1).select(
         F.col("id_a").alias("pid")

@@ -2715,25 +2715,28 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     names = ["raw", "quality", "exact_dedup", "near_dedup", "decontaminated"]
-    rows = [
-        stages.select(
+    # one 1-row frame (stage agg ⨯ balance agg, both single rows over the
+    # persisted flag frame), exploded to the 6 output rows — the previous
+    # 6-way union re-planned and re-executed the stage aggregate once per
+    # selected column (5 extra jobs over the same cached input)
+    one = stages.crossJoin(bal)
+    structs = [
+        F.struct(
             F.lit(i).cast("long").alias("stage"),
             F.lit(nm).alias("stage_name"),
             F.col(f"s{i}").cast("long").alias("n_docs"),
         )
         for i, nm in enumerate(names)
-    ]
-    rows.append(
-        bal.select(
+    ] + [
+        F.struct(
             F.lit(5).cast("long").alias("stage"),
             F.lit("lang_balanced").alias("stage_name"),
             F.col("s5").cast("long").alias("n_docs"),
         )
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.stage", "r.stage_name", "r.n_docs"
     )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
