@@ -285,7 +285,6 @@ def label_propagation(
     labels = e.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("lbl")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("lbl"))
     for _ in range(int(rounds)):
         votes = (
             e.join(labels, e["dst"] == labels["id"])
@@ -293,10 +292,17 @@ def label_propagation(
             .groupBy("id", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # argmax as a lexicographic struct MIN — (-cnt, lbl) orders by
+        # count desc then label asc, exactly the window's (cnt DESC, lbl
+        # ASC) row_number()=1 rule — so each round is two hash aggregates
+        # with map-side partials instead of an exchange + full sort +
+        # filter over the |V|·degree vote rows (guide §2.3: aggregate
+        # before you shuffle; the sort was the round's dominant cost at
+        # scale). -cnt cannot overflow: cnt >= 1.
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "lbl")
+            votes.groupBy("id")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("_nc"), F.col("lbl"))).alias("_m"))
+            .select("id", F.col("_m.lbl").alias("lbl"))
         )
     sz = Window.partitionBy("lbl")
     return labels.select(

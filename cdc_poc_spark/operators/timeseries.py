@@ -126,13 +126,18 @@ def autocorrelation(events: DataFrame, lags: tuple[int, ...] = AUTOCORR_LAGS) ->
         )
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
     )
+    # explicit partition count on the probe side of each lag join: the
+    # minute aggregate is byte-tiny, so AQE coalesces it onto 1-2
+    # partitions and the five lag joins + decimal products would run
+    # nearly serially (same guard as robust_trend's pair join)
+    par = events.sparkSession.sparkContext.defaultParallelism
     lagged = None
     for lag in lags:
         a = minutes.select(
             "event_type",
             F.col("minute").alias("m"),
             F.col("v").alias("x"),
-        )
+        ).repartition(par, "event_type", "m")
         b = minutes.select(
             "event_type",
             (F.col("minute") - F.expr(f"INTERVAL {int(lag)} MINUTES")).alias("m"),
@@ -392,6 +397,15 @@ def robust_trend(events: DataFrame, max_gap: int = ROBUST_MAX_GAP) -> DataFrame:
         "v_i",
         (F.col("m_i") + F.col("g") * F.expr("INTERVAL 1 MINUTE")).alias("m_j"),
     )
+    # explicit partition count on the exploded side: the minute aggregate
+    # is a few hundred KB, so AQE coalesces its exchange onto 1-2
+    # partitions — and the ×max_gap explode + join + slope arithmetic
+    # (the CPU-dense part) would run nearly serially (the same
+    # byte-blindness functions/partitioning.spread guards scans against;
+    # measured 2.9s -> 1.9s at sf0.1, identical output). Explicit counts
+    # are exempt from AQE coalescing.
+    par = events.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(par, "event_type", "m_j")
     b = minutes.select(
         "event_type", F.col("minute").alias("m_j"), F.col("v").alias("v_j")
     )

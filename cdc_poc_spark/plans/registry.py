@@ -1269,11 +1269,15 @@ def q_pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = hashing.md5_long(F.col("text"))
     ex = dedup.exact_dups(docs)
+    # persisted: the loser set feeds BOTH output branches (the 'exact'
+    # rows and the anti-join that demotes them from 'near'); without the
+    # pin the md5-over-text join pipeline runs twice
     exact_losers = (
         docs.select("doc_id", h.alias("_h"))
         .join(ex, F.col("_h") == F.col("text_hash"))
         .filter(F.col("doc_id") != F.col("keep_doc_id"))
         .select("doc_id")
+        .persist()
     )
     near_losers = (
         dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
@@ -2221,20 +2225,26 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the stages."""
     docs = load_table(spark, sf_dir, "documents")
     stats = text_analysis.text_stats(docs)
-    quality_ids = stats.filter(F.col("quality_ok")).select("doc_id")
     keepers = dedup.exact_dups(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     near_dup_losers = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
         F.col("doc_b").alias("doc_id")
     )
+    # ONE reference to the (expensive) text_stats frame: the quality gate
+    # and the n_tokens payload ride the same filtered projection — the
+    # previous quality-ids join + separate n_tokens join evaluated the
+    # full stats expression tree twice (inner joins commute, result
+    # unchanged)
     surviving = (
-        quality_ids.join(keepers, "doc_id")
+        stats.filter(F.col("quality_ok"))
+        .select("doc_id", "n_tokens")
+        .join(keepers, "doc_id")
         .join(near_dup_losers, "doc_id", "left_anti")
     )
     return (
-        docs.join(surviving, "doc_id")
-        .join(stats.select("doc_id", "n_tokens"), "doc_id")
+        docs.select("doc_id", "lang")
+        .join(surviving, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
