@@ -54,9 +54,13 @@ def nb_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     )
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     base = base.repartition(parallelism, "doc_id")
+    # persisted: the exploded token frame feeds FIVE consumers (class-token
+    # counts, class totals, vocabulary size, the model grid's distinct, and
+    # the scoring join) — without the pin each re-runs the posexplode over
+    # the exchange; the session cache hygiene reclaims it after the action
     dt = base.select(
         "doc_id", "label", F.posexplode("toks").alias("pos", "token")
-    )
+    ).persist()
 
     ctk = dt.groupBy("label", "token").agg(F.count(F.lit(1)).alias("c"))
     cls = dt.groupBy("label").agg(F.count(F.lit(1)).alias("n_tok"))
