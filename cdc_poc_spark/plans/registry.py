@@ -4156,34 +4156,47 @@ def _fresh(fn: QueryFn) -> QueryFn:
 # per round; this list pins that window explicitly (rotation = edit this
 # list, not dict surgery). The list below is the verbatim output of
 #   python scripts/evidence_freshness.py --window
-# after the round-8 snapshot landed: TEN stale rows first — this round's
-# setup-cache prune rework (dedup_clusters_incremental), the sf10
-# probe's broadcast-OOM fix on the minhash verify joins
-# (dedup_minhash_lsh/_incremental/dedup_lsh_measure), and the same
-# candidate-side SHUFFLE_HASH hardening applied proactively to the
-# shared embedding verify helper (_verify_pairs_cosine: the six sim_*/
-# pipeline_contamination_report consumers) — then pure evidence-age
-# rotation: the 18 r4-era rows the round-8 verdict named, then the 22
-# alphabetically-first rows of the r5 cohort (the displaced tail
-# rotates next round). The audit now also seeds the shared
-# _fresh/free_caches/queries() wrapper prologue into every slice
-# (ADVICE r8). After this round's CORRECTNESS lands, no registry row's
-# evidence predates r5.
+# after the round-9 OPTIMIZATION changes landed: stale rows first —
+# every query whose executed code this round's optimizations touched
+# (the simhash exchange barrier, winnow/cell/NB-token/exact-loser
+# substrate persists, the pagerank/LPA loop rework, the timeseries
+# AQE-exemption repartitions, the funnel/clean-corpus plan
+# restructures, plus the r8-staged minhash/embedding verify-join
+# hardening not yet driver-checked) — then evidence-age rotation into
+# the remaining slots (r4/r5-era wh_*/ts_*/cdc_* rows). Every staged
+# query re-proven against the DuckDB oracle at sf0.01 this round before
+# staging.
 _DRIVER_WINDOW = [
+"ts_robust_trend",
+"wh_spatial_join",
+"mm_image_dedup_sql",
+"dedup_simhash",
+"pipeline_diversity_sample",
+"sim_knn_communities",
+"sim_knn_pagerank",
 "dedup_lsh_measure",
+"dedup_substring",
+"pipeline_dedup_report",
 "sim_embedding_dups_incremental",
+"text_nb_lang",
+"ts_autocorr",
 "dedup_clusters_incremental",
 "dedup_minhash_incremental",
 "dedup_minhash_lsh",
+"mm_audio_dedup",
+"mm_audio_dedup_sql",
+"mm_image_dedup",
+"pipeline_clean_corpus",
 "pipeline_contamination_report",
+"pipeline_curation_funnel",
 "sim_decontaminate",
 "sim_embedding_dups_ivf",
 "sim_embedding_dups_ivf_capped",
 "sim_embedding_dups_lsh",
+"wh_dbscan",
 "text_boilerplate_strip",
 "text_quality_buckets",
 "ts_anomaly",
-"ts_robust_trend",
 "ts_seasonal_profile",
 "ts_trend_lines",
 "wh_approx_percentiles",
@@ -4196,7 +4209,6 @@ _DRIVER_WINDOW = [
 "wh_hourly_events",
 "wh_k_anonymity",
 "wh_quality_audit",
-"wh_spatial_join",
 "wh_winsorize",
 "cdc_apply_changelog",
 "cdc_asof_enrich",
@@ -4205,21 +4217,6 @@ _DRIVER_WINDOW = [
 "cdc_enriched_valid",
 "cdc_enrichment_misses",
 "cdc_high_engagement",
-"cdc_incremental_agg",
-"cdc_leaderboard",
-"cdc_minute_window",
-"cdc_parse_envelope",
-"cdc_parse_unwrapped",
-"cdc_user_engagement",
-"mm_image_dedup_sql",
-"pipeline_weighted_sample",
-"stream_asof_stateful",
-"stream_dedup_native",
-"stream_dedup_state_native",
-"stream_leaderboard_native",
-"stream_minute_window_native",
-"text_ngram_topk",
-"wh_cohort_retention",
 ]
 
 
