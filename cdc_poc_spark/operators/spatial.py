@@ -66,6 +66,8 @@ def grid_distance_join(
     # the synthesized-point callers that is two md5 hashes per point per
     # scan. Persist the narrow (id, x, y, cell) rows once; the session
     # cache-hygiene prologue reclaims them after the query's action.
+    # (A spread() of the single-split scan was A/B'd here and measured
+    # neutral — the join exchanges already distribute the heavy stages.)
     cells = points.select(
         "point_id", "x", "y", cx.alias("cx"), cy.alias("cy")
     ).persist()
