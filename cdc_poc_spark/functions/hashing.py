@@ -39,10 +39,17 @@ def md5_long_py(s: str) -> int:
     """Python scalar twin of :func:`md5_long` — for renders/oracles that
     compute the portable convention inside plain Python (codec synthesis,
     pure-python differentials). One definition so a convention change
-    cannot silently diverge across call sites."""
+    cannot silently diverge across call sites.
+
+    The first 15 hex chars are the first 60 bits of the digest, so the
+    binary form (8 bytes big-endian, low nibble dropped) is the same
+    integer without the hexdigest string + int-parse round trip — ~2x
+    cheaper per call, and this runs once per token/trigram in the media
+    render stages (tests/test_r10_optimizations.py pins the two forms
+    equal)."""
     import hashlib
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
 
 
 def md5_long_sql(expr: str) -> str:

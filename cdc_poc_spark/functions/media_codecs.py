@@ -72,36 +72,68 @@ def _unfilter(raw: bytes, offset: int, height: int, stride: int, bpp: int):
     """Reverse PNG scanline filtering for ``height`` rows of ``stride``
     bytes starting at ``offset`` in ``raw`` (each row prefixed by its
     filter-type byte). Returns (rows ndarray (height, stride) uint8,
-    next offset)."""
+    next offset).
+
+    Vectorized (round 10, guide §4.2): the per-byte Python loops were
+    the decoder's dominant cost inside the mapInPandas stages. Every
+    filter's recurrence is modular-256 arithmetic, so uint8 numpy ops
+    reproduce it exactly:
+      - None: the filtered bytes ARE the pixels (one reshape — the only
+        path the repo's own filter-0 encoder ever produces);
+      - Up (out[y] = line[y] + out[y-1]): a column-wise cumulative sum,
+        wrapping in uint8 (mod-256 addition is associative, so wrap
+        timing is irrelevant);
+      - Sub (out[x] = line[x] + out[x-bpp]): a row-local prefix sum down
+        the bpp byte lanes (stride is always a multiple of bpp: for
+        depths >= 8, stride = width*channels*depth/8 and
+        bpp = channels*depth/8; sub-byte depths have bpp = 1);
+      - Average/Paeth: genuinely sequential nonlinear recurrences along
+        x — kept as the original per-byte loops (never produced by this
+        package's encoder; held by the tests/test_media_codecs.py filter
+        matrix).
+    Mixed-filter images process row-by-row but each Up/Sub/None row is a
+    vector op; uniform filter-0 / filter-2 images take whole-image paths."""
     need = (stride + 1) * height
     if offset + need > len(raw):
         raise ValueError("PNG scanline payload size mismatch")
+    block = np.frombuffer(raw, dtype=np.uint8, count=need, offset=offset)
+    block = block.reshape(height, stride + 1)
+    ftypes = block[:, 0]
+    lines = block[:, 1:]
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise ValueError(f"unknown PNG filter type {int(bad[0])}")
+    if not ftypes.any():  # all None — the common case
+        return lines.copy(), offset + need
+    if (ftypes == 2).all():  # all Up — column cumsum mod 256
+        return np.cumsum(lines, axis=0, dtype=np.uint8), offset + need
     out = np.zeros((height, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        base = offset + y * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        ftype = int(ftypes[y])
+        line = lines[y]
+        prev = out[y - 1] if y > 0 else zero
         if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+            out[y] = line
+        elif ftype == 1:  # Sub: prefix sum down the bpp lanes
+            out[y] = np.cumsum(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
         elif ftype == 2:  # Up
+            out[y] = line + prev  # uint8 add wraps mod 256
+        elif ftype == 3:  # Average (sequential along x — original loop)
+            lb = bytearray(line.tobytes())
             for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
+                left = lb[x - bpp] if x >= bpp else 0
+                lb[x] = (lb[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(lb), dtype=np.uint8)
+        else:  # Paeth (sequential along x — original loop)
+            lb = bytearray(line.tobytes())
             for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
+                left = lb[x - bpp] if x >= bpp else 0
                 ul = int(prev[x - bpp]) if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+                lb[x] = (lb[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+            out[y] = np.frombuffer(bytes(lb), dtype=np.uint8)
     return out, offset + need
 
 
@@ -242,7 +274,11 @@ def png_encode(pixels: np.ndarray) -> bytes:
         raise ValueError(f"unsupported channel count {channels}")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     flat = pixels.astype(np.uint8).reshape(height, width * channels)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(height))
+    # one preallocated (height, stride+1) block instead of a per-row
+    # bytes join: column 0 is the filter-0 byte, identical output bytes
+    raw_arr = np.zeros((height, width * channels + 1), dtype=np.uint8)
+    raw_arr[:, 1:] = flat
+    raw = raw_arr.tobytes()
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)

@@ -661,13 +661,27 @@ def substring_dup_pairs(
     k: int = WINNOW_K,
     g: int = WINNOW_G,
     max_df_frac: float | None = WINNOW_MAX_DF_FRAC,
+    split_pred: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Doc pairs sharing >= ``min_shared`` winnowed substring fingerprints —
     the distributed form of exact-substring dedup: candidates come from the
     fingerprint equi-self-join (same blocked shape as the shingle join, cost
     sum-over-fingerprints of df^2, never all-pairs), with boilerplate
     fingerprints (df > ``max_df_frac`` of the corpus) dropped before the
-    join exactly like the stop-shingle cap."""
+    join exactly like the stop-shingle cap.
+
+    ``split_pred`` (round 10): a doc_id -> boolean Column factory that
+    restricts the output to CROSS-split pairs (one side satisfies the
+    predicate, the other does not). The contamination report only wants
+    bench-vs-corpus pairs; generating the full self-join and filtering
+    after computes every corpus-corpus candidate (the overwhelming
+    majority: with a ~2% bench split the cross slice is ~4% of the
+    candidate volume) just to drop it. Pushing the split INTO the join
+    is provably the same pair set: the two sides are disjoint by
+    construction, the hot-fingerprint cap is still computed over the
+    FULL corpus before the split, and |fp_a ∩ fp_b| per unordered pair
+    does not depend on which side generated it
+    (tests/test_r10_optimizations.py holds the two forms equal)."""
     # the fingerprint frame feeds the hot-cap aggregate AND both self-join
     # sides; without a persist the whole winnow pass (one md5 per char
     # window of every doc — the query's dominant compute) re-executes per
@@ -696,12 +710,25 @@ def substring_dup_pairs(
             .select("fingerprint")
         )
         fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    if split_pred is None:
+        a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+        b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+        pairs = a.join(b, "fingerprint").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        sa = fp.filter(split_pred(F.col("doc_id"))).select(
+            F.col("doc_id").alias("_s"), "fingerprint"
+        )
+        sb = fp.filter(~split_pred(F.col("doc_id"))).select(
+            F.col("doc_id").alias("_o"), "fingerprint"
+        )
+        # disjoint sides -> each unordered pair appears in exactly one
+        # orientation; canonicalize to the full form's doc_a < doc_b
+        pairs = sa.join(sb, "fingerprint").select(
+            F.least("_s", "_o").alias("doc_a"),
+            F.greatest("_s", "_o").alias("doc_b"),
+        )
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= int(min_shared))
     )

@@ -361,11 +361,13 @@ def ahash64(media: DataFrame) -> DataFrame:
                         gray = px.astype(np.int64).sum(axis=2)
                         small = mc.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
                         bits = (small * 64 > small.sum()).flatten()
-                        # int64 via signed wrap to dodge uint64 overflow
-                        val = 0
-                        for i, bit in enumerate(bits):
-                            if bit:
-                                val |= 1 << i
+                        # LSB-first pack (bit i of the hash = bits[i]),
+                        # vectorized; int64 via signed wrap to dodge
+                        # uint64 overflow
+                        val = int.from_bytes(
+                            np.packbits(bits, bitorder="little").tobytes(),
+                            "little",
+                        )
                         h = val - (1 << 64) if val >= (1 << 63) else val
                     except (ValueError, zlib_error):
                         h = None
@@ -567,10 +569,10 @@ def audio_fingerprints(media: DataFrame, windows: int = 64) -> DataFrame:
                             sums = np.add.reduceat(np.abs(samples), cuts[:-1])
                             ns = np.diff(cuts)
                             bits = sums[:-1] * ns[1:] > sums[1:] * ns[:-1]
-                            val = 0
-                            for i, bit in enumerate(bits):
-                                if bit:
-                                    val |= 1 << i
+                            val = int.from_bytes(
+                                np.packbits(bits, bitorder="little").tobytes(),
+                                "little",
+                            )
                             h = val - (1 << 64) if val >= (1 << 63) else val
                     except (wave_error, EOFError):
                         h = None

@@ -2723,21 +2723,34 @@ def oracle_sql() -> dict[str, str]:
                    AS cell_size
         FROM ra3 a JOIN rm2 m ON a.cell = m.cell"""
 
+    from ..operators.similarity import EMB_IVF_CELL_CAP
+
     # 3-probe IVF-blocked near-dup (operators/similarity.py:
     # embedding_dup_pairs_ivf): same BALANCED sqrt-sized quantizer as
-    # semantic_dedup, rn <= nprobe, distinct pairs sharing any probed
-    # cell, cosine verify
+    # semantic_dedup, rn <= nprobe, then the round-10 bounded
+    # inverted-list scan (crk <= cell_cap: each cell keeps only its
+    # EMB_IVF_CELL_CAP members nearest the centroid, ties -> lowest
+    # vec_id — never binding at the shipped SFs, measured max occupancy
+    # 166 at sf0.1), distinct pairs sharing any surviving probed cell,
+    # cosine verify
     sqls["sim_embedding_dups_ivf"] = f"""
         WITH {_balanced_cent},
         assign AS (
             SELECT vec_id, cell FROM (
-                SELECT e.vec_id, c.cell,
+                SELECT vec_id, cell,
                        row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_l2sq_sql("e.embedding", "c.c_vec")}, c.cell
-                       ) AS rn
-                FROM embeddings e CROSS JOIN cent c
-            ) WHERE rn <= {EMB_IVF_NPROBE}
+                           PARTITION BY cell ORDER BY d, vec_id
+                       ) AS crk
+                FROM (
+                    SELECT vec_id, cell, d FROM (
+                        SELECT e.vec_id, c.cell,
+                               {_l2sq_sql("e.embedding", "c.c_vec")} AS d
+                        FROM embeddings e CROSS JOIN cent c
+                    ) ds QUALIFY row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d, cell
+                    ) <= {EMB_IVF_NPROBE}
+                )
+            ) WHERE crk <= {EMB_IVF_CELL_CAP}
         ),
         normed AS (
             SELECT e.vec_id, a.cell, e.embedding,

@@ -1365,6 +1365,11 @@ def q_sim_embedding_dups_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFra
         load_table(spark, sf_dir, "embeddings"),
         COSINE_TAU,
         max_cells=IVF_PAIR_MAX_CELLS,
+        # no bounded-list cut here: this query IS the fixed-codebook
+        # growing-occupancy horn of the trade (round-10 cell_cap would
+        # change its declared pair set at sf0.1, where its 32-cell
+        # occupancy already exceeds the balanced path's)
+        cell_cap=None,
     )
 
 
@@ -2299,9 +2304,19 @@ def q_pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFra
         hashing.md5_long_seeded(F.col("doc_b"), "bench") % dedup.CONTAM_BENCH_MOD
         == 0
     )
+    # round 10: the split is pushed INTO the fingerprint join
+    # (substring_dup_pairs(split_pred=...)) — only bench-vs-corpus
+    # candidates are generated instead of the full self-join filtered
+    # after (the corpus-corpus pairs it discarded were ~96% of the
+    # candidate volume); same pair set by construction, hot-cap still
+    # corpus-wide, oracle unchanged.
     sub = (
-        dedup.substring_dup_pairs(docs)
-        .filter(is_bench_a != is_bench_b)
+        dedup.substring_dup_pairs(
+            docs,
+            split_pred=lambda c: hashing.md5_long_seeded(c, "bench")
+            % dedup.CONTAM_BENCH_MOD
+            == 0,
+        )
         .select(
             F.when(is_bench_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
                 "doc_id"

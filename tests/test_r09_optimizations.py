@@ -52,20 +52,31 @@ def test_label_propagation_tie_breaks_toward_smallest_label(spark):
 def test_label_propagation_majority_beats_smaller_label(spark):
     from cdc_poc_spark.operators.graph import label_propagation
 
-    # node 1's neighbours vote {9: 2, 0: 1}: the majority label 9 must win
-    # even though 0 is lexically smaller (argmax is (cnt DESC, lbl ASC))
+    # In round 1 labels are node ids, so every neighbour label is distinct
+    # and ALL votes tie at cnt=1 — a single round can never exercise the
+    # majority half of the argmax (ADVICE r9). This case needs round 2:
+    # after round 1 each node's label is its min neighbour id, so node
+    # 100's neighbours carry labels {8: 7, 9: 7, 50: 0} — votes {7: 2,
+    # 0: 1} — and the majority label 7 must win even though 0 is lexically
+    # smaller. An argmin-by-count (dropped -cnt negation) or a
+    # count-blind min-label rewrite would both pick 0.
     e = spark.createDataFrame(
-        [(1, 9), (1, 90), (1, 0), (9, 90)], "src long, dst long"
+        [(100, 8), (100, 9), (100, 50), (8, 7), (9, 7), (50, 0)],
+        "src long, dst long",
     )
     labels1 = {
         r.node_id: r.community
         for r in label_propagation(e, rounds=1).collect()
     }
-    # round 1: node 1 sees neighbour labels {9, 90, 0}; all distinct ->
-    # tie at cnt=1 -> smallest label 0
-    assert labels1[1] == 0
-    # node 90 sees {1, 9} -> tie -> 1; node 9 sees {1, 90} -> 1
-    assert labels1[9] == 1 and labels1[90] == 1
+    # round 1 = min neighbour id everywhere (all votes tie at cnt=1)
+    assert labels1[100] == 8
+    assert labels1[8] == 7 and labels1[9] == 7 and labels1[50] == 0
+    labels2 = {
+        r.node_id: r.community
+        for r in label_propagation(e, rounds=2).collect()
+    }
+    # round 2: node 100 votes {7: 2, 0: 1} -> majority 7 beats smaller 0
+    assert labels2[100] == 7
 
 
 def test_robust_trend_pair_join_is_aqe_exempt(spark):
