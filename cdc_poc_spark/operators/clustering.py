@@ -193,7 +193,28 @@ def connected_components(
     )
     if npart is not None:
         sym = sym.repartition(npart, "dst")
+    else:
+        # Past-cap graphs (round 10): pin a dst-keyed layout too. Without
+        # it the persisted edge set satisfies no join distribution, so
+        # EVERY propagate round re-exchanges the full symmetrized frame
+        # (at the 100x dbscan probe: ~700M rows x 18 rounds). The count
+        # comes from the session's shuffle-partition conf + AQE byte
+        # sizing (no explicit number — the capped count saturates past
+        # the cap and must not size anything), so it stays cluster-tuned;
+        # one exchange total, every round reuses the cached layout.
+        sym = sym.repartition(F.col("dst"))
     sym = sym.persist()
+    # Past-cap rounds also pin the join strategy: build the per-partition
+    # hash from the |V|-sized label side and STREAM the pinned edge set
+    # (the pagerank r9 device) — a sort-merge join would re-sort the
+    # persisted edges every round, and a size-estimate broadcast of a
+    # |V|-sized label table is the exact hazard the minhash verify hit.
+    # Small/forced-distributed graphs keep the r9-measured layout and
+    # planner choice untouched.
+    _past_cap = npart is None
+
+    def _build_side(lbls: DataFrame) -> DataFrame:
+        return lbls.hint("shuffle_hash") if _past_cap else lbls
     # fold the first propagation into initialization: with initial labels
     # label(u) = u, round 1's "min over {self ∪ neighbours}" is just the
     # min neighbour id over the self-looped edge set — no join needed, one
@@ -217,10 +238,30 @@ def connected_components(
         _csum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         prev_sum = labels.agg(_csum).first()[0]
     prev_labels = labels
-    for _ in range(max_rounds):
+    # Mid-loop contraction (round 10 — the incremental_components device
+    # turned inward): after a few min-propagation rounds the label graph
+    # CONTRACTS — distinct (label(u), label(v)) pairs across edges shrink
+    # geometrically — and once the contracted edge set fits the driver
+    # cap, the numpy solver finishes what would otherwise be a dozen more
+    # full-edge-set rounds (each round streams the whole pinned frame —
+    # at the 100x dbscan probe, ~700M rows per round). Exactness: labels
+    # are always node ids within the component (the min node labels
+    # itself via the self-loop), so components of the contracted graph
+    # map 1:1 onto original components and the contracted min IS the
+    # global min — the same argument incremental_components' oracle
+    # differential proves. A label absent from the contracted edges heads
+    # an adjacency-closed uniformly-labeled region, i.e. a finished
+    # component. Only under strategy="auto" with integral ids (the numpy
+    # solver's domain); forced-"distributed" keeps the pure loop so the
+    # driver/distributed differential tests keep testing the loop.
+    # Attempts run on an exponential schedule (rounds 2, 4, 8, ...) so a
+    # graph that never contracts below the cap pays a bounded overhead.
+    _contract_at = 2
+    for _round in range(1, max_rounds + 1):
         # 1. propagate: label <- min over {self ∪ neighbours}' labels
+        lbl = _build_side(labels)
         propagated = (
-            sym.join(labels, sym["dst"] == labels["node"])
+            sym.join(lbl, sym["dst"] == lbl["node"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .select(F.col("src").alias("node"), "cluster_id")
@@ -258,6 +299,53 @@ def connected_components(
         if done:
             sym.unpersist()
             return labels
+        if (
+            strategy == "auto"
+            and ids_integral
+            and _round >= _contract_at
+        ):
+            _contract_at *= 2
+            lu = labels.select(
+                F.col("node").alias("src"), F.col("cluster_id").alias("_lu")
+            )
+            lv = labels.select(
+                F.col("node").alias("dst"), F.col("cluster_id").alias("_lv")
+            )
+            contracted = (
+                one_dir.join(lu, "src")
+                .join(lv, "dst")
+                .filter(F.col("_lu") != F.col("_lv"))
+                .select(F.col("_lu").alias("src"), F.col("_lv").alias("dst"))
+                .distinct()
+                .persist()
+            )
+            capped_c = contracted.limit(CC_DRIVER_EDGE_CAP + 1).count()
+            if capped_c <= CC_DRIVER_EDGE_CAP:
+                remap_pdf = _driver_components(contracted.toPandas())
+                remap = spark.createDataFrame(
+                    remap_pdf, "node long, cluster_id long"
+                ).select(
+                    F.col("node").cast(one_dir.schema["src"].dataType).alias("_old"),
+                    F.col("cluster_id")
+                    .cast(one_dir.schema["src"].dataType)
+                    .alias("_new"),
+                )
+                out = labels.join(
+                    F.broadcast(remap),
+                    labels["cluster_id"] == F.col("_old"),
+                    "left",
+                ).select(
+                    "node",
+                    F.coalesce(F.col("_new"), F.col("cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                # `out` reads only the pinned labels + the broadcast
+                # remap, so the substrate frames can be released now
+                contracted.unpersist()
+                sym.unpersist()
+                return out
+            contracted.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 

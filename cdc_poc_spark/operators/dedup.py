@@ -359,12 +359,28 @@ def minhash_lsh_candidates(
     return hash_distinct(pairs, "doc_a", "doc_b")
 
 
+def minhash_base(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """The persisted (doc_id, sh, hs) shingle/hash substrate of
+    :func:`minhash_lsh_dups` — exposed (round 10) so compositions that
+    ALSO need the exploded shingle-hash index (the LSH-recall measure
+    runs the exact Jaccard truth join next to the LSH path) can hash the
+    corpus once: ``explode(hs)`` is expression-identical to
+    :func:`doc_shingles`."""
+    return (
+        _spread(docs)
+        .select("doc_id", shingles(F.col("text"), k).alias("sh"))
+        .withColumn("hs", F.transform(F.col("sh"), md5_long))
+        .persist()
+    )
+
+
 def minhash_lsh_dups(
     docs: DataFrame,
     threshold: float,
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
     k: int = SHINGLE_K,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates verified with exact
     shingle Jaccard >= threshold.
@@ -374,15 +390,12 @@ def minhash_lsh_dups(
     whole point of LSH: cost is O(candidates), never the O(pairs sharing a
     shingle) of the full self-join. The shingle/hash arrays are computed
     once and persisted; signatures, banding keys, and verification all read
-    that one pass."""
+    that one pass. ``base`` lets a composition pass a pre-built
+    :func:`minhash_base` shared with other consumers."""
     rows = num_hashes // bands
     consts = minhash_constants(num_hashes)
-    base = (
-        _spread(docs)
-        .select("doc_id", shingles(F.col("text"), k).alias("sh"))
-        .withColumn("hs", F.transform(F.col("sh"), md5_long))
-        .persist()
-    )
+    if base is None:
+        base = minhash_base(docs, k)
     sig_cols = [
         F.array_min(
             F.transform(F.col("hs"), lambda h: h.bitwiseXOR(F.lit(consts[i])))

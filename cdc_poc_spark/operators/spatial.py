@@ -192,8 +192,14 @@ def dbscan(
     core = deg.filter(F.col("_deg") >= int(min_pts) - 1).select(
         F.col("id_a").alias("pid")
     )
+    # feed CC ONE-DIRECTIONAL core pairs (round 10): CC symmetrizes and
+    # self-loops internally, so handing it the already-symmetrized frame
+    # doubled both core-membership joins and CC's internal distinct for
+    # the identical undirected graph; the persisted sym filters to the
+    # canonical direction for free
     core_edges = (
-        sym.join(core.select(F.col("pid").alias("id_a")), "id_a")
+        sym.filter(F.col("id_a") < F.col("id_b"))
+        .join(core.select(F.col("pid").alias("id_a")), "id_a")
         .join(core.select(F.col("pid").alias("id_b")), "id_b")
         .select("id_a", "id_b")
     )

@@ -1300,10 +1300,18 @@ def q_dedup_lsh_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     its candidates, so precision is 1 by construction; what banding can
     lose is recall, and this measures it."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
-    lsh = dedup.minhash_lsh_dups(docs, JACCARD_THRESHOLD).select(
+    # round 10: hash the corpus once — the truth join's exploded shingle
+    # index is expression-identical to explode(hs) of the LSH path's
+    # persisted substrate (dedup.minhash_base), so both sides read one
+    # shingle+md5 pass instead of two (same results bitwise; oracle
+    # unchanged).
+    base = dedup.minhash_base(docs)
+    truth = dedup.ngram_jaccard_pairs(
+        docs,
+        JACCARD_THRESHOLD,
+        shingles=base.select("doc_id", F.explode("hs").alias("shingle")),
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_dups(docs, JACCARD_THRESHOLD, base=base).select(
         "doc_a", "doc_b", F.lit(1).alias("_hit")
     )
     j = truth.join(lsh, ["doc_a", "doc_b"], "left")

@@ -179,6 +179,53 @@ def test_embedding_ivf_cell_cap_does_not_bind_at_shipped_sfs(spark):
         assert occ < EMB_IVF_CELL_CAP
 
 
+def test_cc_midloop_contraction_matches_pure_loop(spark, monkeypatch):
+    """The mid-loop contraction (auto strategy, big graphs) must land on
+    the identical (node, cluster_id) relation as the pure distributed
+    loop and the driver solver. Exercised by shrinking the driver cap so
+    a 150-node path graph (149 edges > cap, diameter >> one round) takes
+    the distributed path and contracts below the cap at round 2."""
+    from cdc_poc_spark.operators import clustering
+
+    monkeypatch.setattr(clustering, "CC_DRIVER_EDGE_CAP", 100)
+    solver_calls = []
+    real_solver = clustering._driver_components
+    monkeypatch.setattr(
+        clustering,
+        "_driver_components",
+        lambda pdf: (solver_calls.append(len(pdf)), real_solver(pdf))[1],
+    )
+    # one 30-node path (converges slowly — still unconverged at round 2)
+    # plus 200 disjoint triangles (collapse to uniform labels by round 1,
+    # so the round-2 contraction shrinks to just the path's label chain)
+    rows = [(i, i + 1) for i in range(29)]
+    for base in range(1000, 1600, 3):
+        rows += [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r.node, r.cluster_id)
+        for r in clustering.connected_components(edges).collect()
+    }
+    want = {(i, 0) for i in range(30)}
+    for base in range(1000, 1600, 3):
+        want |= {(base, base), (base + 1, base), (base + 2, base)}
+    assert got == want
+    # the contraction branch must actually have fired (entry fast path is
+    # blocked by the shrunken cap, so the only solver call is mid-loop),
+    # and on a CONTRACTED graph, not the original
+    assert len(solver_calls) == 1 and 0 < solver_calls[0] <= 100
+    # the forced pure loop agrees (it never contracts)
+    pure = {
+        (r.node, r.cluster_id)
+        for r in clustering.connected_components(
+            edges, strategy="distributed"
+        ).collect()
+    }
+    assert pure == want
+    # forced-distributed must never contract (it exists to test the loop)
+    assert len(solver_calls) == 1
+
+
 def test_embedding_ivf_cell_cap_keeps_nearest_members(spark):
     """When the cap binds, the survivors must be the cap members nearest
     the centroid (ties -> lowest vec_id), and the pair set shrinks to
